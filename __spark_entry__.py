@@ -1,38 +1,488 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship trifecta pipeline on sf0.001 (smoke).
+``queries()`` — one entry per implemented operator from SURVEY.md section 2;
+each callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key; keys without an
+oracle get the driver's weaker rows-only check.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded on both sides so the order-insensitive value hash is stable across
+engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_schema_builder_spark.catalog import (  # noqa: E402
+    banned_column_filter,
+    chunked_scan,
+    columns_catalog,
+)
+from dbt_schema_builder_spark.config import AppPolicy, SourcePolicy  # noqa: E402
+from dbt_schema_builder_spark.operators import json_ops, relational, timeseries  # noqa: E402
+from dbt_schema_builder_spark.policy.metadata import (  # noqa: E402
+    find_duplicates,
+    metadata_merge_join,
+)
+from dbt_schema_builder_spark.session import load_tables, read_table  # noqa: E402
+from dbt_schema_builder_spark.views import TrifectaBuilder  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _flagship_policy() -> AppPolicy:
+    return AppPolicy(
+        app="MAIN",
+        sources={"RAW": SourcePolicy(name="RAW", include=["customer", "orders"])},
+        redactions={"MAIN.CUSTOMER": {"C_NAME": "<redacted>", "C_ACCTBAL": 0}},
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: catalog -> policy -> trifecta views -> aggregate query over
+    the SAFE view, on sf0.001 (driver checks rows > 0)."""
+    sf_dir = "/root/testdata/sf0.001"
+    tables = load_tables(spark, sf_dir, ("customer", "orders"))
+    builder = TrifectaBuilder(spark, _flagship_policy())
+    builder.materialize(tables)
+    safe_customer = spark.table("MAIN__CUSTOMER")
+    orders = spark.table("MAIN_PII__ORDERS")
+    return (
+        safe_customer.join(
+            orders, safe_customer.c_custkey == orders.o_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier A — reference surface (SURVEY.md section 2, Tier A)
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+
+def q_pii_view_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: pass-through projection via the trifecta PII view."""
+    builder = TrifectaBuilder(spark, _flagship_policy())
+    builder.materialize({"customer": _t(spark, sf_dir, "customer")})
+    return spark.table("MAIN_PII__CUSTOMER")
+
+
+def q_safe_view_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: redaction projection via the trifecta SAFE view."""
+    builder = TrifectaBuilder(spark, _flagship_policy())
+    builder.materialize({"customer": _t(spark, sf_dir, "customer")})
+    return spark.table("MAIN__CUSTOMER")
+
+
+def q_soft_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: soft-delete row filter through the trifecta pipeline."""
+    policy = AppPolicy(
+        app="SD",
+        sources={
+            "RAW": SourcePolicy(
+                name="RAW",
+                include=["lineitem"],
+                soft_delete=("l_shipdate", "IS NOT NULL"),
+            )
+        },
+    )
+    TrifectaBuilder(spark, policy).materialize(
+        {"lineitem": _t(spark, sf_dir, "lineitem")}
+    )
+    return spark.table("SD__LINEITEM")
+
+
+def q_banned_column_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: banned columns never reach the projection (events minus props)."""
+    events = _t(spark, sf_dir, "events")
+    cat = banned_column_filter(
+        columns_catalog(spark, {"events": events}), ["PROPS"]
+    )
+    keep = [r.column_name for r in cat.orderBy("ordinal").collect()]
+    return events.select(*keep)
+
+
+def q_include_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 data-level analog: semi-filter on an allow list."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .select("event_id", "event_type", "user_id", "value")
+    )
+
+
+def q_exclude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 data-level analog: anti-filter on a deny list."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(~F.col("event_type").isin("error", "signup"))
+        .select("event_id", "event_type", "user_id", "value")
+    )
+
+
+def q_chunked_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A19: 27-way first-letter chunked scan unioned == full scan."""
+    return chunked_scan(_t(spark, sf_dir, "customer"), "c_name")
+
+
+def q_sort_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A20: ordered group-collect (per order, its linenumbers in order)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("linenumbers")
+        )
+    )
+
+
+def q_prefix_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: PREFIX_NAME aliasing (values unchanged)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("evt_c_custkey"),
+        F.col("c_name").alias("evt_c_name"),
+        F.col("c_mktsegment").alias("evt_c_mktsegment"),
+    )
+
+
+def q_keyword_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: reserved-word column names survive via quoting."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("order"),
+        F.col("o_orderpriority").alias("group"),
+    )
+
+
+def q_regex_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: anchored-regex anti-filter (documents not from src1x sources)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(~F.col("source").rlike("^src1.*$"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+def q_scalar_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: the complete scalar surface — upper, concat, split, regex,
+    LIKE-prefix, IN-list."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.concat_ws("_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string"))
+        .alias("seg_key"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("first_tok"),
+        F.col("c_name").rlike("[0-9]").alias("has_digit"),
+        F.col("c_name").like("C%").alias("like_c"),
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY").alias("seg_known"),
+    )
+
+
+def q_metadata_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 data-level analog: left join + coalesce-to-default."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    prior = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return metadata_merge_join(
+        orders,
+        prior,
+        on="o_custkey",
+        attrs=["cust_name", "segment"],
+        defaults={"cust_name": "<new>", "segment": "UNKNOWN"},
+    )
+
+
+def q_dupe_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: keys seen more than once."""
+    return find_duplicates(_t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the columns catalog itself (rows-only check — DuckDB's
+    information_schema view shapes differ)."""
+    return columns_catalog(spark, load_tables(spark, sf_dir)).orderBy(
+        "table_name", "ordinal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier B — relational / time / JSON (SURVEY.md section 2, Tier B)
+# ---------------------------------------------------------------------------
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.star_join_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.semi_anti_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rollup_order_stats(_t(spark, sf_dir, "orders"))
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.running_customer_totals(_t(spark, sf_dir, "orders"))
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_k_orders(_t(spark, sf_dir, "orders"), k=10)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_set_ops(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.tumbling_window_stats(_t(spark, sf_dir, "events"))
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_ops.props_stats_by_type(_t(spark, sf_dir, "events"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: HLL profiling (rows-only — approximate by design)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Tier A
+        "q_pii_view_projection": q_pii_view_projection,
+        "q_safe_view_redaction": q_safe_view_redaction,
+        "q_soft_delete_filter": q_soft_delete_filter,
+        "q_banned_column_filter": q_banned_column_filter,
+        "q_include_filter": q_include_filter,
+        "q_exclude_filter": q_exclude_filter,
+        "q_chunked_union": q_chunked_union,
+        "q_sort_group_collect": q_sort_group_collect,
+        "q_prefix_rename": q_prefix_rename,
+        "q_keyword_quoting": q_keyword_quoting,
+        "q_regex_anti_filter": q_regex_anti_filter,
+        "q_scalar_kernel": q_scalar_kernel,
+        "q_metadata_merge_join": q_metadata_merge_join,
+        "q_dupe_detection": q_dupe_detection,
+        "q_catalog_scan": q_catalog_scan,
+        # Tier B
+        "q_star_join": q_star_join,
+        "q_hash_agg": q_hash_agg,
+        "q_semi_anti": q_semi_anti,
+        "q_rollup": q_rollup,
+        "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_tumbling_window": q_tumbling_window,
+        "q_session_window": q_session_window,
+        "q_json_extract": q_json_extract,
+        "q_approx_distinct": q_approx_distinct,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_pii_view_projection": f"SELECT {_CUSTOMER_COLS} FROM customer",
+        "q_safe_view_redaction": (
+            "SELECT c_custkey, '<redacted>' AS c_name, c_nationkey, "
+            "CAST(0 AS DOUBLE) AS c_acctbal, c_mktsegment FROM customer"
+        ),
+        "q_soft_delete_filter": (
+            "SELECT * FROM lineitem WHERE l_shipdate IS NOT NULL"
+        ),
+        "q_banned_column_filter": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events"
+        ),
+        "q_include_filter": (
+            "SELECT event_id, event_type, user_id, value FROM events "
+            "WHERE event_type IN ('click','view','purchase')"
+        ),
+        "q_exclude_filter": (
+            "SELECT event_id, event_type, user_id, value FROM events "
+            "WHERE event_type NOT IN ('error','signup')"
+        ),
+        "q_chunked_union": f"SELECT {_CUSTOMER_COLS} FROM customer",
+        "q_sort_group_collect": (
+            "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' "
+            "ORDER BY l_linenumber) AS linenumbers FROM lineitem GROUP BY l_orderkey"
+        ),
+        "q_prefix_rename": (
+            "SELECT c_custkey AS evt_c_custkey, c_name AS evt_c_name, "
+            "c_mktsegment AS evt_c_mktsegment FROM customer"
+        ),
+        "q_keyword_quoting": (
+            'SELECT o_orderkey, o_orderstatus AS "order", '
+            'o_orderpriority AS "group" FROM orders'
+        ),
+        "q_regex_anti_filter": (
+            "SELECT doc_id, source, lang FROM documents "
+            "WHERE NOT regexp_matches(source, '^src1.*$')"
+        ),
+        "q_scalar_kernel": (
+            "SELECT c_custkey, upper(c_name) AS name_upper, "
+            "concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key, "
+            "split_part(c_name, '#', 1) AS first_tok, "
+            "regexp_matches(c_name, '[0-9]') AS has_digit, "
+            "(c_name LIKE 'C%') AS like_c, "
+            "c_mktsegment IN ('BUILDING','MACHINERY') AS seg_known "
+            "FROM customer"
+        ),
+        "q_metadata_merge_join": (
+            "SELECT o.o_orderkey, o.o_custkey, "
+            "COALESCE(c.c_name, '<new>') AS cust_name, "
+            "COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment "
+            "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "q_dupe_detection": (
+            "SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "GROUP BY o_custkey HAVING COUNT(*) > 1"
+        ),
+        "q_star_join": (
+            "SELECT r_name, n_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
+        ),
+        "q_hash_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+            "ROUND(AVG(l_discount), 4) AS avg_disc, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_semi_anti": (
+            "SELECT c_custkey, 'has_order' AS segment FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+            "UNION ALL "
+            "SELECT c_custkey, 'no_order' AS segment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "q_rollup": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+        ),
+        "q_window_rank": (
+            "SELECT * FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders"
+            ") WHERE rank <= 3"
+        ),
+        "q_window_running": (
+            "SELECT o_custkey, o_orderkey, "
+            "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+            "AS running_total FROM orders"
+        ),
+        "q_topk": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "q_set_ops": (
+            "WITH inter AS ("
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey FROM orders), "
+            "rich AS (SELECT c_custkey AS custkey FROM customer "
+            "WHERE c_acctbal > 5000) "
+            "SELECT custkey, 'modest' AS bucket FROM "
+            "(SELECT custkey FROM inter EXCEPT ALL SELECT custkey FROM rich) "
+            "UNION ALL "
+            "SELECT custkey, 'rich' AS bucket FROM "
+            "(SELECT custkey FROM inter INTERSECT SELECT custkey FROM rich)"
+        ),
+        "q_tumbling_window": (
+            "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 4) AS sum_value, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "q_session_window": (
+            "WITH flagged AS ("
+            "SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 "
+            "THEN 1 ELSE 0 END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, ts, "
+            "SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end "
+            "FROM sess GROUP BY user_id, session_id"
+        ),
+        "q_json_extract": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) "
+            "AS avg_k, "
+            "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY event_type"
+        ),
+        # q_catalog_scan, q_approx_distinct: rows-only by design
+    }

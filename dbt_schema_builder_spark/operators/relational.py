@@ -1,0 +1,153 @@
+"""Relational analytics operators (SURVEY.md Tier B6-B11).
+
+The reference contains no data-level joins/aggregations beyond its metadata
+merge (SURVEY.md section 2, "explicitly absent"); these are the north-star
+relational extensions, expressed so Catalyst picks the right physical
+strategy at any scale:
+
+- dimension sides of star joins are wrapped in ``F.broadcast`` — at 100 TB
+  the fact table never shuffles for a dim join
+- aggregations are plain ``groupBy().agg`` so partial (map-side) combine and
+  AQE partition coalescing apply
+- top-k uses ``orderBy().limit`` which Spark plans as TakeOrderedAndProject
+  (no global sort materialization)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def star_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue by nation across the full star schema (TPC-H Q5 shape).
+
+    lineitem (fact) joins orders on the shuffle path; customer / nation /
+    region are broadcast so the plan is a single shuffle (lineitem x orders)
+    followed by broadcast hash joins — the correct 100 TB plan.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        lineitem.select("l_orderkey", revenue)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shape hash aggregation with partial combine: per
+    (returnflag, linestatus) sums/averages/counts."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def semi_anti_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi + anti join in one labeled result: customers with at least one
+    order vs customers with none. ``left_semi`` / ``left_anti`` avoid
+    materializing the join payload — at scale the orders side is only
+    scanned for its key column."""
+    keys = orders.select("o_custkey")
+    has = (
+        customer.join(keys, customer.c_custkey == keys.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("has_order").alias("segment"))
+    )
+    hasnt = (
+        customer.join(keys, customer.c_custkey == keys.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("no_order").alias("segment"))
+    )
+    return has.unionAll(hasnt)
+
+
+def rollup_order_stats(orders: DataFrame) -> DataFrame:
+    """Multi-level aggregate via ROLLUP (B8): totals per (priority, status),
+    per priority, and grand total."""
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking (B9): top-k orders per customer by totalprice with a
+    deterministic tie-break on orderkey. Spark runs this as a single
+    shuffle on o_custkey + per-partition sort — running at 100 TB this is
+    the standard top-N-per-group plan (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def running_customer_totals(orders: DataFrame) -> DataFrame:
+    """Analytic window with frame (B9): per-customer running order total in
+    orderdate order (deterministic tie-break on orderkey)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def top_k_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k (B10): planned as TakeOrderedAndProject — each partition
+    keeps k rows, driver merges; never a global sort. Deterministic
+    tie-break on orderkey."""
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operators (B11) over compatible key projections: customers that
+    appear in orders (INTERSECT), minus a high-balance slice (EXCEPT),
+    unioned with a labeled marker column for hash-stability."""
+    cust_keys = customer.select(F.col("c_custkey").alias("custkey"))
+    order_keys = orders.select(F.col("o_custkey").alias("custkey"))
+    inter = cust_keys.intersect(order_keys)
+    rich = customer.where("c_acctbal > 5000").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        inter.exceptAll(rich).select("custkey", F.lit("modest").alias("bucket"))
+        .unionAll(inter.intersect(rich).select("custkey", F.lit("rich").alias("bucket")))
+    )

@@ -1,0 +1,39 @@
+"""Catalog layer tests (reference builder.py:40-174, queries.py)."""
+
+from dbt_schema_builder_spark.catalog import (
+    banned_column_filter,
+    chunked_scan,
+    columns_catalog,
+    group_collect,
+)
+
+
+def test_columns_catalog_shape(spark, tables):
+    cat = columns_catalog(spark, {"customer": tables["customer"]})
+    rows = {(r.column_name, r.ordinal) for r in cat.collect()}
+    assert ("c_custkey", 1) in rows
+    assert ("c_mktsegment", 5) in rows
+
+
+def test_banned_column_filter(spark, tables):
+    cat = columns_catalog(spark, {"events": tables["events"]})
+    filtered = banned_column_filter(cat, ["PROPS"])
+    names = [r.column_name for r in filtered.collect()]
+    assert "props" not in names and "event_id" in names
+
+
+def test_group_collect_ordinal_order(spark, tables):
+    cat = columns_catalog(
+        spark, {"customer": tables["customer"], "region": tables["region"]}
+    )
+    out = {r.table_name: r.columns for r in group_collect(cat).collect()}
+    assert out["customer"] == list(tables["customer"].columns)
+    assert out["region"] == ["r_regionkey", "r_name"]
+
+
+def test_chunked_scan_equals_full_scan(spark, tables):
+    cust = tables["customer"]
+    chunked = chunked_scan(cust, "c_name")
+    assert chunked.count() == cust.count()
+    assert chunked.exceptAll(cust).count() == 0
+    assert cust.exceptAll(chunked).count() == 0
