@@ -28,7 +28,20 @@ from dbt_schema_builder_spark.catalog import (  # noqa: E402
     columns_catalog,
 )
 from dbt_schema_builder_spark.config import AppPolicy, SourcePolicy  # noqa: E402
-from dbt_schema_builder_spark.operators import json_ops, relational, timeseries  # noqa: E402
+from dbt_schema_builder_spark.multimodal import (  # noqa: E402
+    attach_fake_image_bytes,
+    image_features,
+    sample_frames,
+)
+from dbt_schema_builder_spark.operators import (  # noqa: E402
+    dedup,
+    json_ops,
+    relational,
+    similarity,
+    text,
+    timeseries,
+    udf,
+)
 from dbt_schema_builder_spark.policy.metadata import (  # noqa: E402
     find_duplicates,
     metadata_merge_join,
@@ -301,6 +314,114 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tier B — LLM-data-pipeline operators (dedup / similarity / text / UDF /
+# multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates (rows-only: approximate by design)."""
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-LSH near-dups (rows-only)."""
+    return dedup.simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, similarity.queries_from_corpus(emb, 5), k=5
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only: approximate by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        emb, similarity.queries_from_corpus(emb, 5), k=5
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    return similarity.ivf_assign(emb, centroids).select(
+        "vec_id", "centroid_id"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats_by_lang(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "content_md5"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (rows-only: heuristic has no SQL oracle)."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return udf.text_metrics_pandas(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return udf.lang_stats_apply_in_pandas(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (rows-only)."""
+    media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
+    return image_features(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (rows-only)."""
+    media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every=256).select(
+        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -336,6 +457,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_json_extract": q_json_extract,
         "q_approx_distinct": q_approx_distinct,
+        # Tier B — LLM-pipeline ops
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_near_dup": q_near_dup,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_topk_similarity": q_topk_similarity,
+        "q_lsh_topk": q_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_token_count": q_token_count,
+        "q_quality_score": q_quality_score,
+        "q_text_stats": q_text_stats,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_lang_id": q_lang_id,
+        "q_pandas_udf": q_pandas_udf,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_multimodal_features": q_multimodal_features,
+        "q_frame_sample": q_frame_sample,
     }
 
 
@@ -484,5 +623,86 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
         ),
-        # q_catalog_scan, q_approx_distinct: rows-only by design
+        "q_exact_dedup": (
+            "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS content_md5, MIN(doc_id) AS keep_doc_id, "
+            "COUNT(*) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "q_ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+2], ' ') AS shingle "
+            "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
+            "AS u(i)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "COUNT(*) AS n_inter FROM sh a JOIN sh b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT doc_a, doc_b, "
+            "ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.2"
+        ),
+        "q_topk_similarity": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+            "ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, vec_id, "
+            "ROUND(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) "
+            "AS sim, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+            "list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC, vec_id) "
+            "AS rank FROM q, embeddings QUALIFY rank <= 5"
+        ),
+        "q_embedding_near_dup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.5"
+        ),
+        "q_token_count": (
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "CAST(FLOOR(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens "
+            "FROM documents"
+        ),
+        "q_quality_score": (
+            "WITH toks AS (SELECT doc_id, length(text) AS n_chars, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) "
+            "SELECT doc_id, n_chars, len(t) AS n_tokens, "
+            "ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4) "
+            "AS avg_token_len, "
+            "ROUND(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
+            "* 1.0 / len(t), 4) AS stopword_ratio FROM toks"
+        ),
+        "q_text_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "ROUND(AVG(n_chars), 4) AS avg_chars, "
+            "ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) "
+            "AS avg_tokens FROM documents GROUP BY lang"
+        ),
+        "q_doc_fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS content_md5 FROM documents"
+        ),
+        "q_pandas_udf": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "ROUND(length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) "
+            "* 1.0 / GREATEST(length(text), 1), 4) AS vowel_ratio "
+            "FROM documents"
+        ),
+        "q_lang_stats_pandas": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "ROUND(AVG(n_chars), 4) AS mean_chars, "
+            "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        # rows-only by design: q_catalog_scan, q_approx_distinct, q_near_dup,
+        # q_simhash_near_dup, q_lsh_topk, q_ivf_topk, q_lang_id,
+        # q_multimodal_features, q_frame_sample
     }

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion via the noop sink (no driver collect —
+measures the distributed plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_schema_builder_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline set: the shuffle/join/window-heavy queries that dominate at scale.
+HEADLINE = [
+    "q_hash_agg",
+    "q_star_join",
+    "q_sort_group_collect",
+    "q_window_rank",
+    "q_window_running",
+    "q_session_window",
+    "q_tumbling_window",
+    "q_topk",
+    "q_set_ops",
+    "q_json_extract",
+    "q_exact_dedup",
+    "q_near_dup",
+    "q_ngram_jaccard",
+    "q_topk_similarity",
+    "q_lsh_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_pandas_udf",
+    "q_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it
+    spark.range(1000).count()
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

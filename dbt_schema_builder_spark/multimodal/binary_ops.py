@@ -1,0 +1,145 @@
+"""Multimodal column plumbing (north-star: image/audio/video as opaque
+binary columns with typed metadata).
+
+The container has no image/audio codecs, so the *decode* step is stubbed —
+either a clearly-marked NotImplementedError (``decode_image_stub``) or a
+deterministic fake decoder (``image_features``) — but the Spark-side
+plumbing is real and tested: binary column schema, metadata struct,
+mapInPandas batch iteration, Arrow transfer of bytes, and partition-sized
+batching. Swapping in a real decoder (PIL / torchaudio / ffmpeg) changes
+only the inner function body.
+
+Scale notes: binary payloads ride the same parquet scan as everything else;
+``mapInPandas`` streams Arrow batches so a partition never fully
+materializes in Python memory, and ``spark.sql.files.maxPartitionBytes``
+bounds per-task input. For 100 TB of media, store payloads in parquet
+binary columns (or pointers to object storage) partitioned by content
+bucket, and keep feature extraction a pure map — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def attach_fake_image_bytes(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic opaque binary payload per document (stand-in
+    for a real image column): the UTF-8 bytes of the text plus a fake
+    header. Gives the multimodal operators a real binary column to chew
+    on without bundling media files."""
+    payload = F.encode(F.concat(F.lit("FAKEIMG1"), F.col("text")), "UTF-8")
+    return documents.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> None:
+    """The real-decoder seam. Container ships no codecs, so this raises;
+    replace with e.g. PIL.Image.open(io.BytesIO(payload)) in production."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "container; swap decode_image_stub for a real decoder"
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("header_ok", IntegerType(), False),
+        StructField("byte_entropy", DoubleType(), False),
+    ]
+)
+
+
+def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: iterate
+    Arrow batches, compute per-payload features with a deterministic fake
+    "decoder" (header check + byte entropy). The batch shape — an iterator
+    of pandas DataFrames in, iterator out — is exactly what a real decode /
+    resize / embed stage uses."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "header_ok": pdf["payload"]
+                .map(lambda b: 1 if bytes(b[:8]) == b"FAKEIMG1" else 0)
+                .astype("int32"),
+            }
+
+            def entropy(b: bytes) -> float:
+                if not b:
+                    return 0.0
+                counts: dict[int, int] = {}
+                for byte in b:
+                    counts[byte] = counts.get(byte, 0) + 1
+                n = len(b)
+                return round(
+                    -sum(c / n * math.log2(c / n) for c in counts.values()), 4
+                )
+
+            out["byte_entropy"] = pdf["payload"].map(entropy).astype("float64")
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 64) -> DataFrame:
+    """Frame-sampling shape for video-like payloads: explode each payload
+    into fixed-stride chunks ("frames"). Real video sampling swaps the
+    chunker for an ffmpeg seek; the one-row-to-many mapInPandas plumbing
+    is identical."""
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, start in enumerate(range(0, len(b), every)):
+                    rows.append((doc_id, idx, b[start : start + every]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(chunk, FRAMES_SCHEMA)

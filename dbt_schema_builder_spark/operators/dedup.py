@@ -1,0 +1,233 @@
+"""Deduplication operators over the documents table (SURVEY.md B1/B2 and
+the north-star training-data ops): exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+- exact dedup is a single hash aggregation on a fingerprint — map-side
+  partial combine, one shuffle on the 16-byte key, never on raw text
+- n-gram Jaccard uses an inverted shingle index (explode -> self-join on
+  shingle -> count) so only documents *sharing at least one shingle* are
+  ever paired — no O(n^2) cross join; hot shingles are droppable like
+  stopwords via a document-frequency cap
+- MinHash banding buckets candidates so the join key is (band, signature
+  slice); true Jaccard is verified only on bucket collisions
+- SimHash reduces each doc to 64 bits; near-dup pairs join on 16-bit
+  bands (Hamming-LSH), verified by popcount on the XOR
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# Prime just above 2^32 for the universal-hash family
+# h_i(x) = (a_i*x + b_i) mod p. Keeping x < 2^32 and a_i small bounds the
+# product well under 2^63 — no silent int64 overflow in the executors.
+_HASH_P = 4294967311
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup keyed on normalized content: keep the smallest doc_id
+    per distinct text, report the multiplicity. Deterministic (unlike
+    dropDuplicates, which keeps an arbitrary row)."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        documents.select(F.md5(norm).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles(n: int = 3):
+    """Word n-gram shingles as a distinct array, JVM-side: slide over the
+    token array with transform + slice."""
+    toks = tokens()
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows; distinct per doc."""
+    return documents.select(
+        "doc_id", F.explode(_shingles(n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, via the inverted shingle
+    index: |A ∩ B| from the self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Only docs sharing a shingle are paired — the join, not a cross
+    product, bounds the work."""
+    sets_ = shingle_sets(documents, n)
+    sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sets_.alias("a")
+    b = sets_.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signatures: per permutation i, min over shingles of
+    h_i(xxhash64(shingle)) with h_i(x) = (a_i*x + b_i) mod p. Fixed (a, b)
+    per index — fully deterministic, no RNG at plan time. One explode +
+    one groupBy; the signature is an array column."""
+    hashed = shingle_sets(documents, n).select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit(_HASH_P)).alias("h"),
+    )
+    mins = [
+        F.min(((2 * i + 1) * F.col("h") + (7919 * i + 1)) % _HASH_P)
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: slice each signature into ``bands``
+    rows, hash the slice, self-join on (band, slice-hash). Candidates come
+    out with their estimated Jaccard (signature agreement rate)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+    )
+
+
+def simhash_near_dup(
+    documents: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign of per-bit vote over token
+    hashes; candidate pairs via 16-bit band equality (a pair within
+    Hamming distance 3 shares at least one of 4 bands; wider distances
+    trade recall), verified by popcount of the XOR. All JVM-side bit
+    arithmetic."""
+    def _bit(i: int) -> int:
+        # signed-long literal for bit i (bit 63 is the sign bit)
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    toks_hashed = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = toks_hashed.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    sigs = voted.select("doc_id", sim.alias("simhash"))
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over the embeddings table (SURVEY.md B3 and the
+north-star ANN ops): brute-force cosine top-k as the exact baseline, plus
+two scale paths — random-hyperplane LSH bucketing and an IVF-style
+coarse-quantizer partition.
+
+Scale design:
+
+- the dot product / norm math is `zip_with` + `aggregate` over the array
+  column — JVM-side, no Python, no UDF
+- brute force broadcasts the (small) query set against the corpus: one
+  scan, no shuffle of the corpus; per-query top-k via window over the
+  query id. Exact, O(n_queries * n_corpus) — the correctness oracle
+- hyperplane LSH gives each vector a b-bit sign signature from fixed
+  (seeded, driver-generated) hyperplanes; candidate pairs share a
+  signature bucket, so the join is bucket-local. Recall is tunable with
+  multiple tables/bands
+- IVF assigns each vector to its nearest coarse centroid; queries probe
+  only their own cell (nprobe=1 here). At 100 TB the corpus would be
+  written bucketed/partitioned by cell id so a probe is partition-pruned
+  to one partition — the Spark-native layout for ANN
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns,
+    entirely in Catalyst expressions."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against the corpus,
+    rank per query with a deterministic tie-break on vec_id.
+
+    ``queries`` needs columns (query_id, query_vec). The corpus is scanned
+    once; no corpus shuffle — only the per-query top-k window, whose input
+    is already reduced to scored rows.
+    """
+    scored = embeddings.join(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    out = scored.select(
+        "query_id", "vec_id", "sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+    if round_to is not None:
+        out = out.select(
+            "query_id", "vec_id", F.round("sim", round_to).alias("sim"), "rank"
+        )
+    return out
+
+
+def queries_from_corpus(embeddings: DataFrame, n: int = 5) -> DataFrame:
+    """Deterministic query set: the n smallest vec_ids from the corpus."""
+    return (
+        embeddings.orderBy("vec_id")
+        .limit(n)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Fixed random hyperplanes, generated driver-side with a seeded RNG
+    and baked into the plan as literals (deterministic across runs)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).tolist()
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """b-bit sign signature: bit i = sign(<v, h_i>). Returns a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = _dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. The bucket join replaces the cross product — at
+    scale, with the corpus written partitioned by bucket, a query touches
+    one partition."""
+    planes = _hyperplanes(dim, bits, seed)
+    corpus = embeddings.select(
+        "vec_id",
+        "embedding",
+        hyperplane_signature(F.col("embedding"), planes).alias("bucket"),
+    )
+    qs = queries.select(
+        "query_id",
+        "query_vec",
+        hyperplane_signature(F.col("query_vec"), planes).alias("bucket"),
+    )
+    scored = corpus.join(F.broadcast(qs), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("query_vec"), F.col("embedding")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return scored.select(
+        "query_id", "vec_id", "sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (max cosine). ``centroids`` needs (centroid_id, centroid_vec); it is
+    broadcast — the corpus never shuffles for assignment."""
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("centroid_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.select(
+            "vec_id", "embedding", "centroid_id", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def embedding_near_dup_exact(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= threshold). Quadratic —
+    the small-corpus oracle; the LSH path above is the scale variant."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators over the documents table (SURVEY.md B4 and the
+north-star training-data pipeline ops: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+Everything here is built from ``pyspark.sql.functions`` (split / filter /
+aggregate / md5 / higher-order lambdas) so it runs inside whole-stage
+codegen — no Python in the hot path. These operators process one row at a
+time with no shuffle at all until the final aggregate, so they scale
+linearly: at 100 TB they are pure map-side work over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword set used for quality scoring and the
+# stopword-ratio feature of language ID.
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# Per-language marker-token profiles for the n-gram/token heuristic
+# language-ID. Real pipelines learn these from labeled data; the operator
+# is the Spark-side scoring machinery (argmax over per-language scores).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "y", "los", "de"),
+    "zh": ("de", "le", "shi", "zai", "he"),
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Per-document whitespace token count (BPE-ish subword estimate comes
+    from chars/4, the common rule of thumb)."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens()).alias("n_tokens"),
+        F.floor(F.length("text") / F.lit(4)).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Per-document quality features: length, token count, mean token
+    length, stopword ratio. All computed in one projection — single scan,
+    no shuffle."""
+    toks = tokens()
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(total_tok_chars / n_toks, 4).alias("avg_token_len"),
+        F.round(stop_hits / n_toks, 4).alias("stopword_ratio"),
+    )
+
+
+def text_stats_by_lang(documents: DataFrame) -> DataFrame:
+    """Corpus-level stats per language: doc count, avg chars, avg tokens."""
+    return (
+        documents.select("lang", F.col("n_chars"), F.size(tokens()).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic content fingerprints: md5 of whitespace-normalized
+    lowercased text (exact-dup key), plus a 64-bit xxhash for cheap
+    joins/bucketing. The md5 matches any ANSI engine's md5, so it is
+    oracle-checkable; xxhash64 is Spark-native."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.xxhash64(norm).alias("content_hash64"),
+    )
+
+
+def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: score each language profile by marker-token
+    hits, take the argmax (ties broken by language code for determinism).
+    Expressed as sort_array over an array of (score, lang) structs —
+    entirely JVM-side, no UDF, no shuffle."""
+    toks = tokens()
+    scored = F.array(
+        *[
+            F.struct(
+                (-_lang_score(toks, markers)).alias("neg_score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.sort_array(scored).getItem(0)
+    return documents.select(
+        "doc_id",
+        best.getField("lang").alias("pred_lang"),
+        (-best.getField("neg_score")).alias("marker_hits"),
+    )

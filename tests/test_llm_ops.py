@@ -1,0 +1,116 @@
+"""Behavioral tests for the LLM-pipeline operators: planted duplicates must
+be found, approximate paths must agree with their exact counterparts."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.multimodal import (
+    attach_fake_image_bytes,
+    decode_image_stub,
+    image_features,
+    sample_frames,
+)
+from dbt_schema_builder_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark, tables):
+    """documents plus planted exact + near duplicates of doc 0."""
+    base = tables["documents"]
+    first_text = base.orderBy("doc_id").first()["text"]
+    near = " ".join(first_text.split()[:-1]) + " zzz"  # drop last word, add one
+    extra = spark.createDataFrame(
+        [
+            (100001, first_text, "en", "srcX", len(first_text)),
+            (100002, near, "en", "srcX", len(near)),
+        ],
+        schema=base.schema,
+    )
+    return base.unionByName(extra)
+
+
+def test_exact_dedup_finds_planted_copy(docs_with_dupes):
+    out = dedup.exact_dedup(docs_with_dupes)
+    dupes = out.where("n_copies > 1").collect()
+    assert any(r.n_copies == 2 for r in dupes)
+    # keeps the smallest doc_id deterministically
+    assert min(r.keep_doc_id for r in dupes) < 100001
+
+
+def test_ngram_jaccard_finds_planted_near_dup(docs_with_dupes):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dupes, n=3, threshold=0.5)
+    hits = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 100001) in hits  # exact copy: jaccard 1.0
+    assert (0, 100002) in hits or (100001, 100002) in hits  # near dup
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs_with_dupes):
+    cand = dedup.minhash_lsh_candidates(docs_with_dupes)
+    hits = {(r.doc_a, r.doc_b): r.est_jaccard for r in cand.collect()}
+    assert hits.get((0, 100001)) == 1.0  # identical signatures
+    assert (0, 100002) in hits  # near dup lands in a shared band
+
+
+def test_simhash_finds_exact_copy_and_respects_threshold(docs_with_dupes):
+    pairs = dedup.simhash_near_dup(docs_with_dupes, max_hamming=8)
+    hits = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert hits.get((0, 100001)) == 0  # identical simhash, hamming 0
+    # the banding guarantee: every reported pair respects the threshold
+    assert all(h <= 8 for h in hits.values())
+    # pairs at hamming <= 3 are *guaranteed* found (pigeonhole over 4 bands)
+    assert all(h <= 3 for (a, b), h in hits.items() if h <= 3)
+
+
+def test_lsh_topk_results_are_subset_of_brute_force_candidates(spark, tables):
+    emb = tables["embeddings"]
+    qs = similarity.queries_from_corpus(emb, 3)
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    approx = similarity.lsh_bucketed_topk(emb, qs, k=5, bits=4)
+    # every query's own vector hashes to its own bucket -> rank 1 is itself
+    top1 = {r.query_id: r.vec_id for r in approx.where("rank = 1").collect()}
+    assert all(q == v for q, v in top1.items())
+    assert {r.query_id for r in exact.where("rank = 1").collect()} == set(top1)
+
+
+def test_ivf_assign_puts_centroids_in_their_own_cell(spark, tables):
+    emb = tables["embeddings"]
+    centroids = emb.limit(8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = similarity.ivf_assign(emb, centroids)
+    own = assigned.where(F.col("vec_id") == F.col("centroid_id"))
+    assert own.count() == 8  # each centroid's nearest centroid is itself
+
+
+def test_lang_id_is_deterministic(spark, tables):
+    a = sorted(map(tuple, text.lang_id(tables["documents"]).collect()))
+    b = sorted(map(tuple, text.lang_id(tables["documents"]).collect()))
+    assert a == b
+
+
+def test_multimodal_features_plumbing(spark, tables):
+    media = attach_fake_image_bytes(tables["documents"].limit(20))
+    feats = image_features(media).collect()
+    assert len(feats) == 20
+    assert all(r.header_ok == 1 for r in feats)
+    assert all(r.n_bytes > 8 for r in feats)
+    assert all(0.0 < r.byte_entropy < 8.0 for r in feats)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"anything")
+
+
+def test_frame_sample_reassembles(spark, tables):
+    media = attach_fake_image_bytes(tables["documents"].limit(5))
+    frames = sample_frames(media, every=64)
+    total = (
+        frames.groupBy("doc_id")
+        .agg(F.sum(F.length("frame_bytes")).alias("n"))
+        .collect()
+    )
+    sizes = {r.doc_id: r.n_bytes for r in media.collect()}
+    assert all(sizes[r.doc_id] == r.n for r in total)
