@@ -422,6 +422,77 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tier B — Structured Streaming (B14; rows-only — batch analogs B12/B13
+# carry the oracles, streaming parity is pinned in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """Stage the events parquet into a directory for the file stream
+    source (file sources want a directory, not a single file)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", d)
+    return d
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_tumbling_counts,
+    )
+
+    src = stream_events(spark, _events_stream_dir(sf_dir))
+    return run_stream_to_memory(
+        streaming_tumbling_counts(src), "q_stream_tumbling_sink", "append"
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_session_window,
+    )
+
+    src = stream_events(spark, _events_stream_dir(sf_dir))
+    return run_stream_to_memory(
+        streaming_session_window(src), "q_stream_session_sink", "append"
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_dedup,
+    )
+
+    src = stream_events(spark, _events_stream_dir(sf_dir))
+    return run_stream_to_memory(
+        streaming_dedup(src).select("event_id", "user_id", "event_type"),
+        "q_stream_dedup_sink",
+        "append",
+    )
+
+
+def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_user_state,
+    )
+
+    src = stream_events(spark, _events_stream_dir(sf_dir))
+    return run_stream_to_memory(
+        streaming_user_state(src), "q_stream_user_state_sink", "update"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -475,6 +546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_stats_pandas": q_lang_stats_pandas,
         "q_multimodal_features": q_multimodal_features,
         "q_frame_sample": q_frame_sample,
+        # Tier B — streaming (rows-only; batch/stream parity in tests)
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_session": q_stream_session,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_user_state": q_stream_user_state,
     }
 
 

@@ -1,0 +1,17 @@
+from .windows import (
+    run_stream_to_memory,
+    stream_events,
+    streaming_dedup,
+    streaming_session_window,
+    streaming_tumbling_counts,
+    streaming_user_state,
+)
+
+__all__ = [
+    "stream_events",
+    "streaming_tumbling_counts",
+    "streaming_session_window",
+    "streaming_dedup",
+    "streaming_user_state",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,191 @@
+"""Structured Streaming operators (SURVEY.md B14).
+
+The reference has no streaming surface at all (SURVEY.md section 1.3); this
+is the north-star extension, built the Spark-native way:
+
+- file-source ``readStream`` over the same parquet tables (so batch and
+  stream share one schema and the batch operators in
+  ``operators/timeseries.py`` are the verification oracle)
+- event-time watermarks bound state; late rows beyond the watermark drop
+- ``F.window`` / ``F.session_window`` aggregations — the streaming twins of
+  the batch tumbling/sessionize operators
+- ``dropDuplicatesWithinWatermark`` for streaming dedup with bounded state
+- ``applyInPandasWithState`` for custom per-key state machines
+
+At scale these run identically on a real cluster: state lives in the state
+store (RocksDB-backed), partitioned by grouping key; watermarks cap its
+size. Tests drive everything with ``trigger(availableNow=True)`` so a
+stream run is deterministic and finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # TIMESTAMP(NANOS) reads as long
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over the events parquet (directory). The nanos timestamp
+    arrives as epoch-nanos long (same legacy conf as batch ``read_table``)
+    and is normalized to a microsecond timestamp here."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, watermark: str = "10 minutes", width: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    ``operators.timeseries.tumbling_window_stats``. State per open window;
+    windows finalize once the watermark passes their end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_events", "sum_value")
+    )
+
+
+def streaming_session_window(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows via ``F.session_window`` — the streaming
+    twin of ``operators.timeseries.sessionize``. Sessions close when the
+    watermark passes last_event + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` expires keys once they age past the
+    watermark — the streaming analog of ``operators.dedup.exact_dedup``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+USER_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), False),
+        StructField("last_ts", TimestampType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def streaming_user_state(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, total value), emitted on every update. The shape for
+    any bespoke state machine (fraud scoring, session enrichment) Spark
+    lacks natively.
+
+    ``timeout_minutes`` opts into processing-time state expiry for
+    long-running production streams. Leave None for finite
+    (availableNow-triggered) runs: a ProcessingTimeTimeout keeps the
+    query servicing timers after the data is drained, so availableNow
+    never terminates.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a finite stream run (availableNow trigger) into a memory
+    sink and return the materialized result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,94 @@
+"""Structured Streaming tests: finite availableNow runs into memory sinks,
+verified against the batch twins (batch/stream parity is the oracle)."""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.operators import timeseries
+from dbt_schema_builder_spark.streaming import (
+    run_stream_to_memory,
+    stream_events,
+    streaming_dedup,
+    streaming_session_window,
+    streaming_tumbling_counts,
+    streaming_user_state,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """File-source streams want a directory; stage the events parquet."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, tables, events_dir):
+    stream = streaming_tumbling_counts(stream_events(spark, events_dir))
+    got = run_stream_to_memory(stream, "t_tumbling", "append")
+    batch = timeseries.tumbling_window_stats(tables["events"]).select(
+        "bucket", "n_events", "sum_value"
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append mode withholds windows the final watermark hasn't passed:
+    # emitted set == batch set minus windows still open at max_ts - 10min
+    assert g <= b
+    max_ts = tables["events"].agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=10)
+    withheld = b - g
+    assert all(bucket + datetime.timedelta(hours=1) > wm for bucket, _, _ in withheld)
+    assert len(withheld) <= 2
+
+
+def test_streaming_session_matches_batch_sessionize(spark, tables, events_dir):
+    stream = streaming_session_window(stream_events(spark, events_dir))
+    got = run_stream_to_memory(stream, "t_session", "append")
+    batch = timeseries.sessionize(tables["events"], gap_minutes=30)
+    # session_window end = last_ts + gap, so compare (user, start, n);
+    # append mode withholds sessions the final watermark hasn't closed
+    g = {(r.user_id, r.session_start, r.n_events) for r in got.collect()}
+    b = {(r.user_id, r.session_start, r.n_events) for r in batch.collect()}
+    assert g <= b
+    import datetime
+
+    max_ts = tables["events"].agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    # every withheld session must still be open (started near the end)
+    assert all(start + datetime.timedelta(minutes=30) > wm - datetime.timedelta(hours=24)
+               for _, start, _ in (b - g))
+    assert len(b - g) < len(b) * 0.05  # at most a sliver withheld
+
+
+def test_streaming_dedup_bounded_state(spark, events_dir):
+    stream = streaming_dedup(stream_events(spark, events_dir))
+    got = run_stream_to_memory(stream, "t_dedup", "append")
+    n_src = spark.read.parquet(os.path.join(events_dir, "events.parquet")).count()
+    n_distinct = (
+        spark.read.parquet(os.path.join(events_dir, "events.parquet"))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_distinct <= n_src
+
+
+def test_streaming_user_state(spark, tables, events_dir):
+    stream = streaming_user_state(stream_events(spark, events_dir))
+    got = run_stream_to_memory(stream, "t_state", "update")
+    # with availableNow + update mode the last emit per user carries the
+    # final running totals; compare against the batch aggregate
+    latest = (
+        got.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    batch = {
+        r.user_id: r.n
+        for r in tables["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.user_id: r.n_events for r in latest} == batch
