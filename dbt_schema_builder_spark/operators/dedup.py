@@ -57,21 +57,49 @@ def _shingles(n: int = 3):
 
 
 def shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows; distinct per doc."""
-    return documents.select(
+    """(doc_id, shingle) inverted-index rows; distinct per doc.
+
+    The shingle derivation is CPU-heavy per input row, so parallelism must
+    not be inherited from the file layout (a single small parquet file
+    means a single scan task doing all the tokenization). Repartitioning
+    the raw rows first costs one cheap shuffle of the text and spreads the
+    explode across the cluster."""
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(parallelism).select(
         "doc_id", F.explode(_shingles(n)).alias("shingle")
     )
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, via the inverted shingle
     index: |A ∩ B| from the self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     Only docs sharing a shingle are paired — the join, not a cross
-    product, bounds the work."""
+    product, bounds the work.
+
+    The self-join fans out quadratically in each shingle's document
+    frequency, and AQE coalesces the small pre-join shuffle into too few
+    tasks to absorb that fan-out — so the index is explicitly hash-
+    partitioned on the join key (user repartitions are not coalesced).
+    ``max_df`` drops shingles appearing in more than that many documents
+    (stopword-like; they contribute candidates, not discrimination) —
+    the scale path for skewed corpora; leave None for exact Jaccard.
+    """
     sets_ = shingle_sets(documents, n)
+    # sizes must come from the *uncapped* sets so Jaccard denominators
+    # stay exact even when max_df prunes the candidate-generation side
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_df is not None:
+        df_counts = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sets_ = sets_.join(
+            df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    sets_ = sets_.repartition(parallelism, "shingle")
     a = sets_.alias("a")
     b = sets_.alias("b")
     inter = (
@@ -141,6 +169,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    # explicit partitioning on the bucket key: the post-join fan-out is
+    # quadratic per bucket, which AQE's pre-join coalescing can't see
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(parallelism, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -182,9 +214,13 @@ def simhash_near_dup(
         # signed-long literal for bit i (bit 63 is the sign bit)
         return (1 << i) if i < 63 else -(1 << 63)
 
-    toks_hashed = documents.select(
-        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    toks_hashed = (
+        documents.repartition(
+            documents.sparkSession.sparkContext.defaultParallelism
+        )
+        .select("doc_id", F.explode(F.array_distinct(tokens())).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
@@ -197,6 +233,7 @@ def simhash_near_dup(
         bit = F.when(F.col(f"v{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     sigs = voted.select("doc_id", sim.alias("simhash"))
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -214,6 +251,7 @@ def simhash_near_dup(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    banded = banded.repartition(parallelism, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
