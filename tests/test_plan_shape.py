@@ -1,0 +1,103 @@
+"""Physical-plan assertions (SURVEY.md section 5: SQL-substring tests
+become plan-shape checks). These pin the properties that matter at scale:
+filters reach the parquet scan, projections prune the read schema,
+dimensions broadcast, top-k avoids global sorts, and the hot paths stay
+inside whole-stage codegen (no Python UDFs)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.operators import relational
+from dbt_schema_builder_spark.policy.redaction import (
+    safe_projection,
+    soft_delete_filter,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_soft_delete_predicate_pushes_to_scan(tables):
+    df = soft_delete_filter(tables["lineitem"], "l_shipdate", "IS NOT NULL")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(l_shipdate\)", plan), plan
+
+
+def test_projection_prunes_read_schema(tables):
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_orderkey:bigint", "l_quantity:double"
+    }, plan
+
+
+def test_redaction_does_not_widen_scan(tables):
+    # redacted columns are literals - they must NOT be read from parquet
+    df = safe_projection(
+        tables["customer"], {"c_name": "x", "c_acctbal": 0}
+    ).select("c_custkey", "c_name")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "c_custkey:bigint", plan
+
+
+def test_star_join_broadcasts_dimensions(tables):
+    df = relational.star_join_revenue(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["nation"], tables["region"],
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_topk_plans_take_ordered_not_global_sort(tables):
+    df = relational.top_k_orders(tables["orders"], k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hash_agg_has_partial_aggregation(tables):
+    df = relational.pricing_summary(tables["lineitem"])
+    plan = _plan(df)
+    # two HashAggregate nodes: partial (map-side) + final after exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_anti_use_join_not_materialization(tables):
+    df = relational.semi_anti_customers(tables["customer"], tables["orders"])
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_text_ops_stay_in_codegen(tables):
+    # no BatchEvalPython / ArrowEvalPython in built-in text analysis
+    from dbt_schema_builder_spark.operators import text
+
+    for op in (text.token_count, text.quality_score, text.lang_id):
+        plan = _plan(op(tables["documents"]))
+        # the claim that matters: no Python workers in the hot path
+        # (higher-order lambdas may individually fall back to interpreted
+        # eval, but they stay JVM-side)
+        assert "EvalPython" not in plan, (op.__name__, plan)
+        assert "Batched: true" in plan, (op.__name__, plan)  # vectorized scan
+
+
+def test_window_rank_single_shuffle(tables):
+    df = relational.top_orders_per_customer(tables["orders"], k=3)
+    plan = _plan(df)
+    # one exchange for the window partition; AQE may add reads but only
+    # one hashpartitioning on o_custkey may exist
+    assert len(re.findall(r"hashpartitioning\(o_custkey", plan)) == 1, plan
+
+
+def test_include_filter_pushes_isin(tables):
+    df = tables["events"].where(
+        F.col("event_type").isin("click", "view")
+    ).select("event_id")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*In\(event_type", plan), plan
