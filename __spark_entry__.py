@@ -274,6 +274,14 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.rollup_order_stats(_t(spark, sf_dir, "orders"))
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.cube_order_stats(_t(spark, sf_dir, "orders"))
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.sliding_window_stats(_t(spark, sf_dir, "events"))
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
@@ -520,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_agg": q_hash_agg,
         "q_semi_anti": q_semi_anti,
         "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_sliding_window": q_sliding_window,
         "q_window_rank": q_window_rank,
         "q_window_running": q_window_running,
         "q_topk": q_topk,
@@ -642,6 +652,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, o_orderstatus, "
             "ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*) AS n_orders "
             "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+        ),
+        "q_cube": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "ROUND(AVG(o_totalprice), 4) AS avg_price, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "q_sliding_window": (
+            "WITH starts AS (SELECT make_timestamp("
+            "CAST(FLOOR(epoch_ms(ts) / 1800000) AS BIGINT) * 1800000000) "
+            "AS s1, ts FROM events), "
+            "expanded AS (SELECT s1 AS win_start FROM starts "
+            "UNION ALL SELECT s1 - INTERVAL 30 MINUTE FROM starts) "
+            "SELECT win_start, win_start + INTERVAL 60 MINUTE AS win_end, "
+            "COUNT(*) AS n_events FROM expanded GROUP BY win_start"
         ),
         "q_window_rank": (
             "SELECT * FROM ("

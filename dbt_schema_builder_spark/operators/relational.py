@@ -94,6 +94,16 @@ def rollup_order_stats(orders: DataFrame) -> DataFrame:
     )
 
 
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """Full cube (B8): aggregates for every subset of
+    (status, priority) — 4 grouping sets in one pass."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window ranking (B9): top-k orders per customer by totalprice with a
     deterministic tie-break on orderkey. Spark runs this as a single

@@ -1,0 +1,16 @@
+from .io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_partitioned,
+)
+from .bucketing import bucketed_join_ready, write_bucketed
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "write_partitioned",
+    "write_bucketed",
+    "bucketed_join_ready",
+]

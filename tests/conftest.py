@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -20,6 +21,14 @@ def spark():
         app_name="dbt-schema-builder-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_conf={
+            # static conf: must be set at session build (bucketed tables);
+            # fresh dir per session — the in-memory catalog forgets tables
+            # but their old locations would block saveAsTable
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                prefix="spark-warehouse-tests-"
+            ),
+        },
     )
     yield s
 
