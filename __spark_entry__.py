@@ -36,8 +36,10 @@ from dbt_schema_builder_spark.multimodal import (  # noqa: E402
 from dbt_schema_builder_spark.operators import (  # noqa: E402
     dedup,
     json_ops,
+    profiling,
     relational,
     similarity,
+    skew,
     text,
     timeseries,
     udf,
@@ -300,6 +302,39 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — result identical to a plain
+    groupBy sum."""
+    return skew.salted_sum(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join — result identical to the plain equi-join."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        skew.salted_join(orders, cust, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric column profile of orders."""
+    return profiling.profile_numeric(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"]
+    )
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.tumbling_window_stats(_t(spark, sf_dir, "events"))
 
@@ -534,6 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_profile": q_profile,
         "q_tumbling_window": q_tumbling_window,
         "q_session_window": q_session_window,
         "q_json_extract": q_json_extract,
@@ -695,6 +733,31 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT custkey, 'rich' AS bucket FROM "
             "(SELECT custkey FROM inter INTERSECT SELECT custkey FROM rich)"
+        ),
+        "q_salted_agg": (
+            "SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "q_salted_join": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "q_profile": (
+            "SELECT 'o_custkey' AS column_name, COUNT(*) AS n, "
+            "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            "COUNT(DISTINCT o_custkey) AS n_distinct, "
+            "ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4) AS min_value, "
+            "ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4) AS max_value, "
+            "ROUND(AVG(o_custkey), 4) AS avg_value FROM orders "
+            "UNION ALL "
+            "SELECT 'o_totalprice', COUNT(*), "
+            "SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT o_totalprice), "
+            "ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4), "
+            "ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4), "
+            "ROUND(AVG(o_totalprice), 4) FROM orders"
         ),
         "q_tumbling_window": (
             "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events, "

@@ -1,0 +1,72 @@
+"""Data-profiling operators: per-column statistics in one pass.
+
+The catalog layer answers "what columns exist" (reference A1); profiling
+answers "what's in them" — the first step of any pipeline onboarding new
+data. One job, one scan: all per-column aggregates are computed in a
+single ``select`` so a 100 TB profile costs one pass, not one per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_numeric(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-numeric-column stats: count, nulls, distinct, min/max/avg.
+    Returns one row per column (column_name, n, n_null, n_distinct,
+    min_value, max_value, avg_value) — computed in a single aggregation,
+    then unpivoted driver-side (the aggregate result is one row)."""
+    if columns is None:
+        columns = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+        ]
+    aggs = []
+    for c in columns:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
+                F.countDistinct(c).alias(f"{c}__n_distinct"),
+                F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+                F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+                F.round(F.avg(c), 4).alias(f"{c}__avg"),
+            ]
+        )
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            row[f"{c}__n"],
+            row[f"{c}__n_null"],
+            row[f"{c}__n_distinct"],
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+            row[f"{c}__avg"],
+        )
+        for c in columns
+    ]
+    return spark.createDataFrame(
+        out,
+        "column_name string, n bigint, n_null bigint, n_distinct bigint, "
+        "min_value double, max_value double, avg_value double",
+    )
+
+
+def approx_quantiles(
+    df: DataFrame, column: str, probabilities: list[float] | None = None
+) -> DataFrame:
+    """Approximate quantiles via percentile_approx (t-digest style sketch;
+    single pass, mergeable across partitions — the scale-correct way to
+    get percentiles)."""
+    probabilities = probabilities or [0.25, 0.5, 0.75, 0.9, 0.99]
+    arr = F.percentile_approx(
+        column, probabilities, accuracy=10000
+    ).alias("q")
+    row = df.agg(arr).collect()[0]["q"]
+    return df.sparkSession.createDataFrame(
+        list(zip(probabilities, [float(v) for v in row])),
+        "probability double, value double",
+    )
