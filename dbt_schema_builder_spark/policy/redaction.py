@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, NumericType
+
+from ..config import InvalidConfigurationException
 
 
 def pii_projection(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -32,6 +35,23 @@ def _redaction_literal(df: DataFrame, column: str, literal: object) -> Column:
     explicit). Redaction semantics per reference
     templates/model_sql_safe.tpl:8-9, docs/redacting_pii.rst:11-27."""
     dtype = df.schema[column].dataType
+    # fail at plan-construction time, not mid-job: a literal that cannot
+    # cast to the column type would otherwise surface as an ANSI runtime
+    # error deep inside an executor (found by property testing)
+    if isinstance(dtype, NumericType) and isinstance(literal, str):
+        try:
+            float(literal)
+        except ValueError:
+            raise InvalidConfigurationException(
+                f"redaction literal {literal!r} for numeric column "
+                f"{column!r} ({dtype.simpleString()}) is not a number"
+            ) from None
+    if isinstance(dtype, BooleanType) and isinstance(literal, str):
+        if literal.strip().lower() not in ("true", "false"):
+            raise InvalidConfigurationException(
+                f"redaction literal {literal!r} for boolean column "
+                f"{column!r} is not a boolean"
+            )
     return F.lit(literal).cast(dtype).alias(column)
 
 

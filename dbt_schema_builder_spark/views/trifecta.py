@@ -121,6 +121,10 @@ class TrifectaBuilder:
         for table, df in tables.items():
             if self._source_for(table) is None:
                 continue  # include/exclude filtered out (A7/A8)
+            # register the RAW member of the trifecta so the generated SQL
+            # artifacts are executable as-is (their FROM references
+            # <TABLE>_RAW; reference README.rst:10-17)
+            df.createOrReplaceTempView(upper_case_policy(f"{table}_RAW"))
             if self.policy.is_unmanaged(table):
                 result.skipped_unmanaged.append(table)  # A9
                 continue
