@@ -48,6 +48,43 @@ def columns_catalog(
     return spark.createDataFrame(rows, CATALOG_SCHEMA)
 
 
+def catalog_from_session(
+    spark: SparkSession, tables: list[str] | None = None
+) -> DataFrame:
+    """Columns catalog for tables/views registered in the live session
+    catalog — the direct analog of the reference's INFORMATION_SCHEMA
+    query against the warehouse (queries.py:11-20): same three columns,
+    same ordering contract, but read from ``spark.catalog`` metadata
+    (driver-side, no fallback chunking needed — reference builder.py
+    101-147's too-much-data re-plan is obsolete here)."""
+    if tables is None:
+        tables = [t.name for t in spark.catalog.listTables()]
+    rows = [
+        (t, c.name, i + 1)
+        for t in tables
+        for i, c in enumerate(spark.catalog.listColumns(t))
+    ]
+    return spark.createDataFrame(rows, CATALOG_SCHEMA).orderBy(
+        "table_name", "ordinal"
+    )
+
+
+def coerce_decimal(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Decimal-to-double coercion — the reference applies
+    ``dbt.utils._coerce_decimal`` to every catalog cell (builder.py:92-97;
+    its fallback twin at builder.py:142 is a latent NameError). On Spark
+    the coercion is a typed cast applied to DecimalType columns."""
+    from pyspark.sql.types import DecimalType
+
+    targets = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    out = df
+    for c in targets:
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
+
+
 def banned_column_filter(catalog: DataFrame, banned: list[str]) -> DataFrame:
     """Anti-filter on banned column names, composed into the scan like the
     reference's ``COLUMN_NAME NOT IN (...)`` fragment (queries.py:6-8,

@@ -31,6 +31,29 @@ def test_group_collect_ordinal_order(spark, tables):
     assert out["region"] == ["r_regionkey", "r_name"]
 
 
+def test_catalog_from_session(spark, tables):
+    from dbt_schema_builder_spark.catalog import catalog_from_session
+
+    tables["region"].createOrReplaceTempView("cat_region_v")
+    cat = catalog_from_session(spark, ["cat_region_v"]).collect()
+    assert [(r.column_name, r.ordinal) for r in cat] == [
+        ("r_regionkey", 1), ("r_name", 2),
+    ]
+
+
+def test_coerce_decimal(spark):
+    from decimal import Decimal
+
+    from dbt_schema_builder_spark.catalog import coerce_decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"), "x")], "d decimal(10,2), s string"
+    )
+    out = coerce_decimal(df)
+    assert dict(out.dtypes) == {"d": "double", "s": "string"}
+    assert out.collect()[0].d == 1.5
+
+
 def test_chunked_scan_equals_full_scan(spark, tables):
     cust = tables["customer"]
     chunked = chunked_scan(cust, "c_name")
