@@ -89,19 +89,24 @@ def ngram_jaccard_pairs(
     (stopword-like; they contribute candidates, not discrimination) —
     the scale path for skewed corpora; leave None for exact Jaccard.
     """
-    sets_ = shingle_sets(documents, n)
+    sets_ = shingle_sets(documents, n).persist()
     # sizes must come from the *uncapped* sets so Jaccard denominators
     # stay exact even when max_df prunes the candidate-generation side
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    capped = sets_
     if max_df is not None:
         df_counts = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sets_ = sets_.join(
+        capped = sets_.join(
             df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle"
         )
+    # candidate pairs via codegen'd self-join on the shingle key (an
+    # explicit hash partitioning: the quadratic post-join fan-out is
+    # invisible to AQE's pre-join coalescing). A grouped pair-explode
+    # formulation was measured slower — nested higher-order lambdas run
+    # interpreted, the join stays in whole-stage codegen.
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    sets_ = sets_.repartition(parallelism, "shingle")
-    a = sets_.alias("a")
-    b = sets_.alias("b")
+    capped = capped.repartition(parallelism, "shingle")
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -111,8 +116,11 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    # sizes is one row per doc — small here, corpus-sized in general, so
+    # leave the join strategy to AQE rather than forcing a broadcast
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
