@@ -473,6 +473,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label mean embedding as flat rows
+    (1-based pos to match the ANSI oracle's generate_subscripts)."""
+    return similarity.centroid_by_label(_t(spark, sf_dir, "embeddings")).select(
+        "label", (F.col("pos") + 1).alias("pos"), "avg_val"
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (rows-only: iterative, no SQL oracle)."""
+    return similarity.kmeans(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring fingerprints (rows-only: hash-defined)."""
+    return text.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_t(spark, sf_dir, "documents"))
 
@@ -642,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_kmeans": q_kmeans,
+        "q_winnowing": q_winnowing,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_text_stats": q_text_stats,
@@ -894,7 +915,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_id LIMIT 5) "
             "SELECT query_id, vec_id, "
             "ROUND(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) "
-            "AS sim, "
+            "+ 0.0 AS sim, "
             "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
             "list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC, vec_id) "
             "AS rank FROM q, embeddings QUALIFY rank <= 5"
@@ -906,6 +927,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.5"
+        ),
+        "q_centroid_by_label": (
+            # fixed-point accumulation mirrors the Spark side: exact
+            # integer sums are order-independent, plain AVG(float) is not
+            "SELECT label, ord AS pos, "
+            "ROUND(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) "
+            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_val FROM "
+            "(SELECT label, unnest(embedding) AS val, "
+            "generate_subscripts(embedding, 1) AS ord FROM embeddings) "
+            "GROUP BY label, ord"
         ),
         "q_token_count": (
             "SELECT doc_id, "

@@ -46,12 +46,15 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def _shingles(n: int = 3):
     """Word n-gram shingles as a distinct array, JVM-side: slide over the
-    token array with transform + slice."""
+    token array with transform + slice. Documents shorter than n tokens
+    produce an empty set (guarded: sequence(1, 0) would count *down*)."""
     toks = tokens()
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
     return F.array_distinct(grams)
 

@@ -73,7 +73,11 @@ def brute_force_topk(
     ).where(F.col("rank") <= k)
     if round_to is not None:
         out = out.select(
-            "query_id", "vec_id", F.round("sim", round_to).alias("sim"), "rank"
+            "query_id",
+            "vec_id",
+            # + 0.0 folds IEEE -0.0 from rounding tiny negative sims
+            (F.round("sim", round_to) + F.lit(0.0)).alias("sim"),
+            "rank",
         )
     return out
 
@@ -163,6 +167,75 @@ def ivf_assign(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _det_avg(val: Column, scale: float = 1e6) -> Column:
+    """Order-independent average: round each input to fixed-point
+    micro-units (a deterministic per-row op), sum exactly as integers,
+    divide once. Floating sums depend on partial-aggregation order, so a
+    plain avg() can differ in the last bits between runs/engines and flip
+    a downstream rounding — this does not."""
+    units = F.round(val.cast("double") * scale).cast("long")
+    return F.sum(units) / (F.count(F.lit(1)) * F.lit(scale))
+
+
+def centroid_by_label(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean vector, as flat (label, pos, avg_val) rows.
+
+    posexplode + groupBy(label, pos) — the shuffle carries scalars, not
+    vectors, and partial aggregation combines map-side. The flat shape is
+    also what an ANSI oracle can check (UNNEST + generate_subscripts).
+    Fixed-point accumulation keeps the result bit-identical regardless of
+    partitioning."""
+    return (
+        embeddings.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        # + 0.0 canonicalizes IEEE negative zero (ROUND can yield -0.0,
+        # which engines format differently)
+        .agg((F.round(_det_avg(F.col("val")), 4) + F.lit(0.0)).alias("avg_val"))
+    )
+
+
+def kmeans(
+    embeddings: DataFrame, k: int = 8, iterations: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the iterative-algorithm
+    shape: per round, assign via broadcast centroids (``ivf_assign``),
+    recompute centroids as per-cluster means, loop on the driver. Only
+    the k centroid vectors ever reach the driver; the corpus stays
+    distributed and is re-scanned once per iteration. Deterministic init
+    (first k vec_ids). Returns the final (vec_id, centroid_id)."""
+    spark = embeddings.sparkSession
+    centroids = (
+        embeddings.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, centroids)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(_det_avg(F.col("val")).alias("m"))  # run-to-run determinism
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("centroid_vec")
+            )
+        )
+        # k rows to the driver, re-broadcast next round
+        centroids = spark.createDataFrame(
+            means.collect(), schema=means.schema
+        )
+    return assigned.select("vec_id", "centroid_id")
 
 
 def embedding_near_dup_exact(

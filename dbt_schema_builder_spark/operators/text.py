@@ -91,6 +91,42 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-gram, keep the minimum hash in each sliding window of ``window``
+    consecutive k-grams, dedupe. Guarantees any shared substring of
+    length >= k + window - 1 yields a shared fingerprint — the local
+    substring-match analog of MinHash's whole-document similarity.
+
+    All array expressions: k-gram hashes via transform over token
+    slices, window minima via array_min over slices. Map-side only —
+    no shuffle until the output dedupe."""
+    def _safe_seq(n: Column) -> Column:
+        # sequence(1, 0) counts DOWN to [1, 0]; short docs need []
+        return F.when(n < 1, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+        )
+
+    toks = tokens()
+    n_grams = F.size(toks) - (k - 1)
+    gram_hashes = F.transform(
+        _safe_seq(n_grams),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    n_windows = F.size(gram_hashes) - (window - 1)
+    window_mins = F.array_distinct(
+        F.transform(
+            _safe_seq(n_windows),
+            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
+        )
+    )
+    return documents.select(
+        "doc_id", F.explode(window_mins).alias("fingerprint")
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 

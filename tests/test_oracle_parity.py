@@ -40,6 +40,8 @@ def _normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
+            if v == 0.0:
+                v = 0.0  # fold IEEE -0.0 into +0.0
             return f"{v:.6g}"
         if isinstance(v, (list, tuple)):
             return "[" + ",".join(canon(x) for x in v) + "]"
