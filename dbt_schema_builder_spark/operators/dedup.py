@@ -162,7 +162,9 @@ def minhash_lsh_candidates(
     rows, hash the slice, self-join on (band, slice-hash). Candidates come
     out with their estimated Jaccard (signature agreement rate)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n)
+    # persist: the signature pipeline (explode + 32-way min agg) feeds
+    # both sides of the self-join and would otherwise run twice
+    sig = minhash_signatures(documents, num_hashes, n).persist()
     banded = sig.select(
         "doc_id",
         "signature",
@@ -185,7 +187,16 @@ def minhash_lsh_candidates(
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(parallelism, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    # compute the signature agreement BEFORE deduping band collisions:
+    # the est_jaccard is band-independent, so the dedupe then shuffles
+    # three narrow columns instead of two 32-long signatures per pair
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -198,18 +209,12 @@ def minhash_lsh_candidates(
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
         )
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
