@@ -1,4 +1,5 @@
 from .windows import (
+    run_stream_to_files,
     run_stream_to_memory,
     stream_events,
     streaming_dedup,
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_dedup",
     "streaming_user_state",
     "run_stream_to_memory",
+    "run_stream_to_files",
 ]

@@ -79,6 +79,41 @@ def test_streaming_dedup_bounded_state(spark, events_dir):
     assert got.count() == n_distinct <= n_src
 
 
+def test_file_sink_checkpoint_resumes_incrementally(spark, sf_dir, tmp_path):
+    """Restart-safety: after a second source file lands, re-running the
+    same checkpointed query processes only the delta (no duplicates)."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), src / "part1.parquet")
+
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_files,
+        stream_events,
+    )
+
+    def run():
+        df = stream_events(spark, str(src)).select("event_id", "user_id")
+        run_stream_to_files(df, out, ckpt)
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half
+
+    pq.write_table(t.slice(half), src / "part2.parquet")
+    run()  # resumes from checkpoint, processes only part2
+    result = spark.read.parquet(out)
+    assert result.count() == t.num_rows
+    # exactly-once: no duplicated event_ids across the two runs
+    assert result.select("event_id").distinct().count() == t.num_rows
+
+
 def test_streaming_user_state(spark, tables, events_dir):
     stream = streaming_user_state(stream_events(spark, events_dir))
     got = run_stream_to_memory(stream, "t_state", "update")
