@@ -240,8 +240,9 @@ def q_dupe_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: the columns catalog itself (rows-only check — DuckDB's
-    information_schema view shapes differ)."""
+    """A1: the columns catalog itself, oracle-checked against DuckDB's
+    INFORMATION_SCHEMA.COLUMNS over the same registered relations — the
+    exact analog of the reference's catalog query (queries.py:11-20)."""
     return columns_catalog(spark, load_tables(spark, sf_dir)).orderBy(
         "table_name", "ordinal"
     )
@@ -863,6 +864,13 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_k, "
             "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "q_catalog_scan": (
+            "SELECT table_name, column_name, "
+            "CAST(ordinal_position AS INT) AS ordinal "
+            "FROM information_schema.columns WHERE table_name IN "
+            "('region','nation','customer','supplier','part','orders',"
+            "'lineitem','events','documents','embeddings')"
         ),
         "q_sql_shipping_priority": (
             "SELECT l_orderkey, "
