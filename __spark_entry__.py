@@ -285,6 +285,21 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.sliding_window_stats(_t(spark, sf_dir, "events"))
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (B8): exactly the
+    two named sets, not the full cube."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
@@ -637,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti": q_semi_anti,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
         "q_sliding_window": q_sliding_window,
         "q_window_rank": q_window_rank,
         "q_window_running": q_window_running,
@@ -774,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, o_orderpriority, "
             "ROUND(AVG(o_totalprice), 4) AS avg_price, COUNT(*) AS n_orders "
             "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "q_grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*) AS n_orders "
+            "FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
         ),
         "q_sliding_window": (
             "WITH starts AS (SELECT make_timestamp("
