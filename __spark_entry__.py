@@ -40,6 +40,7 @@ from dbt_schema_builder_spark.operators import (  # noqa: E402
     relational,
     similarity,
     skew,
+    temporal,
     text,
     timeseries,
     udf,
@@ -316,6 +317,44 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_set_ops(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for each click, the user's most recent
+    purchase at or before it. Composed from union + window (Spark has no
+    native ASOF); oracle is DuckDB's native ASOF LEFT JOIN."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return temporal.asof_join(
+        clicks, purchases, on_key="user_id", on_time="ts",
+        right_cols=["purchase_value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("asof_purchase_value").alias("last_purchase_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within 1 hour after each click, per user."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return temporal.range_join(
+        clicks, purchases, "cu", "pu", "click_ts", "purchase_ts", 3600
+    ).select("click_id", "purchase_id")
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
         "q_profile": q_profile,
@@ -834,6 +875,22 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT custkey, 'rich' AS bucket FROM "
             "(SELECT custkey FROM inter INTERSECT SELECT custkey FROM rich)"
+        ),
+        "q_asof_join": (
+            "SELECT c.event_id, c.user_id, c.ts, "
+            "p.value AS last_purchase_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "q_range_join": (
+            "SELECT c.event_id AS click_id, p.event_id AS purchase_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id "
+            "AND epoch_ms(p.ts) >= epoch_ms(c.ts) "
+            "AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 3600000"
         ),
         "q_salted_agg": (
             "SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice "

@@ -1,0 +1,107 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+range join (north-star custom operators; SURVEY.md section 2 Tier B).
+
+Both are compositions of existing DataFrame ops — no UDFs:
+
+- **as-of join**: union the two sides with a source tag, sort within each
+  key by (time, tag), carry the right side's payload forward with
+  ``last(..., ignorenulls)`` over an unbounded-preceding window, keep the
+  left rows. One shuffle on the key, one per-partition sort — the same
+  cost as a window function, instead of the naive inequality join that
+  explodes into a per-key cross product.
+- **range join**: an equi-join on the key plus a band predicate on time.
+  The equi key keeps it a hash/sort-merge join (the band is a post-join
+  filter pushed into the join condition); without an equi key Spark would
+  fall back to broadcast-nested-loop, which is the wrong plan at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_key: str,
+    on_time: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    key at or before the left row's time (a backward as-of join).
+
+    ``right_cols`` are the right-side payload columns to carry; they are
+    emitted as ``asof_<name>``. ``tolerance_seconds`` drops matches older
+    than the window (like pandas merge_asof tolerance).
+    """
+    lt = left.withColumn("_src", F.lit(1))
+    rt = right.select(
+        on_key,
+        on_time,
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+    ).withColumn("_src", F.lit(0))
+    payload = [f"asof_{c}" for c in right_cols]
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp (_src 0 < 1),
+    # so an exact-tie right row is visible to the left row — ">= semantics"
+    w = (
+        Window.partitionBy(on_key)
+        .orderBy(F.col(on_time), F.col("_src"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_carry_{c}")
+            for c in payload
+        ],
+        F.last(F.when(F.col("_src") == 0, F.col(on_time)), ignorenulls=True)
+        .over(w)
+        .alias("_carry_time"),
+    )
+    out = carried.where(F.col("_src") == 1)
+    if tolerance_seconds is not None:
+        in_window = (
+            F.unix_millis(F.col(on_time)) - F.unix_millis(F.col("_carry_time"))
+        ) <= tolerance_seconds * 1000
+        out = out.select(
+            *left.columns,
+            *[
+                F.when(in_window, F.col(f"_carry_{c}")).alias(c)
+                for c in payload
+            ],
+        )
+    else:
+        out = out.select(
+            *left.columns, *[F.col(f"_carry_{c}").alias(c) for c in payload]
+        )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_key_left: str,
+    on_key_right: str,
+    time_left: str,
+    time_right: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Equi + band join: pairs with matching keys whose right time falls
+    in [left time, left time + max_gap_seconds]. The equi key drives the
+    physical join; the band rides along in the join condition."""
+    gap_ms = max_gap_seconds * 1000
+    cond = (
+        (F.col(on_key_left) == F.col(on_key_right))
+        & (F.unix_millis(F.col(time_right)) >= F.unix_millis(F.col(time_left)))
+        & (
+            F.unix_millis(F.col(time_right))
+            <= F.unix_millis(F.col(time_left)) + gap_ms
+        )
+    )
+    return left.join(right, cond)
