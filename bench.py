@@ -43,6 +43,10 @@ HEADLINE = [
     "q_quality_score",
     "q_pandas_udf",
     "q_multimodal_features",
+    "q_asof_join",
+    "q_range_join",
+    "q_salted_join",
+    "q_winnowing",
 ]
 
 
