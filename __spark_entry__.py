@@ -30,6 +30,7 @@ from dbt_schema_builder_spark.catalog import (  # noqa: E402
 from dbt_schema_builder_spark.config import AppPolicy, SourcePolicy  # noqa: E402
 from dbt_schema_builder_spark.multimodal import (  # noqa: E402
     attach_fake_image_bytes,
+    audio_features,
     image_features,
     sample_frames,
 )
@@ -577,6 +578,35 @@ def q_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udf.lang_stats_apply_in_pandas(_t(spark, sf_dir, "documents"))
 
 
+def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep pipeline: quality filter -> exact
+    dedup (keep smallest doc_id) -> per-language token budget. The
+    whole chain is one Catalyst plan — filters push into the scan,
+    dedup is a hash-agg on md5 keys."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = text.quality_score(docs).where(
+        (F.col("n_tokens") >= 30) & (F.col("stopword_ratio") <= 0.5)
+    )
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    keyed = docs.join(quality.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", F.md5(norm).alias("content_md5")
+    )
+    deduped = (
+        keyed.groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            # min_by: attributes of the kept (smallest-id) copy —
+            # deterministic where first() would depend on task order
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (rows-only)."""
     media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
@@ -589,6 +619,12 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every=256).select(
         "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
     )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk RMS/peak over binary payloads (rows-only)."""
+    media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
+    return audio_features(media, chunk=256)
 
 
 # ---------------------------------------------------------------------------
@@ -730,7 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_stats_pandas": q_lang_stats_pandas,
         "q_multimodal_features": q_multimodal_features,
         "q_frame_sample": q_frame_sample,
+        "q_audio_features": q_audio_features,
         # Tier B — streaming (rows-only; batch/stream parity in tests)
+        "q_prep_pipeline": q_prep_pipeline,
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_session": q_stream_session,
         "q_stream_dedup": q_stream_dedup,
@@ -1061,6 +1099,19 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(n_chars), 4) AS mean_chars, "
             "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "q_prep_pipeline": (
+            "WITH toks AS (SELECT doc_id, lang, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "q AS (SELECT doc_id, lang, text, len(t) AS n_tokens, "
+            "ROUND(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
+            "* 1.0 / len(t), 4) AS stop_ratio FROM toks), "
+            "f AS (SELECT * FROM q WHERE n_tokens >= 30 AND stop_ratio <= 0.5), "
+            "d AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k, "
+            "MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, "
+            "arg_min(n_tokens, doc_id) AS n_tokens FROM f GROUP BY 1) "
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS token_budget "
+            "FROM d GROUP BY lang"
         ),
         # rows-only by design: q_catalog_scan, q_approx_distinct, q_near_dup,
         # q_simhash_near_dup, q_lsh_topk, q_ivf_topk, q_lang_id,

@@ -1,5 +1,6 @@
 from .binary_ops import (
     attach_fake_image_bytes,
+    audio_features,
     decode_image_stub,
     image_features,
     sample_frames,
@@ -7,6 +8,7 @@ from .binary_ops import (
 
 __all__ = [
     "attach_fake_image_bytes",
+    "audio_features",
     "decode_image_stub",
     "image_features",
     "sample_frames",

@@ -116,6 +116,40 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, chunk: int = 256) -> DataFrame:
+    """Audio-shaped feature extraction: treat the payload as PCM-like
+    samples, emit per-chunk RMS and peak via mapInPandas. A real
+    pipeline swaps the byte math for torchaudio/librosa on the decoded
+    waveform; the chunked one-to-many Arrow plumbing is identical."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, start in enumerate(range(0, len(b), chunk)):
+                    piece = b[start : start + chunk]
+                    rms = math.sqrt(sum(x * x for x in piece) / len(piece))
+                    rows.append((doc_id, idx, round(rms, 4), max(piece)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "rms", "peak"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(extract, AUDIO_SCHEMA)
+
+
 FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

@@ -99,6 +99,21 @@ def test_multimodal_features_plumbing(spark, tables):
     assert all(0.0 < r.byte_entropy < 8.0 for r in feats)
 
 
+def test_audio_features_chunks(spark, tables):
+    from dbt_schema_builder_spark.multimodal import audio_features
+
+    media = attach_fake_image_bytes(tables["documents"].limit(5))
+    feats = audio_features(media, chunk=128).collect()
+    sizes = {r.doc_id: r.n_bytes for r in media.collect()}
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert 0 < r.rms <= 255 and 0 < r.peak <= 255
+    for doc_id, rows in by_doc.items():
+        expected_chunks = -(-sizes[doc_id] // 128)  # ceil div
+        assert len(rows) == expected_chunks
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"anything")
