@@ -241,6 +241,35 @@ def q_dupe_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_duplicates(_t(spark, sf_dir, "orders"), ["o_custkey"])
 
 
+def q_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test analog run natively: unique / not_null / accepted_values /
+    relationships over the star schema."""
+    from dbt_schema_builder_spark.policy.validation import SchemaTest, run_suite
+
+    tables = {
+        "customer": _t(spark, sf_dir, "customer"),
+        "orders": _t(spark, sf_dir, "orders"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+    }
+    suite = [
+        SchemaTest("customer_key_unique", "unique", "customer", "c_custkey"),
+        SchemaTest("orders_key_not_null", "not_null", "orders", "o_orderkey"),
+        SchemaTest(
+            "order_status_accepted", "accepted_values", "orders",
+            "o_orderstatus", values=["F", "O", "P"],
+        ),
+        SchemaTest(
+            "orders_custkey_refs_customer", "relationships", "orders",
+            "o_custkey", ref_table="customer", ref_column="c_custkey",
+        ),
+        SchemaTest(
+            "lineitem_orderkey_refs_orders", "relationships", "lineitem",
+            "l_orderkey", ref_table="orders", ref_column="o_orderkey",
+        ),
+    ]
+    return run_suite(spark, tables, suite)
+
+
 def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the columns catalog itself, oracle-checked against DuckDB's
     INFORMATION_SCHEMA.COLUMNS over the same registered relations — the
@@ -721,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metadata_merge_join": q_metadata_merge_join,
         "q_dupe_detection": q_dupe_detection,
         "q_catalog_scan": q_catalog_scan,
+        "q_schema_tests": q_schema_tests,
         # Tier B
         "q_star_join": q_star_join,
         "q_hash_agg": q_hash_agg,
@@ -981,6 +1011,29 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_k, "
             "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "q_schema_tests": (
+            "SELECT 'customer_key_unique' AS test_name, "
+            "CAST(COALESCE((SELECT SUM(n) FROM (SELECT COUNT(*) AS n FROM customer "
+            "GROUP BY c_custkey HAVING COUNT(*) > 1)), 0) AS BIGINT) AS n_violations, "
+            "COALESCE((SELECT SUM(n) FROM (SELECT COUNT(*) AS n FROM customer "
+            "GROUP BY c_custkey HAVING COUNT(*) > 1)), 0) = 0 AS passed "
+            "UNION ALL SELECT 'orders_key_not_null', "
+            "(SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL), "
+            "(SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0 "
+            "UNION ALL SELECT 'order_status_accepted', "
+            "(SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P')), "
+            "(SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P')) = 0 "
+            "UNION ALL SELECT 'orders_custkey_refs_customer', "
+            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey "
+            "NOT IN (SELECT c_custkey FROM customer)), "
+            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey "
+            "NOT IN (SELECT c_custkey FROM customer)) = 0 "
+            "UNION ALL SELECT 'lineitem_orderkey_refs_orders', "
+            "(SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey "
+            "NOT IN (SELECT o_orderkey FROM orders)), "
+            "(SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey "
+            "NOT IN (SELECT o_orderkey FROM orders)) = 0"
         ),
         "q_catalog_scan": (
             "SELECT table_name, column_name, "
