@@ -588,6 +588,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats_by_lang(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_ish_tokens(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-language sampling (rows-only: sampling RNG is
+    engine-specific; proportions pinned in tests)."""
+    return text.stratified_sample(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items over event types (rows-only)."""
+    return _t(spark, sf_dir, "events").freqItems(["event_type"], support=0.1)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "content_md5"
@@ -788,6 +805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_winnowing": q_winnowing,
         "q_token_count": q_token_count,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_stratified_sample": q_stratified_sample,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_quality_score": q_quality_score,
         "q_text_stats": q_text_stats,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1136,6 +1156,14 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(n_chars), 4) AS avg_chars, "
             "ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) "
             "AS avg_tokens FROM documents GROUP BY lang"
+        ),
+        "q_bpe_tokens": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) "
+            "AS n_bpe_tokens, "
+            "len(list_distinct(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))) AS n_unique_tokens "
+            "FROM documents"
         ),
         "q_doc_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "

@@ -46,6 +46,38 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_tokens(documents: DataFrame) -> DataFrame:
+    """Subword-style tokenization via regexp_extract_all with a GPT-like
+    pattern (letter runs, single digits, punctuation runs): the
+    pre-tokenizer shape of a BPE pipeline, JVM-side. Counts per doc."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    strata_col: str = "lang",
+    fractions: dict | None = None,
+    default_fraction: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the standard way to
+    rebalance a training corpus by language/source. Seeded and therefore
+    reproducible; executes as a per-row filter, no shuffle."""
+    keys = [
+        r[0] for r in documents.select(strata_col).distinct().collect()
+    ]
+    fr = {k: (fractions or {}).get(k, default_fraction) for k in keys}
+    return documents.sampleBy(strata_col, fractions=fr, seed=seed)
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Per-document quality features: length, token count, mean token
     length, stopword ratio. All computed in one projection — single scan,

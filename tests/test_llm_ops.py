@@ -84,6 +84,24 @@ def test_ivf_assign_puts_centroids_in_their_own_cell(spark, tables):
     assert own.count() == 8  # each centroid's nearest centroid is itself
 
 
+def test_stratified_sample_proportions_and_determinism(spark, tables):
+    docs = tables["documents"]
+    s1 = text.stratified_sample(docs, default_fraction=0.5)
+    s2 = text.stratified_sample(docs, default_fraction=0.5)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )  # seeded => reproducible
+    n, total = s1.count(), docs.count()
+    assert 0.3 * total < n < 0.7 * total  # Bernoulli around 50%
+    # per-stratum fractions respected loosely
+    by_lang = {r.lang: r.n for r in s1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    src = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, cnt in by_lang.items():
+        assert cnt <= src[lang]
+
+
 def test_lang_id_is_deterministic(spark, tables):
     a = sorted(map(tuple, text.lang_id(tables["documents"]).collect()))
     b = sorted(map(tuple, text.lang_id(tables["documents"]).collect()))

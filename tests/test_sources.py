@@ -71,6 +71,31 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_dynamic_partition_overwrite_rewrites_only_touched(
+    spark, tables, tmp_path
+):
+    """Incremental refresh: with dynamic partitionOverwriteMode, an
+    overwrite touching one partition leaves the others intact — the
+    100 TB pattern for refreshing a day/status slice in place."""
+    out = str(tmp_path / "orders_dyn")
+    write_partitioned(tables["orders"], out, ["o_orderstatus"])
+    before_f = spark.read.parquet(out).where("o_orderstatus = 'F'").count()
+    before_o = spark.read.parquet(out).where("o_orderstatus = 'O'").count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try:
+        patch = (
+            tables["orders"].where("o_orderstatus = 'F'").limit(10)
+        )
+        patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = spark.read.parquet(out)
+    assert after.where("o_orderstatus = 'F'").count() == 10  # replaced
+    assert after.where("o_orderstatus = 'O'").count() == before_o  # intact
+    assert before_f > 10
+
+
 def test_csv_json_roundtrip_with_explicit_schema(spark, tables, tmp_path):
     nation = tables["nation"]
     csv_path = str(tmp_path / "nation_csv")
