@@ -349,6 +349,16 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pivot_event_counts(_t(spark, sf_dir, "events"))
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.unpivot_event_counts(
+        relational.pivot_event_counts(_t(spark, sf_dir, "events"))
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward): for each click, the user's most recent
     purchase at or before it. Composed from union + window (Spark has no
@@ -780,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_salted_agg": q_salted_agg,
@@ -963,6 +975,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT custkey, 'rich' AS bucket FROM "
             "(SELECT custkey FROM inter INTERSECT SELECT custkey FROM rich)"
+        ),
+        "q_pivot": (
+            "SELECT user_id, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click, "
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase, "
+            "SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup, "
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "q_unpivot": (
+            "WITH p AS (SELECT user_id, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
+            "SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, "
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+            "FROM events GROUP BY user_id) "
+            "SELECT user_id, 'click' AS event_type, click AS n FROM p "
+            "UNION ALL SELECT user_id, 'error', error FROM p "
+            "UNION ALL SELECT user_id, 'purchase', purchase FROM p "
+            "UNION ALL SELECT user_id, 'signup', signup FROM p "
+            "UNION ALL SELECT user_id, 'view', view FROM p"
         ),
         "q_asof_join": (
             "SELECT c.event_id, c.user_id, c.ts, "

@@ -147,6 +147,38 @@ def top_k_orders(orders: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type. The
+    explicit value list keeps the schema static (no extra pass to
+    discover pivot values) — required for a stable plan at scale."""
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def unpivot_event_counts(pivoted: DataFrame) -> DataFrame:
+    """Unpivot (melt) back to long form: (user_id, event_type, n)."""
+    return pivoted.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )
+
+
 def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set operators (B11) over compatible key projections: customers that
     appear in orders (INTERSECT), minus a high-balance slice (EXCEPT),
