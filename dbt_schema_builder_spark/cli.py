@@ -99,10 +99,18 @@ def run_build(args: argparse.Namespace) -> int:
                 name: list(df.columns) for name, df in result.views.items()
             },
         )
+        # downstream doc lists the SAFE schema and its _PII twin
+        # (reference app.py:196-220: both trifecta halves are exposed as
+        # downstream sources, gated by pii_mode)
+        downstream_sources: dict[str, list[str]] = {}
+        if pii_mode in ("both", "nopii"):
+            downstream_sources[app] = result.downstream_sources
+        if pii_mode in ("both", "piionly"):
+            downstream_sources[f"{app}_PII"] = result.downstream_sources
         downstream = assemble_schema_doc(
             app,
             database="spark_catalog",
-            sources={app: result.downstream_sources},
+            sources=downstream_sources,
             models={},
         )
         written = write_artifacts(

@@ -76,6 +76,8 @@ def test_build_writes_artifacts(spark, config_file, tmp_path, sf_dir):
         open(os.path.join(out, "automatically_generated_sources", "MAIN.yml"))
     )
     assert ds["version"] == 2
+    # downstream doc exposes the SAFE schema and its _PII twin
+    assert {s["name"] for s in ds["sources"]} == {"MAIN", "MAIN_PII"}
 
 
 def test_rebuild_is_destructive_clean(spark, config_file, tmp_path, sf_dir):
