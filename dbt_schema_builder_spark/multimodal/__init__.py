@@ -3,6 +3,7 @@ from .binary_ops import (
     audio_features,
     decode_image_stub,
     image_features,
+    resize_images,
     sample_frames,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "audio_features",
     "decode_image_stub",
     "image_features",
+    "resize_images",
     "sample_frames",
 ]

@@ -116,6 +116,52 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_bytes: int = 512) -> DataFrame:
+    """Resize stage shape: normalize every payload to a fixed size via a
+    deterministic fake resampler (stride-sample when shrinking, cycle-pad
+    when growing). A real pipeline swaps the byte math for
+    PIL.Image.resize on the decoded image; the fixed-output-size
+    mapInPandas contract — what downstream batch embedding models need —
+    is identical."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    resized = bytes(target_bytes)
+                elif len(b) >= target_bytes:
+                    stride = len(b) / target_bytes
+                    resized = bytes(
+                        b[int(i * stride)] for i in range(target_bytes)
+                    )
+                else:
+                    reps = -(-target_bytes // len(b))
+                    resized = (b * reps)[:target_bytes]
+                out_payloads.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payloads,
+                    "n_bytes": [len(p) for p in out_payloads],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resample, RESIZED_SCHEMA
+    )
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

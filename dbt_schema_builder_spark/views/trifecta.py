@@ -85,7 +85,14 @@ class TrifectaBuilder:
             pii = pii_projection(filtered, cols)
         return safe, pii
 
-    def generate_sql(self, table: str, df: DataFrame, pii: bool) -> str:
+    def generate_sql(
+        self,
+        table: str,
+        df: DataFrame,
+        pii: bool,
+        temporary: bool = True,
+        database: str | None = None,
+    ) -> str:
         """Equivalent CREATE OR REPLACE VIEW text (reference
         templates/model_sql_safe.tpl / model_sql_pii.tpl), with the
         reference's upper-case + reserved-word quoting policy."""
@@ -101,9 +108,17 @@ class TrifectaBuilder:
                 parts.append(f"    {lit_sql} AS {name}")
             else:
                 parts.append(f"    {name}")
+        kind = "TEMPORARY VIEW" if temporary else "VIEW"
+        # a database qualifier keeps persistent views from colliding with
+        # (or being shadowed by) same-named temp views in the session
+        qualifier = f"{database}." if database else ""
+        # the FROM must be qualified too: an unqualified name would
+        # resolve to a same-named temp view, and permanent views may not
+        # reference temporary ones
         sql = (
-            f"CREATE OR REPLACE TEMPORARY VIEW {self.view_name(table, pii)} AS\n"
-            "SELECT\n" + ",\n".join(parts) + f"\nFROM {upper_case_policy(table)}_RAW"
+            f"CREATE OR REPLACE {kind} {qualifier}{self.view_name(table, pii)} AS\n"
+            "SELECT\n" + ",\n".join(parts)
+            + f"\nFROM {qualifier}{upper_case_policy(table)}_RAW"
         )
         if source and source.soft_delete:
             col, pred = source.soft_delete
@@ -146,3 +161,43 @@ class TrifectaBuilder:
             if self.policy.in_downstream_sources(table):  # A10
                 result.downstream_sources.append(table)
         return result
+
+    def materialize_persistent(
+        self, tables: dict[str, DataFrame], database: str = "default"
+    ) -> TrifectaResult:
+        """Catalog-persistent trifecta: save each RAW member as a managed
+        table, then execute CREATE OR REPLACE VIEW (non-temporary) from
+        the generated SQL — the direct analog of the reference's
+        warehouse CREATE VIEW boundary (reference README.rst:25-28,
+        templates config(schema=...)). Views live in the session catalog
+        under ``database`` and survive temp-view cleanup."""
+        assert_safe_identifier(database)
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        prev_db = self.spark.catalog.currentDatabase()
+        self.spark.catalog.setCurrentDatabase(database)
+        try:
+            result = TrifectaResult()
+            for table, df in tables.items():
+                if self._source_for(table) is None or self.policy.is_unmanaged(table):
+                    if self.policy.is_unmanaged(table):
+                        result.skipped_unmanaged.append(table)
+                    continue
+                raw_name = upper_case_policy(f"{table}_RAW")
+                df.write.mode("overwrite").format("parquet").saveAsTable(raw_name)
+                for is_pii in (False, True):
+                    if (is_pii and self.pii_mode == "nopii") or (
+                        not is_pii and self.pii_mode == "piionly"
+                    ):
+                        continue
+                    sql = self.generate_sql(
+                        table, df, is_pii, temporary=False, database=database
+                    )
+                    self.spark.sql(sql)
+                    name = self.view_name(table, is_pii)
+                    result.sql[name] = sql
+                    result.views[name] = self.spark.table(f"{database}.{name}")
+                if self.policy.in_downstream_sources(table):
+                    result.downstream_sources.append(table)
+            return result
+        finally:
+            self.spark.catalog.setCurrentDatabase(prev_db)

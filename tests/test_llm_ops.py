@@ -132,6 +132,20 @@ def test_audio_features_chunks(spark, tables):
         assert len(rows) == expected_chunks
 
 
+def test_resize_images_fixed_output(spark, tables):
+    from dbt_schema_builder_spark.multimodal import resize_images
+
+    media = attach_fake_image_bytes(tables["documents"].limit(10))
+    out = resize_images(media, target_bytes=128).collect()
+    assert len(out) == 10
+    assert all(r.n_bytes == 128 and len(bytes(r.payload)) == 128 for r in out)
+    # deterministic
+    again = resize_images(media, target_bytes=128).collect()
+    assert sorted((r.doc_id, bytes(r.payload)) for r in out) == sorted(
+        (r.doc_id, bytes(r.payload)) for r in again
+    )
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"anything")

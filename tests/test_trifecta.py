@@ -92,6 +92,29 @@ def test_idempotent_full_refresh(spark, tables, policy):
     assert spark.table("MAIN__CUSTOMER").count() == tables["customer"].count()
 
 
+def test_materialize_persistent_views(spark, tables, policy):
+    builder = TrifectaBuilder(spark, policy)
+    result = builder.materialize_persistent(
+        {"customer": tables["customer"]}, database="trifecta_test"
+    )
+    assert set(result.views) == {"MAIN__CUSTOMER", "MAIN_PII__CUSTOMER"}
+    # persistent: addressable with a database qualifier, not a temp view
+    safe = spark.table("trifecta_test.MAIN__CUSTOMER")
+    assert safe.select("c_name").distinct().collect()[0][0] == "<redacted>"
+    assert (
+        spark.table("trifecta_test.MAIN_PII__CUSTOMER").count()
+        == tables["customer"].count()
+    )
+    # listTables also returns session temp views; filter to the database
+    persistent = {
+        t.name.lower(): t.tableType
+        for t in spark.catalog.listTables("trifecta_test")
+        if t.namespace == ["trifecta_test"]
+    }
+    assert persistent["main__customer"] == "VIEW"
+    assert persistent["customer_raw"] == "MANAGED"
+
+
 def test_merge_prior_metadata_prefix_variants():
     # reference relation.py:81-138, tests/test_relation.py:107-224
     prior = {"THIS_TABLE": {"description": "kept"}, "EVT_OTHER": {"description": "p"}}
