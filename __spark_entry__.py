@@ -521,6 +521,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over n-gram Jaccard pairs (rows-only:
+    iterative label propagation)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return dedup.dedup_clusters(pairs)
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (median + p90 of doc
+    length per language)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        )
+    )
+
+
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates (rows-only: approximate by design)."""
     return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
@@ -808,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_near_dup": q_near_dup,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_group_quantiles": q_group_quantiles,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_topk_similarity": q_topk_similarity,
         "q_lsh_topk": q_lsh_topk,
@@ -1141,6 +1165,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.2"
+        ),
+        "q_group_quantiles": (
+            "SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars, "
+            "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars "
+            "FROM documents GROUP BY lang"
         ),
         "q_topk_similarity": (
             "WITH q AS (SELECT vec_id AS query_id, "

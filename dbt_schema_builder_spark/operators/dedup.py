@@ -218,6 +218,68 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 10
+) -> DataFrame:
+    """Transitive closure of near-dup pairs into clusters: each doc gets
+    the minimum doc_id reachable through the pair graph (the canonical
+    representative to keep). Iterative label propagation — per round,
+    every node adopts the smallest label in its neighborhood; converges
+    in O(diameter) rounds, checked via a driver-side count. Dedup-graph
+    components are tiny in practice (dup groups), so few rounds suffice.
+
+    ``pairs`` needs (doc_a, doc_b). Returns (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("n_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_label").alias("neighbor_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            # truncate lineage every round: without this the plan nests
+            # one level per iteration and analysis goes exponential
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_near_dup(
     documents: DataFrame, max_hamming: int = 8
 ) -> DataFrame:

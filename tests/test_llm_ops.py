@@ -62,6 +62,25 @@ def test_simhash_finds_exact_copy_and_respects_threshold(docs_with_dupes):
     assert all(h <= 3 for (a, b), h in hits.items() if h <= 3)
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    # chain 1-2, 2-3 plus isolated pair 10-11: {1,2,3} and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
+    )
+    out = dedup.dedup_clusters(pairs, max_iterations=30).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n + 1
+
+
 def test_lsh_topk_results_are_subset_of_brute_force_candidates(spark, tables):
     emb = tables["embeddings"]
     qs = similarity.queries_from_corpus(emb, 3)
