@@ -644,7 +644,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (rows-only: heuristic has no SQL oracle)."""
+    """Heuristic language ID — deterministic marker-count argmax, so it
+    carries a full SQL oracle despite being a heuristic."""
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
 
@@ -1232,6 +1233,41 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS content_md5 FROM documents"
+        ),
+        "q_lang_id": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+            "s AS ("
+            "SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> lower(x) IN "
+            "('der','die','und','das','ist'))) AS score FROM t UNION ALL "
+            "SELECT doc_id, 'en', len(list_filter(toks, x -> lower(x) IN "
+            "('the','a','and','of','to'))) FROM t UNION ALL "
+            "SELECT doc_id, 'es', len(list_filter(toks, x -> lower(x) IN "
+            "('el','la','y','los','de'))) FROM t UNION ALL "
+            "SELECT doc_id, 'fr', len(list_filter(toks, x -> lower(x) IN "
+            "('le','la','et','les','des'))) FROM t UNION ALL "
+            "SELECT doc_id, 'zh', len(list_filter(toks, x -> lower(x) IN "
+            "('de','le','shi','zai','he'))) FROM t) "
+            "SELECT doc_id, lang AS pred_lang, score AS marker_hits FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, lang) AS rn FROM s) WHERE rn = 1"
+        ),
+        "q_ivf_topk": (
+            "WITH c AS (SELECT vec_id AS centroid_id, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+            "ORDER BY vec_id DESC LIMIT 16) "
+            "SELECT vec_id, centroid_id FROM "
+            "(SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER "
+            "(PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, "
+            "c.centroid_id) AS rn FROM embeddings e, c) WHERE rn = 1"
+        ),
+        "q_frame_sample": (
+            "WITH d AS (SELECT doc_id, 8 + length(text) AS n FROM documents) "
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(LEAST(256, n - 256 * i) AS INT) AS frame_len "
+            "FROM d, LATERAL unnest(generate_series(0, "
+            "CAST(CEIL(n / 256.0) AS INT) - 1)) AS u(i)"
         ),
         "q_pandas_udf": (
             "SELECT doc_id, length(text) AS n_chars, "
