@@ -764,6 +764,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (rows-only; batch range-join parity
+    pinned in tests)."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_click_purchase_join,
+    )
+
+    src = stream_events(spark, _events_stream_dir(sf_dir))
+    return run_stream_to_memory(
+        streaming_click_purchase_join(src), "q_stream_join_sink", "append"
+    )
+
+
 def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_schema_builder_spark.streaming import (
         run_stream_to_memory,
@@ -859,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_session": q_stream_session,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_join": q_stream_join,
         "q_stream_user_state": q_stream_user_state,
     }
 

@@ -2,6 +2,7 @@ from .windows import (
     run_stream_to_files,
     run_stream_to_memory,
     stream_events,
+    streaming_click_purchase_join,
     streaming_dedup,
     streaming_session_window,
     streaming_tumbling_counts,
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_user_state",
     "run_stream_to_memory",
     "run_stream_to_files",
+    "streaming_click_purchase_join",
 ]

@@ -175,6 +175,45 @@ def streaming_user_state(
     )
 
 
+def streaming_click_purchase_join(
+    events: DataFrame,
+    gap_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``gap_minutes`` after a
+    click by the same user — the streaming twin of
+    ``operators.temporal.range_join``. Both sides carry watermarks and
+    the join condition bounds event-time distance, so each side's state
+    store retains only the rows still joinable (state is bounded by
+    watermark + gap, not by history)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    gap = f"INTERVAL {gap_minutes} MINUTES"
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"cu = pu AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + {gap}"
+        ),
+    ).select("click_id", "purchase_id")
+
+
 def run_stream_to_files(
     df: DataFrame,
     out_dir: str,

@@ -114,6 +114,35 @@ def test_file_sink_checkpoint_resumes_incrementally(spark, sf_dir, tmp_path):
     assert result.select("event_id").distinct().count() == t.num_rows
 
 
+def test_stream_stream_join_matches_batch_range_join(
+    spark, tables, events_dir
+):
+    from dbt_schema_builder_spark.operators import temporal
+    from dbt_schema_builder_spark.streaming import (
+        streaming_click_purchase_join,
+    )
+
+    stream = streaming_click_purchase_join(stream_events(spark, events_dir))
+    got = run_stream_to_memory(stream, "t_ssjoin", "append")
+
+    events = tables["events"]
+    clicks = events.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = temporal.range_join(
+        clicks, purchases, "cu", "pu", "click_ts", "purchase_ts", 3600
+    ).select("click_id", "purchase_id")
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # inner stream-stream join with availableNow emits all joinable pairs
+    assert g == b
+
+
 def test_streaming_user_state(spark, tables, events_dir):
     stream = streaming_user_state(stream_events(spark, events_dir))
     got = run_stream_to_memory(stream, "t_state", "update")
