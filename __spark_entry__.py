@@ -637,6 +637,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").freqItems(["event_type"], support=0.1)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "content_md5"
@@ -857,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_winnowing": q_winnowing,
         "q_token_count": q_token_count,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_bpe_tokens": q_bpe_tokens,
         "q_stratified_sample": q_stratified_sample,
         "q_heavy_hitters": q_heavy_hitters,
@@ -1237,6 +1242,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(n_chars), 4) AS avg_chars, "
             "ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) "
             "AS avg_tokens FROM documents GROUP BY lang"
+        ),
+        "q_tfidf_terms": (
+            "WITH terms AS (SELECT doc_id, unnest("
+            "regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms "
+            "GROUP BY doc_id, term), "
+            "dfc AS (SELECT term, COUNT(*) AS df FROM "
+            "(SELECT DISTINCT doc_id, term FROM terms) GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "scored AS (SELECT doc_id, tf.term, "
+            "ROUND(tf * LN(n_docs * 1.0 / df), 4) AS tfidf "
+            "FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n) "
+            "SELECT doc_id, term, tfidf, rank FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS rank FROM scored) WHERE rank <= 3"
         ),
         "q_bpe_tokens": (
             "SELECT doc_id, "

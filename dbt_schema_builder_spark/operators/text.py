@@ -175,6 +175,44 @@ def winnowing_fingerprints(
     return mins.select("doc_id", "fingerprint").distinct()
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF, fully relational: explode
+    tokens -> term frequencies (groupBy doc, term) -> document
+    frequencies (groupBy term) -> tf * ln(N/df) -> per-doc top-k window
+    with deterministic tie-break on the term. Two shuffles (tf, df) and
+    a broadcast-sized df join; no ML pipeline objects, so the same plan
+    runs at any corpus size."""
+    from pyspark.sql.window import Window
+
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    terms = (
+        documents.repartition(parallelism)
+        .select("doc_id", F.explode(tokens()).alias("term"))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = (
+        terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = documents.count()  # one scalar to the driver
+    scored = tf.join(df_counts, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 
