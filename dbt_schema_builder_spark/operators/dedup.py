@@ -92,23 +92,30 @@ def ngram_jaccard_pairs(
     (stopword-like; they contribute candidates, not discrimination) —
     the scale path for skewed corpora; leave None for exact Jaccard.
     """
+    from pyspark.sql.window import Window
+
     sets_ = shingle_sets(documents, n).persist()
     # sizes must come from the *uncapped* sets so Jaccard denominators
     # stay exact even when max_df prunes the candidate-generation side
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    capped = sets_
-    if max_df is not None:
-        df_counts = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        capped = sets_.join(
-            df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
     # candidate pairs via codegen'd self-join on the shingle key (an
     # explicit hash partitioning: the quadratic post-join fan-out is
     # invisible to AQE's pre-join coalescing). A grouped pair-explode
     # formulation was measured slower — nested higher-order lambdas run
     # interpreted, the join stays in whole-stage codegen.
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    capped = capped.repartition(parallelism, "shingle")
+    capped = sets_.repartition(parallelism, "shingle")
+    if max_df is not None:
+        # df cap as a whole-partition window count over the partitioning
+        # the self-join needs anyway: one exchange serves the cap AND both
+        # join inputs (an agg+join formulation costs an extra shuffle)
+        capped = (
+            capped.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
     a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -13,25 +13,46 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
-def profile_numeric(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def _det_avg_nullaware(c: str, scale: float = 1e6):
+    """Order-independent mean: round inputs to fixed-point micro-units,
+    sum exactly as integers, divide by the non-null count once. Plain
+    avg(float) depends on partial-aggregation order, so the 4th rounded
+    decimal can flip between runs/partitionings; this cannot. + 0.0
+    canonicalizes IEEE -0.0 out of the rounding."""
+    units = F.round(F.col(c).cast("double") * scale).cast("long")
+    return F.round(F.sum(units) / (F.count(c) * F.lit(scale)), 4) + F.lit(0.0)
+
+
+def profile_numeric(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
     """Per-numeric-column stats: count, nulls, distinct, min/max/avg.
     Returns one row per column (column_name, n, n_null, n_distinct,
     min_value, max_value, avg_value) — computed in a single aggregation,
-    then unpivoted driver-side (the aggregate result is one row)."""
+    then unpivoted driver-side (the aggregate result is one row).
+
+    ``n_distinct`` defaults to the HLL sketch (approx_count_distinct):
+    mergeable, one pass, no per-column full shuffle — the 100 TB default.
+    ``exact_distinct=True`` switches to exact COUNT(DISTINCT) for
+    oracle-checkable runs; at scale that is one expanded shuffle per
+    column, so keep it opt-in."""
     if columns is None:
         columns = [
             f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
         ]
+    distinct_agg = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in columns:
         aggs.extend(
             [
                 F.count(F.lit(1)).alias(f"{c}__n"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
-                F.countDistinct(c).alias(f"{c}__n_distinct"),
+                distinct_agg(c).alias(f"{c}__n_distinct"),
                 F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
                 F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
-                F.round(F.avg(c), 4).alias(f"{c}__avg"),
+                _det_avg_nullaware(c).alias(f"{c}__avg"),
             ]
         )
     row = df.agg(*aggs).collect()[0]

@@ -242,19 +242,97 @@ def embedding_near_dup_exact(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:
     """Exact embedding near-dup pairs (cosine >= threshold). Quadratic —
-    the small-corpus oracle; the LSH path above is the scale variant."""
+    the small-corpus recall oracle for ``embedding_near_dup``; never the
+    shipped path. The threshold is applied to the UNROUNDED cosine (like
+    any ANSI oracle would), then rounded for output."""
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
     b = embeddings.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
+    raw = cosine(F.col("emb_a"), F.col("emb_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"),
+        .where(raw >= threshold)
+        .select("vec_a", "vec_b", F.round(raw, 4).alias("sim"))
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    tables: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-safe embedding near-dup: multi-table hyperplane-LSH candidate
+    generation + exact cosine verification on candidates only. No
+    cartesian anywhere in the plan — the only joins are the bucket-local
+    self-join and the two vec_id equi-joins that re-attach vectors to the
+    (deduplicated) candidate pairs.
+
+    Recall math (random-hyperplane LSH): a pair at angle theta agrees on
+    one bit with p = 1 - theta/pi, lands in the same bucket of one table
+    with p**bits, and is missed entirely with (1 - p**bits)**tables.
+    Defaults (bits=4, tables=32) target the weak-similarity regime of the
+    shipped query (threshold 0.5 => theta ~ 60 deg, p = 2/3): per-pair
+    miss probability (1 - 0.198)**32 ~ 8.5e-4. For production near-dup
+    thresholds (>= 0.9 => p >= 0.86) the same code wants bits ~
+    log2(corpus/bucket_target) and far fewer tables. Exactness against
+    the quadratic oracle is pinned in tests at the shipped threshold.
+
+    Scale notes: signatures are fixed seeded hyperplanes baked as plan
+    literals (deterministic, no fit step); candidate volume is
+    sum-over-buckets(n_b choose 2) per table, kept bounded by sizing
+    ``bits`` to the corpus; the explicit repartition on (table, bucket)
+    spreads the quadratic post-join fan-out that AQE's pre-join
+    coalescing cannot see (same lesson as dedup.minhash_lsh_candidates).
+    """
+    all_planes = _hyperplanes(dim, bits * tables, seed)
+    sig_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(
+                    F.col("embedding"), all_planes[t * bits : (t + 1) * bits]
+                ).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    bucketed = (
+        embeddings.select("vec_id", F.explode(sig_structs).alias("tb"))
+        .select("vec_id", "tb.tbl", "tb.bucket")
+        .repartition(parallelism, "tbl", "bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(F.col("sim") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        # dedupe across tables BEFORE the exact verify: pairs are narrow
+        # (two ids), vectors are wide — verify each candidate once
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    raw = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(raw >= threshold)
+        .select("vec_a", "vec_b", F.round(raw, 4).alias("sim"))
     )

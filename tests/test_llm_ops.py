@@ -81,6 +81,49 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_embedding_near_dup_lsh_matches_exact(spark, tables):
+    """The shipped LSH-candidate + exact-verify path must reproduce the
+    quadratic all-pairs oracle exactly at the shipped threshold (recall
+    pinned; precision is guaranteed by the exact verify)."""
+    emb = tables["embeddings"]
+    # 0.45 rather than the wired 0.5: sf0.001's max pair sim is 0.479, so
+    # this exercises a non-empty result (7 pairs) at an even weaker angle
+    # (harder for LSH recall) than the driver-checked threshold
+    lsh = sorted(
+        map(tuple, similarity.embedding_near_dup(emb, threshold=0.45).collect())
+    )
+    exact = sorted(
+        map(
+            tuple,
+            similarity.embedding_near_dup_exact(emb, threshold=0.45).collect(),
+        )
+    )
+    assert lsh == exact
+    assert len(lsh) >= 1  # the data plants qualifying pairs
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark, tables):
+    """The df-cap skew lever: a stop-phrase shingle shared by 50 docs
+    would fan out ~1225 candidate pairs; with max_df below its df those
+    candidates vanish, while rare-shingle pairs keep their exact Jaccard
+    (denominators always come from the uncapped sets)."""
+    schema = tables["documents"].schema
+    rows = [
+        (i, f"x y z unique{i} a{i} b{i} c{i}", "en", "src", 20) for i in range(50)
+    ] + [
+        (100, "p q r s t u", "en", "src", 11),
+        (101, "p q r s t zz", "en", "src", 12),
+    ]
+    docs = spark.createDataFrame(rows, schema=schema)
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_df=10)
+    hot_pairs = uncapped.where("doc_a < 100 AND doc_b < 100").count()
+    assert hot_pairs == 50 * 49 // 2  # every hot-shingle pair materialized
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    # only the rare-shingle pair survives, with its exact Jaccard 3/5
+    assert got == {(100, 101): 0.6}
+
+
 def test_lsh_topk_results_are_subset_of_brute_force_candidates(spark, tables):
     emb = tables["embeddings"]
     qs = similarity.queries_from_corpus(emb, 3)

@@ -95,6 +95,16 @@ def test_window_rank_single_shuffle(tables):
     assert len(re.findall(r"hashpartitioning\(o_custkey", plan)) == 1, plan
 
 
+def test_embedding_near_dup_has_no_cartesian(tables):
+    # the shipped near-dup path must be bucket-join + equi-join only;
+    # the quadratic all-pairs form is reserved for the recall oracle
+    from dbt_schema_builder_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_near_dup(tables["embeddings"], threshold=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_include_filter_pushes_isin(tables):
     df = tables["events"].where(
         F.col("event_type").isin("click", "view")
