@@ -370,11 +370,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.where("event_type = 'purchase'").select(
         "user_id", "ts", F.col("value").alias("purchase_value")
     )
+    # ts leaves the query as epoch-ms: raw timestamp emission relies on
+    # both engines truncating parquet TIMESTAMP_NANOS identically, which
+    # holds at the fetch layer today but is the kind of invariant that
+    # breaks silently (tests/test_robustness.py pins the truncation)
     return temporal.asof_join(
         clicks, purchases, on_key="user_id", on_time="ts",
         right_cols=["purchase_value"],
     ).select(
-        "event_id", "user_id", "ts",
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
         F.col("asof_purchase_value").alias("last_purchase_value"),
     )
 
@@ -655,10 +660,12 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-language sampling (rows-only: sampling RNG is
-    engine-specific; proportions pinned in tests)."""
-    return text.stratified_sample(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "lang"
-    )
+    engine-specific; proportions pinned in tests). Explicit fractions
+    exercise the collect-free scale path — no strata-discovery job."""
+    return text.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        fractions={"en": 0.1, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.3},
+    ).select("doc_id", "lang")
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,7 +1095,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT user_id, 'view', view FROM p"
         ),
         "q_asof_join": (
-            "SELECT c.event_id, c.user_id, c.ts, "
+            "SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms, "
             "p.value AS last_purchase_value "
             "FROM (SELECT * FROM events WHERE event_type = 'click') c "
             "ASOF LEFT JOIN "

@@ -67,10 +67,37 @@ def stratified_sample(
     fractions: dict | None = None,
     default_fraction: float = 0.2,
     seed: int = 42,
+    exhaustive: bool = False,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (``sampleBy``): the standard way to
-    rebalance a training corpus by language/source. Seeded and therefore
-    reproducible; executes as a per-row filter, no shuffle."""
+    """Per-stratum Bernoulli sampling: the standard way to rebalance a
+    training corpus by language/source. Seeded and therefore reproducible;
+    executes as a per-row filter, no shuffle.
+
+    With explicit ``fractions`` (and ``exhaustive=False``) no strata-
+    discovery job runs: strata absent from the dict get
+    ``default_fraction`` via a pure hash expression — at 100 TB an
+    unbounded ``distinct().collect()`` over the strata column is a driver
+    bottleneck. ``exhaustive=True`` restores sampleBy's enumerate-first
+    behavior for when you want to fail on unknown strata instead.
+
+    The hash expression mirrors Bernoulli sampleBy semantics (a seeded
+    uniform draw per row compared to the stratum's fraction) but draws
+    from xxhash64(strata, id-independent salt) — deterministic across
+    runs AND cluster layouts, which sampleBy's per-partition RNG is not
+    when the partitioning changes."""
+    if fractions is not None and not exhaustive:
+        fr_col = F.col(strata_col)
+        frac_expr = F.lit(float(default_fraction))
+        for k, v in sorted(fractions.items()):
+            frac_expr = F.when(fr_col == k, F.lit(float(v))).otherwise(frac_expr)
+        # uniform in [0,1) from a 64-bit hash of (row identity, seed):
+        # monotonically-assigned doc ids would bias a modulo draw, the
+        # full-width hash does not
+        draw = (
+            F.pmod(F.xxhash64(F.struct(*documents.columns), F.lit(seed)), F.lit(1 << 32))
+            / F.lit(float(1 << 32))
+        )
+        return documents.where(draw < frac_expr)
     keys = [
         r[0] for r in documents.select(strata_col).distinct().collect()
     ]

@@ -52,6 +52,18 @@ class TrifectaBuilder:
 
     # -- naming ----------------------------------------------------------
     def view_name(self, table: str, pii: bool) -> str:
+        """APP__ALIAS / APP_PII__ALIAS.
+
+        Deliberate deviation from the reference's {app}_{relation} /
+        {app}_PII_{relation} (reference relation.py:104-129): the
+        reference separates app and relation across Snowflake
+        *schemas*, so a single underscore is unambiguous there. These
+        views live in ONE Spark namespace, where a single underscore
+        makes APP_PII_X unparseable (app "APP" + relation "PII_X"? app
+        "APP_PII" + relation "X"?) — the double underscore is the
+        app/relation boundary, and the reference's prefix-variant
+        matching still applies to the alias half (policy/metadata.py
+        prefix handling)."""
         alias = relation_alias(table, self._prefix_for(table))
         suffix = "_PII" if pii else ""
         return upper_case_policy(f"{self.policy.app}{suffix}__{alias}")
@@ -104,7 +116,17 @@ class TrifectaBuilder:
             name = quote_identifier(upper_case_policy(c))
             if c.lower() in red:
                 lit = red[c.lower()]
-                lit_sql = lit if isinstance(lit, (int, float)) else "'" + str(lit).strip("'") + "'"
+                # string literals are escaped by quote-doubling, never
+                # stripped: a redaction value like "it's done" must come
+                # out intact, and one that legitimately starts/ends with a
+                # quote must not be corrupted. Identifiers are validated
+                # (assert_safe_identifier); literals are data and get the
+                # standard SQL escape instead.
+                lit_sql = (
+                    lit
+                    if isinstance(lit, (int, float))
+                    else "'" + str(lit).replace("'", "''") + "'"
+                )
                 parts.append(f"    {lit_sql} AS {name}")
             else:
                 parts.append(f"    {name}")

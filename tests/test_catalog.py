@@ -60,3 +60,34 @@ def test_chunked_scan_equals_full_scan(spark, tables):
     assert chunked.count() == cust.count()
     assert chunked.exceptAll(cust).count() == 0
     assert cust.exceptAll(chunked).count() == 0
+
+
+def test_chunked_scan_wildcard_prefix_names(spark):
+    """The reference's chunked scan needed LIKE ... ESCAPE '^' because
+    '_'/'%'-prefixed names are LIKE wildcards (builder.py:111-114).
+    chunked_scan uses literal startswith, so wildcard-looking prefixes
+    must fall through to the outside-alphabet slice and the union must
+    still equal the full relation exactly."""
+    from dbt_schema_builder_spark.catalog import chunked_scan
+
+    df = spark.createDataFrame(
+        [
+            ("_underscore",),
+            ("%percent",),
+            ("^caret",),
+            ("9digit",),
+            ("Alpha",),
+            ("zulu",),
+            (None,),
+            ("",),
+        ],
+        "name string",
+    )
+    chunked = chunked_scan(df, "name")
+    assert chunked.count() == df.count()
+    assert chunked.exceptAll(df).count() == 0
+    assert df.exceptAll(chunked).count() == 0
+    # '_foo' must NOT match more than itself anywhere (no LIKE semantics):
+    # each wildcard-prefixed row appears exactly once in the union
+    names = [r.name for r in chunked.collect()]
+    assert names.count("_underscore") == 1 and names.count("%percent") == 1

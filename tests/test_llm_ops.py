@@ -223,3 +223,38 @@ def test_frame_sample_reassembles(spark, tables):
     )
     sizes = {r.doc_id: r.n_bytes for r in media.collect()}
     assert all(sizes[r.doc_id] == r.n for r in total)
+
+
+def test_stratified_sample_explicit_fractions_skips_discovery(spark, tables):
+    """With explicit fractions the sampler is a pure filter expression —
+    no distinct().collect() strata-enumeration job, no Sample operator —
+    and it is deterministic across calls and partitionings."""
+    docs = tables["documents"]
+    out = text.stratified_sample(
+        docs, fractions={"en": 0.5}, default_fraction=0.1
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Sample" not in plan  # hash-filter, not per-partition RNG
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in text.stratified_sample(
+            docs, fractions={"en": 0.5}, default_fraction=0.1
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # repartitioning must not change the sample (hash of row content,
+    # not task-local RNG) — the property sampleBy does NOT have
+    c = sorted(
+        r.doc_id
+        for r in text.stratified_sample(
+            docs.repartition(7), fractions={"en": 0.5}, default_fraction=0.1
+        ).collect()
+    )
+    assert a == c
+    # loose proportion check per stratum
+    n_en = sum(1 for r in out.where("lang = 'en'").collect())
+    total_en = docs.where("lang = 'en'").count()
+    assert 0.3 * total_en < n_en < 0.7 * total_en

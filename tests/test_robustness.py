@@ -69,3 +69,46 @@ def test_centroid_by_label_shape(spark, tables):
     out = similarity.centroid_by_label(emb)
     assert out.count() == dim * n_labels
     assert out.groupBy("label").count().select(F.min("count")).first()[0] == dim
+
+
+def test_timestamp_nanos_truncation_agrees_with_duckdb(spark, tmp_path):
+    """events.parquet stores TIMESTAMP(NANOS) with real sub-microsecond
+    components (9992/10000 rows at sf0.01). Spark (via read_table's
+    nanos-as-long conversion) floors ns -> us; DuckDB keeps ns and floors
+    at epoch_us/epoch_ms. Any query emitting a time value must rely only
+    on granularities where both engines agree — this pins that us and ms
+    truncation agree on adversarial values (x999 ns, x001 ns, exact
+    boundaries), so epoch-ms emission (q_session_window, q_asof_join) is
+    engine-independent."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_schema_builder_spark.session import read_table
+
+    ns_values = [
+        1_700_000_000_123_456_789,  # sub-us tail ...789
+        1_700_000_000_123_456_001,  # barely past the us
+        1_700_000_000_123_456_999,  # just below the next us
+        1_700_000_000_123_000_000,  # exact ms boundary
+        1_700_000_000_000_000_000,  # exact second boundary
+    ]
+    path = str(tmp_path / "ts_nanos.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(len(ns_values))),
+                  "ts": pa.array(ns_values, type=pa.timestamp("ns"))}),
+        path,
+    )
+    sdf = read_table(spark, path).select(
+        "id",
+        F.unix_millis("ts").alias("ms"),
+        F.unix_micros("ts").alias("us"),
+    )
+    spark_rows = {r.id: (r.ms, r.us) for r in sdf.collect()}
+    duck = duckdb.connect().execute(
+        f"SELECT id, epoch_ms(ts) AS ms, epoch_us(ts) AS us FROM '{path}' ORDER BY id"
+    ).fetchall()
+    duck_rows = {r[0]: (r[1], r[2]) for r in duck}
+    assert spark_rows == duck_rows
+    # and the expected floor semantics hold
+    assert spark_rows[0] == (1_700_000_000_123, 1_700_000_000_123_456)

@@ -37,3 +37,26 @@ def test_generated_sql_executes_and_matches_dataframe_views(
         spark.sql(sql)
         sql_rows = sorted(map(tuple, spark.table(view_name).collect()))
         assert sql_rows == df_rows, view_name
+
+
+def test_redaction_literals_with_quotes_survive_sql_roundtrip(spark, tables):
+    """A redaction literal containing (or starting/ending with) single
+    quotes must execute as valid SQL and come back byte-identical —
+    quote-doubling escape, never strip(\"'\"). Also pins that a malicious-
+    looking literal stays a literal (no SQL injection through config)."""
+    tricky = {
+        "C_NAME": "it's ''already'' quoted",
+        "C_MKTSEGMENT": "'; DROP TABLE x; --",
+    }
+    policy = AppPolicy(
+        app="QUOT",
+        sources={"RAW": SourcePolicy(name="RAW", include=["customer"])},
+        redactions={"QUOT.CUSTOMER": tricky},
+    )
+    builder = TrifectaBuilder(spark, policy)
+    result = builder.materialize({"customer": tables["customer"]})
+    safe_name = builder.view_name("customer", pii=False)
+    spark.sql(result.sql[safe_name])  # must parse and execute
+    row = spark.table(safe_name).first()
+    assert row["C_NAME"] == "it's ''already'' quoted"
+    assert row["C_MKTSEGMENT"] == "'; DROP TABLE x; --"
