@@ -726,6 +726,32 @@ def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrubbing (email/SSN/phone/IP patterns). The
+    synthetic corpus contains no PII, so the oracle pins the exact no-op
+    (all counts 0, redacted_md5 == md5(text)); planted-PII behavior is
+    pinned in tests/test_llm_ops.py."""
+    return text.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing a 3-gram with
+    the 'benchmark' set (deterministically the 5 smallest doc_ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.orderBy("doc_id").limit(5)
+    return dedup.decontaminate(docs, bench, n=3)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language sequence packing into 2048-token chunks."""
+    return text.pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (rows-only)."""
     media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
@@ -866,17 +892,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_profile": q_profile,
         "q_session_window": q_session_window,
+        # (b2) new round-2 operators (oracle-backed)
+        "q_pii_scrub": q_pii_scrub,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
         # (c) oracle-backed keepers (green in round 1)
         "q_safe_view_redaction": q_safe_view_redaction,
         "q_catalog_scan": q_catalog_scan,
         "q_schema_tests": q_schema_tests,
         "q_star_join": q_star_join,
         "q_hash_agg": q_hash_agg,
-        "q_semi_anti": q_semi_anti,
-        "q_cube": q_cube,
-        "q_grouping_sets": q_grouping_sets,
         "q_tumbling_window": q_tumbling_window,
-        "q_json_extract": q_json_extract,
         "q_sql_shipping_priority": q_sql_shipping_priority,
         "q_sql_correlated_exists": q_sql_correlated_exists,
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
@@ -903,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_user_state": q_stream_user_state,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1
+        "q_semi_anti": q_semi_anti,
+        "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_json_extract": q_json_extract,
         "q_pii_view_projection": q_pii_view_projection,
         "q_soft_delete_filter": q_soft_delete_filter,
         "q_banned_column_filter": q_banned_column_filter,
@@ -1355,6 +1386,66 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY e.vec_id ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, "
             "c.centroid_id) AS rn FROM embeddings e, c) WHERE rn = 1"
+        ),
+        "q_pii_scrub": (
+            # same pattern chain, same order as text.PII_PATTERNS; 'g'
+            # because DuckDB's regexp_replace is first-match by default
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn, "
+            "len(regexp_extract_all(text, "
+            "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone, "
+            "len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+            "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) "
+            "AS redacted_md5 FROM documents"
+        ),
+        "q_repetition_stats": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "base AS (SELECT doc_id, len(t) AS n_tokens, "
+            "ROUND((len(t) - len(list_distinct(t))) * 1.0 / len(t), 4) "
+            "AS dup_token_fraction, t FROM toks), "
+            "bi AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram "
+            "FROM base, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)), "
+            "cnt AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bi "
+            "GROUP BY doc_id, bigram), "
+            "top AS (SELECT doc_id, bigram, cnt, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM cnt) "
+            "SELECT b.doc_id, b.n_tokens, b.dup_token_fraction, "
+            "t.bigram AS top_bigram, "
+            "ROUND(t.cnt * 1.0 / (b.n_tokens - 1), 4) AS top_bigram_fraction "
+            "FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1"
+        ),
+        "q_decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') "
+            "AS shingle FROM toks, LATERAL unnest(generate_series(1, "
+            "greatest(len(t)-2, 0))) AS u(i)), "
+            "bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id IN "
+            "(SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)), "
+            "hits AS (SELECT s.doc_id, COUNT(*) AS n_hits FROM sh s "
+            "JOIN bench b ON s.shingle = b.shingle GROUP BY s.doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, "
+            "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "q_pack_sequences": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, lang, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tokens_before "
+            "FROM t) "
+            "SELECT doc_id, lang, n_tokens, "
+            "CAST(FLOOR(tokens_before * 1.0 / 2048) AS BIGINT) AS chunk_id FROM c"
         ),
         "q_frame_sample": (
             "WITH d AS (SELECT doc_id, 8 + length(text) AS n FROM documents) "

@@ -47,6 +47,12 @@ HEADLINE = [
     "q_range_join",
     "q_salted_join",
     "q_winnowing",
+    # round 2 additions
+    "q_pii_scrub",
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_embedding_near_dup",
 ]
 
 

@@ -136,6 +136,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word n-gram with a benchmark/eval set — the standard
+    pre-training hygiene step (eval questions must not leak into the
+    corpus). Returns (doc_id, n_hits, contaminated).
+
+    Shape: the benchmark's distinct shingles are the SMALL side (eval
+    suites are thousands of rows, the corpus is the 100 TB side), so the
+    probe is a broadcast semi-ish join against the corpus's exploded
+    shingle index — the corpus never shuffles; the per-doc hit count is
+    a partial-aggregated groupBy on doc_id scalars.
+    ``benchmark`` needs a ``text`` column."""
+    bench_shingles = (
+        benchmark.select(F.explode(_shingles(n)).alias("shingle")).distinct()
+    )
+    hits = (
+        shingle_sets(documents, n)
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, n: int = 3
 ) -> DataFrame:

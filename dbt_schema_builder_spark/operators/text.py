@@ -240,6 +240,139 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# PII patterns for free-text scrubbing. Kept to a regex subset (literal
+# classes, \d/\w escapes, bounded repetition, \b anchors) that Java
+# (Spark) and RE2 (DuckDB) interpret identically, so the operator stays
+# oracle-checkable. Order matters: longer/more-specific first.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Free-text PII scrubbing — the document-level analog of the
+    reference's column-level redaction (reference relation.py redactions;
+    columns get literal replacement, prose gets pattern replacement).
+    Chained regexp_replace, one per pattern class, plus per-class hit
+    counts. Pure projection: no shuffle, no UDF — at 100 TB this is
+    map-side work fused into the scan."""
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return documents.select(
+        "doc_id",
+        *counts,
+        F.md5(scrubbed).alias("redacted_md5"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: duplicate-token
+    fraction per document and the share of the most frequent bigram
+    (ties broken by lexicographic bigram for determinism).
+
+    Shape: the per-doc fractions are map-only HOFs; the top-bigram needs
+    one explode + count + per-doc window. The shuffle carries (doc_id,
+    bigram, count) — scalars, never the text."""
+    from pyspark.sql.window import Window
+
+    toks = tokens()
+    base = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.round(
+                (F.size(toks) - F.size(F.array_distinct(toks)))
+                / F.size(toks),
+                4,
+            )
+        ).alias("dup_token_fraction"),
+    )
+    n_bi = F.size(F.col("toks")) - 1
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_fraction",
+        F.explode(
+            F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+                    lambda i: F.array_join(F.slice("toks", i, 2), " "),
+                )
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy(
+        "doc_id", "n_tokens", "dup_token_fraction", "bigram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_fraction",
+            F.col("bigram").alias("top_bigram"),
+            F.round(F.col("cnt") / (F.col("n_tokens") - 1), 4).alias(
+                "top_bigram_fraction"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = 2048, by: str = "lang"
+) -> DataFrame:
+    """Greedy sequence packing for training batches: within each stratum,
+    documents (in doc_id order) fill fixed token-budget chunks; a chunk
+    closes when the next document would not have started inside it.
+    chunk_id = floor(tokens_before_this_doc / budget) — the deterministic
+    streaming-pack rule (documents longer than the budget still advance
+    the cursor, they just own several chunk-spans).
+
+    One shuffle (window over the stratum); the running total is the only
+    state, so skewed strata degrade to a single sorted partition — at
+    100 TB, pack within finer strata (lang, shard) to bound partition
+    size."""
+    from pyspark.sql.window import Window
+
+    n_toks = F.size(tokens())
+    w = (
+        Window.partitionBy(by)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    withcum = documents.select(
+        "doc_id", by, n_toks.alias("n_tokens")
+    ).select(
+        "doc_id",
+        by,
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tokens_before"),
+    )
+    return withcum.select(
+        "doc_id",
+        by,
+        "n_tokens",
+        F.floor(F.col("tokens_before") / F.lit(budget))
+        .cast("bigint")
+        .alias("chunk_id"),
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 

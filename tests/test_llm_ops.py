@@ -100,6 +100,35 @@ def test_embedding_near_dup_lsh_matches_exact(spark, tables):
     )
     assert lsh == exact
     assert len(lsh) >= 1  # the data plants qualifying pairs
+    # the auto strategy (blocked GEMM at weak thresholds) agrees too
+    blocked = sorted(
+        map(
+            tuple,
+            similarity.embedding_near_dup(emb, threshold=0.45).collect(),
+        )
+    )
+    assert blocked == exact
+
+
+def test_embedding_near_dup_lsh_finds_planted_duplicate(spark, tables):
+    """High-threshold regime: an identical planted vector has identical
+    hyperplane signs, so the LSH path finds it deterministically (every
+    table collides), not probabilistically."""
+    emb = tables["embeddings"]
+    first_id = emb.agg(F.min("vec_id")).first()[0]
+    planted = (
+        emb.where(F.col("vec_id") == first_id)
+        .select(
+            F.lit(999999).cast("long").alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        .select(*emb.columns)
+    )
+    out = similarity.embedding_near_dup(
+        emb.unionByName(planted), threshold=0.9, strategy="lsh"
+    )
+    pairs = {(r.vec_a, r.vec_b): r.sim for r in out.collect()}
+    assert pairs.get((first_id, 999999)) == 1.0
 
 
 def test_ngram_jaccard_max_df_prunes_hot_shingles(spark, tables):
@@ -258,3 +287,87 @@ def test_stratified_sample_explicit_fractions_skips_discovery(spark, tables):
     n_en = sum(1 for r in out.where("lang = 'en'").collect())
     total_en = docs.where("lang = 'en'").count()
     assert 0.3 * total_en < n_en < 0.7 * total_en
+
+
+def test_redact_pii_planted_patterns(spark, tables):
+    """Planted emails/SSNs/phones/IPs are counted and scrubbed; the
+    synthetic corpus (no PII) round-trips as an exact no-op."""
+    schema = tables["documents"].schema
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jo.doe+x@example.co.uk or 555-12-3456 now", "en", "s", 50),
+            (2, "call 123.456.7890 and 123-456-7890 from 10.0.0.1 today", "en", "s", 50),
+            (3, "nothing sensitive here at all", "en", "s", 29),
+        ],
+        schema=schema,
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert (out[1].n_email, out[1].n_ssn) == (1, 1)
+    assert (out[2].n_phone, out[2].n_ipv4) == (2, 1)
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0, 0)
+    # doc 3 is untouched: scrubbed md5 == original md5
+    import hashlib
+
+    assert out[3].redacted_md5 == hashlib.md5(b"nothing sensitive here at all").hexdigest()
+    # docs 1-2 changed
+    assert out[1].redacted_md5 != hashlib.md5(
+        b"contact me at jo.doe+x@example.co.uk or 555-12-3456 now"
+    ).hexdigest()
+
+
+def test_repetition_stats_known_values(spark, tables):
+    schema = tables["documents"].schema
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en", "s", 7),          # all dup; top bigram "a a" 3/3
+            (2, "w x y z w", "en", "s", 9),        # 1 dup of 5; all bigrams unique
+        ],
+        schema=schema,
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert out[1].dup_token_fraction == 0.75 and out[1].top_bigram == "a a"
+    assert out[1].top_bigram_fraction == 1.0
+    assert out[2].dup_token_fraction == 0.2
+    # deterministic tie-break: lexicographically smallest bigram wins
+    assert out[2].top_bigram == "w x" and out[2].top_bigram_fraction == 0.25
+
+
+def test_decontaminate_planted_overlap(spark, tables):
+    schema = tables["documents"].schema
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps", "en", "b", 25)], schema=schema
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally clean text with no overlap here", "en", "s", 40),
+            (2, "contains the quick brown fox somewhere inside", "en", "s", 46),
+            (3, "short doc", "en", "s", 9),  # too short for any 3-gram
+        ],
+        schema=schema,
+    )
+    out = {r.doc_id: (r.n_hits, r.contaminated) for r in
+           dedup.decontaminate(docs, bench, n=3).collect()}
+    assert out[1] == (0, False)
+    assert out[2] == (2, True)  # "the quick brown", "quick brown fox"
+    assert out[3] == (0, False)
+
+
+def test_pack_sequences_invariants(spark, tables):
+    docs = tables["documents"]
+    out = text.pack_sequences(docs, budget=512)
+    rows = sorted(
+        ((r.lang, r.doc_id, r.n_tokens, r.chunk_id) for r in out.collect())
+    )
+    assert len(rows) == docs.count()  # every doc assigned
+    # within each lang, chunk_id is non-decreasing in doc_id order and
+    # equals floor(tokens_before/budget)
+    from itertools import groupby
+
+    for lang, grp in groupby(rows, key=lambda r: r[0]):
+        cum = 0
+        prev_chunk = -1
+        for _, _, n_tokens, chunk_id in grp:
+            assert chunk_id == cum // 512
+            assert chunk_id >= prev_chunk
+            prev_chunk = chunk_id
+            cum += n_tokens

@@ -96,13 +96,22 @@ def test_window_rank_single_shuffle(tables):
 
 
 def test_embedding_near_dup_has_no_cartesian(tables):
-    # the shipped near-dup path must be bucket-join + equi-join only;
-    # the quadratic all-pairs form is reserved for the recall oracle
+    # neither shipped strategy may plan a cartesian: the weak-threshold
+    # path is block-GEMM (applyInPandas over block-pair keys), the
+    # high-threshold path is bucket-join + equi-join; the all-pairs join
+    # form is reserved for the recall oracle
     from dbt_schema_builder_spark.operators import similarity
 
-    plan = _plan(similarity.embedding_near_dup(tables["embeddings"], threshold=0.5))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for strategy in ("blocked", "lsh"):
+        plan = _plan(
+            similarity.embedding_near_dup(
+                tables["embeddings"], threshold=0.5, strategy=strategy
+            )
+        )
+        assert "CartesianProduct" not in plan, (strategy, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (strategy, plan)
+    blocked = _plan(similarity.embedding_near_dup(tables["embeddings"], 0.5))
+    assert "FlatMapGroupsInPandas" in blocked, blocked  # GEMM stage present
 
 
 def test_include_filter_pushes_isin(tables):
