@@ -280,6 +280,10 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     fraction per document and the share of the most frequent bigram
     (ties broken by lexicographic bigram for determinism).
 
+    Documents with fewer than 2 tokens carry no bigram signal and are
+    absent from the output (pinned in tests) — callers filtering a
+    corpus should left-join this onto the corpus, not inner-join.
+
     Shape: the per-doc fractions are map-only HOFs; the top-bigram needs
     one explode + count + per-doc window. The shuffle carries (doc_id,
     bigram, count) — scalars, never the text."""

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the round-2 LLM-pipeline
+operators: invariants that must hold for arbitrary documents, not just
+the fixtures. Examples are batched — each hypothesis example builds ONE
+DataFrame of many generated docs and runs one job, keeping Spark-job
+count proportional to examples, not rows."""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.operators import dedup, text
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+# words with no regex metacharacters plus PII-shaped fragments
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "x", "the", "of", "9", "a.b", "-", "@"]
+)
+pii_bits = st.sampled_from(
+    [
+        "jo.doe+x@example.co.uk",
+        "555-12-3456",
+        "123.456.7890",
+        "10.0.0.1",
+        "not@pii",          # no TLD -> not an email match
+        "12-34-56",         # wrong grouping -> not an SSN
+    ]
+)
+texts = st.lists(st.one_of(words, pii_bits), min_size=1, max_size=30).map(
+    " ".join
+)
+
+
+def _docs(spark, text_list):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(text_list)],
+        DOC_SCHEMA,
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=8))
+def test_redact_pii_total_and_consistent(spark, text_list):
+    """For any text: the scrub never crashes, counts are non-negative,
+    and the output hash changes iff something was matched (replacement
+    tokens can never equal the span they replace)."""
+    out = text.redact_pii(_docs(spark, text_list)).collect()
+    assert len(out) == len(text_list)
+    for r in out:
+        original = text_list[r.doc_id]
+        n_hits = r.n_email + r.n_ssn + r.n_phone + r.n_ipv4
+        assert n_hits >= 0
+        unchanged = r.redacted_md5 == hashlib.md5(
+            original.encode()
+        ).hexdigest()
+        assert unchanged == (n_hits == 0), (original, n_hits)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    token_counts=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    budget=st.integers(2, 64),
+)
+def test_pack_sequences_chunk_arithmetic(spark, token_counts, budget):
+    """chunk_id is exactly floor(tokens_before/budget) in doc_id order,
+    non-decreasing, starting at 0, for any doc sizes and budget."""
+    docs = _docs(spark, ["w " * n for n in token_counts])
+    rows = sorted(
+        (r.doc_id, r.n_tokens, r.chunk_id)
+        for r in text.pack_sequences(docs, budget=budget).collect()
+    )
+    assert len(rows) == len(token_counts)
+    cum = 0
+    prev = 0
+    for doc_id, n_tokens, chunk_id in rows:
+        assert n_tokens == token_counts[doc_id]
+        assert chunk_id == cum // budget
+        assert chunk_id >= prev
+        prev = chunk_id
+        cum += n_tokens
+
+
+@settings(max_examples=10, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=8))
+def test_repetition_stats_ranges(spark, text_list):
+    """Fractions stay in range; docs with >= 2 tokens each yield exactly
+    one row; sub-bigram docs are absent (documented semantics)."""
+    docs = _docs(spark, text_list)
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    for i, t in enumerate(text_list):
+        n_tok = len(t.split())
+        if n_tok < 2:
+            assert i not in out
+            continue
+        r = out[i]
+        assert 0.0 <= r.dup_token_fraction < 1.0
+        assert 0.0 < r.top_bigram_fraction <= 1.0
+        assert r.top_bigram in {
+            " ".join(t.split()[j : j + 2]) for j in range(n_tok - 1)
+        }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    text_list=st.lists(texts, min_size=2, max_size=8),
+    n_bench=st.integers(1, 3),
+)
+def test_decontaminate_covers_every_doc(spark, text_list, n_bench):
+    """Output doc set == input doc set (no silent drops, even for docs
+    too short to shingle), and contaminated iff n_hits > 0."""
+    docs = _docs(spark, text_list)
+    bench = docs.orderBy("doc_id").limit(n_bench)
+    out = dedup.decontaminate(docs, bench, n=3).collect()
+    assert {r.doc_id for r in out} == set(range(len(text_list)))
+    for r in out:
+        assert r.contaminated == (r.n_hits > 0)
+        assert r.n_hits >= 0
