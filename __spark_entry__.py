@@ -752,6 +752,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs from non-src1 sources whose content never
+    appeared in the already-ingested src1 corpus (fingerprint anti-join;
+    seen side broadcast — it is the small side here)."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = text.fingerprint(docs.where(F.col("source").rlike("^src1.*$")))
+    new = docs.where(~F.col("source").rlike("^src1.*$"))
+    return dedup.incremental_dedup(new, seen, broadcast_seen=True).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by identity hash."""
+    return text.hash_split(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (rows-only)."""
     media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
@@ -897,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_hash_split": q_hash_split,
         # (c) oracle-backed keepers (green in round 1)
         "q_safe_view_redaction": q_safe_view_redaction,
         "q_catalog_scan": q_catalog_scan,
@@ -906,10 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_window": q_tumbling_window,
         "q_sql_shipping_priority": q_sql_shipping_priority,
         "q_sql_correlated_exists": q_sql_correlated_exists,
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -934,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_grouping_sets": q_grouping_sets,
         "q_json_extract": q_json_extract,
+        "q_salted_agg": q_salted_agg,
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_pii_view_projection": q_pii_view_projection,
         "q_soft_delete_filter": q_soft_delete_filter,
         "q_banned_column_filter": q_banned_column_filter,
@@ -1446,6 +1465,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM t) "
             "SELECT doc_id, lang, n_tokens, "
             "CAST(FLOOR(tokens_before * 1.0 / 2048) AS BIGINT) AS chunk_id FROM c"
+        ),
+        "q_incremental_dedup": (
+            "WITH seen AS (SELECT DISTINCT "
+            "md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k "
+            "FROM documents WHERE regexp_matches(source, '^src1.*$')), "
+            "newd AS (SELECT doc_id, lang, source, "
+            "md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k "
+            "FROM documents WHERE NOT regexp_matches(source, '^src1.*$')) "
+            "SELECT doc_id, lang, source FROM newd "
+            "WHERE k NOT IN (SELECT k FROM seen)"
+        ),
+        "q_hash_split": (
+            # same identity-hash arithmetic as text.hash_split: first 8
+            # hex digits of md5(doc_id || 'v1') mod 10000
+            "WITH b AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) "
+            "AS BIGINT) % 10000 AS bucket FROM documents) "
+            "SELECT doc_id, bucket, "
+            "CASE WHEN bucket < 9000 THEN 'train' "
+            "WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split FROM b"
         ),
         "q_frame_sample": (
             "WITH d AS (SELECT doc_id, 8 + length(text) AS n FROM documents) "

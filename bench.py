@@ -53,6 +53,8 @@ HEADLINE = [
     "q_decontaminate",
     "q_pack_sequences",
     "q_embedding_near_dup",
+    "q_incremental_dedup",
+    "q_hash_split",
 ]
 
 

@@ -136,6 +136,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame, seen: DataFrame, broadcast_seen: bool = False
+) -> DataFrame:
+    """Dedup a new batch against the already-ingested corpus by content
+    fingerprint: keep only new docs whose normalized content never
+    appeared before. ``seen`` needs a ``content_md5`` column — the
+    16-byte/doc artifact ``text.fingerprint`` writes once per ingest, so
+    the 100 TB history is never re-read, only its fingerprint table.
+
+    Scale: a left_anti join on the 16-byte key. With a small seen set
+    (early corpus) pass ``broadcast_seen=True`` for a shuffle-free probe;
+    at steady state the anti-join shuffles new-batch fingerprints only
+    (the batch is the small side at 100 TB history). Compose with
+    ``exact_dedup`` first to also collapse duplicates *within* the batch.
+    """
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    keyed = new_docs.withColumn("content_md5", F.md5(norm))
+    seen_keys = seen.select("content_md5").distinct()
+    if broadcast_seen:
+        seen_keys = F.broadcast(seen_keys)
+    return keyed.join(seen_keys, "content_md5", "left_anti").drop("content_md5")
+
+
 def decontaminate(
     documents: DataFrame, benchmark: DataFrame, n: int = 3
 ) -> DataFrame:

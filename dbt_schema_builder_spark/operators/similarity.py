@@ -103,10 +103,15 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 def hyperplane_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
-    """b-bit sign signature: bit i = sign(<v, h_i>). Returns a long."""
+    """b-bit sign signature: bit i = sign(<v, h_i>). Returns a long.
+
+    Each plane is ONE array-literal expression node (F.lit(list)), not
+    dim separate literals — with many planes/tables the difference is
+    thousands of plan nodes, which showed up as whole seconds of
+    Catalyst analysis time per query build."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        dot = _dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        dot = _dot(vec, F.lit([float(x) for x in plane]))
         sig = sig.bitwiseOR(
             F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )

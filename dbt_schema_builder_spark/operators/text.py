@@ -377,6 +377,56 @@ def pack_sequences(
     )
 
 
+def hash_split(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by identity hash — the
+    split every training pipeline needs: stable under reruns, re-shards,
+    and corpus growth (a doc's split never changes when other docs are
+    added, unlike orderBy+ntile). bucket = first 8 hex digits of
+    md5(key || salt) mod 10000, mapped to splits by cumulative weight
+    ranges. md5-based so any ANSI engine reproduces it bit-for-bit;
+    change ``salt`` to draw a fresh independent split. Pure projection:
+    no shuffle, no RNG, no driver state."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(key).cast("string"), F.lit(salt)).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    split_col = None
+    edge = 0.0
+    # deterministic range order: dict insertion order is the contract
+    for name, w in weights.items():
+        hi = edge + w * 10000
+        cond = bucket < F.lit(int(round(hi)))
+        split_col = (
+            F.when(cond, F.lit(name))
+            if split_col is None
+            else split_col.when(cond, F.lit(name))
+        )
+        edge = hi
+    return documents.select(
+        key, bucket.alias("bucket"), split_col.alias("split")
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 

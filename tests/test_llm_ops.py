@@ -371,3 +371,47 @@ def test_pack_sequences_invariants(spark, tables):
             assert chunk_id >= prev_chunk
             prev_chunk = chunk_id
             cum += n_tokens
+
+
+def test_incremental_dedup_planted(spark, tables):
+    """A new-batch doc whose normalized content (case/whitespace folded)
+    matches the seen corpus is dropped; genuinely new content survives."""
+    schema = tables["documents"].schema
+    seen_docs = spark.createDataFrame(
+        [(1, "Already Ingested   Content here", "en", "old", 31)], schema=schema
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10, "already ingested content here", "en", "new", 29),  # dup
+            (11, "completely fresh material", "en", "new", 25),
+        ],
+        schema=schema,
+    )
+    seen = text.fingerprint(seen_docs)
+    out = dedup.incremental_dedup(new_docs, seen, broadcast_seen=True)
+    assert [r.doc_id for r in out.collect()] == [11]
+    assert set(out.columns) == set(new_docs.columns)  # fingerprint not leaked
+
+
+def test_hash_split_proportions_stability_and_independence(spark, tables):
+    docs = tables["documents"]
+    out = text.hash_split(docs)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = docs.count()
+    assert 0.8 * total < counts["train"] < 0.97 * total
+    assert counts.get("val", 0) + counts.get("test", 0) == total - counts["train"]
+    # stability: a doc's split is unchanged when computed over a subset
+    # (the property orderBy+ntile splits do NOT have)
+    sub = text.hash_split(docs.limit(50))
+    full = {r.doc_id: r.split for r in out.collect()}
+    assert all(full[r.doc_id] == r.split for r in sub.collect())
+    # a different salt draws a different (but still deterministic) split
+    other = {r.doc_id: r.split for r in text.hash_split(docs, salt="v2").collect()}
+    assert other != full
+    assert sum(weights_must_differ := [full[k] != other[k] for k in full]) > 0
+    # invalid weights rejected at construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.hash_split(docs, weights={"train": 0.5, "val": 0.2})
