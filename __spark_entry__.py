@@ -769,6 +769,45 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_split(_t(spark, sf_dir, "documents"))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram LM, per-doc mean smoothed log-probability."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates for an equal-share token budget."""
+    return text.source_mix(_t(spark, sf_dir, "documents"), budget_tokens=100_000)
+
+
+def q_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language shortest-10% length filter, exact rank arithmetic."""
+    return text.percentile_filter(_t(spark, sf_dir, "documents"), p=0.1)
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap by deterministic hash rank."""
+    return text.cap_per_source(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 latest-wins merge of an update batch into a base snapshot
+    (events split by event_id mod 3 into base/updates), one window
+    shuffle, ts emitted as epoch-ms per the repo convention."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") % 3 != 0)
+    updates = ev.where(F.col("event_id") % 3 == 0)
+    out = temporal.merge_latest(base, updates, key="user_id")
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (rows-only)."""
     media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
@@ -884,11 +923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
     keys. Round 1 checked exactly the first 50 declared, so round 2 front-
     loads (a) the 13 oracle-backed queries that got no round-1 row, (b) the
-    4 queries whose oracles were type-fixed this round, (c) 22 oracle-backed
-    keepers, then (d) the 11 rows-only queries with no round-1 row at
-    positions 40-50. The 24 queries at the back all carry green/recorded
-    rows from CORRECTNESS_r01.json — across r1+r2 every query has a driver
-    row."""
+    4 queries whose oracles were type-fixed this round, (b2) the 11 new
+    round-2 operators, (c) 11 oracle-backed keepers, then (d) the 11
+    rows-only queries with no round-1 row closing the window. Every query
+    past position 50 carries a green row from CORRECTNESS_r01.json —
+    across r1+r2 every query has a driver row."""
     return {
         # (a) oracle-backed, no driver row in round 1
         "q_centroid_by_label": q_centroid_by_label,
@@ -916,15 +955,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_incremental_dedup": q_incremental_dedup,
         "q_hash_split": q_hash_split,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_source_mix": q_source_mix,
+        "q_percentile_filter": q_percentile_filter,
+        "q_cap_per_source": q_cap_per_source,
+        "q_merge_latest": q_merge_latest,
         # (c) oracle-backed keepers (green in round 1)
-        "q_safe_view_redaction": q_safe_view_redaction,
-        "q_catalog_scan": q_catalog_scan,
-        "q_schema_tests": q_schema_tests,
         "q_star_join": q_star_join,
         "q_hash_agg": q_hash_agg,
         "q_tumbling_window": q_tumbling_window,
-        "q_sql_shipping_priority": q_sql_shipping_priority,
-        "q_sql_correlated_exists": q_sql_correlated_exists,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_salted_join": q_salted_join,
@@ -947,6 +986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_user_state": q_stream_user_state,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1
+        "q_safe_view_redaction": q_safe_view_redaction,
+        "q_catalog_scan": q_catalog_scan,
+        "q_schema_tests": q_schema_tests,
+        "q_sql_shipping_priority": q_sql_shipping_priority,
+        "q_sql_correlated_exists": q_sql_correlated_exists,
         "q_semi_anti": q_semi_anti,
         "q_cube": q_cube,
         "q_grouping_sets": q_grouping_sets,
@@ -1485,6 +1529,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, bucket, "
             "CASE WHEN bucket < 9000 THEN 'train' "
             "WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "q_unigram_logprob": (
+            # mirrors text.unigram_logprob incl. the fixed-point mean:
+            # per-token micro-units summed as integers, divided once
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents), "
+            "counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, "
+            "COUNT(*) AS v FROM counts), "
+            "scored AS (SELECT doc_id, "
+            "ln((c + 1) / CAST(n_total + v AS DOUBLE)) AS lp "
+            "FROM toks JOIN counts USING (token) CROSS JOIN tot) "
+            "SELECT doc_id, "
+            "ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) "
+            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_logprob, "
+            "COUNT(*) AS n_tokens FROM scored GROUP BY doc_id"
+        ),
+        "q_source_mix": (
+            "WITH per AS (SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+            "tot AS (SELECT COUNT(*) AS n_sources FROM per) "
+            "SELECT source, n_docs, n_tokens, "
+            "ROUND(LEAST(1.0, 100000.0 / (n_sources * n_tokens)), 6) + 0.0 "
+            "AS sample_rate FROM per CROSS JOIN tot"
+        ),
+        "q_percentile_filter": (
+            "WITH ranked AS (SELECT doc_id, lang, n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) "
+            "AS rk, COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT doc_id, lang, n_chars FROM ranked "
+            "WHERE rk > FLOOR(0.1 * n)"
+        ),
+        "q_cap_per_source": (
+            "WITH ranked AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS rk "
+            "FROM documents) "
+            "SELECT doc_id, source FROM ranked WHERE rk <= 100"
+        ),
+        "q_merge_latest": (
+            # base/updates both come from events, so latest-wins over the
+            # union is the latest event per user with the (ts, event_id)
+            # tiebreak — new-key inserts exercised by users whose only
+            # events sit in the mod-3 update batch
+            "WITH ranked AS (SELECT user_id, ts, event_type, value, "
+            "event_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value, "
+            "event_id FROM ranked WHERE rn = 1"
         ),
         "q_frame_sample": (
             "WITH d AS (SELECT doc_id, 8 + length(text) AS n FROM documents) "

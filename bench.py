@@ -55,6 +55,11 @@ HEADLINE = [
     "q_embedding_near_dup",
     "q_incremental_dedup",
     "q_hash_split",
+    "q_unigram_logprob",
+    "q_source_mix",
+    "q_percentile_filter",
+    "q_cap_per_source",
+    "q_merge_latest",
 ]
 
 

@@ -105,3 +105,34 @@ def range_join(
         )
     )
     return left.join(right, cond)
+
+
+def merge_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """MERGE / upsert: apply an update batch to a base snapshot, keeping
+    the latest record per key (timestamp order, deterministic tiebreak on
+    ``tiebreak`` so equal timestamps never flap between runs). The SCD-1
+    "latest wins" merge every incremental ingest needs, expressed
+    relationally instead of as a mutable-table MERGE INTO.
+
+    Shape: unionByName + one row_number window over the key — a single
+    shuffle on the merge key, no join at all. At 100 TB this beats the
+    full-outer-join formulation (two shuffles + null-coalescing) and
+    map-side combines nothing it shouldn't: the window sorts only within
+    each key's partition. Updates for brand-new keys insert; keys absent
+    from the batch pass through untouched.
+    """
+    merged = base.unionByName(updates)
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -427,6 +427,129 @@ def hash_split(
     )
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model quality score: build the corpus
+    unigram distribution, then score each document by its mean smoothed
+    token log-probability ln((c_t + 1) / (N + V)). Low scores flag
+    gibberish / boilerplate; real pipelines threshold on this the way
+    CCNet thresholds KenLM perplexity.
+
+    Shape: explode -> count (one shuffle with map-side combine) -> join
+    exploded tokens back on the token key (second shuffle) -> per-doc agg.
+    The corpus totals (N, V) are a 1-row broadcast. At 100 TB the token
+    join is the cost; the vocabulary side is Zipf-skewed but the count
+    table is tiny relative to the corpus, so AQE broadcasts it in
+    practice. Mean is the fixed-point ``_det_avg`` so the rounded result
+    is reproducible across partitionings and engines.
+    """
+    from .similarity import _det_avg
+
+    toks = documents.select("doc_id", F.explode(tokens()).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    lp = F.log(
+        (F.col("c") + F.lit(1)).cast("double")
+        / (F.col("n_total") + F.col("v")).cast("double")
+    )
+    return (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(_det_avg(lp), 4) + F.lit(0.0)).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def source_mix(
+    documents: DataFrame, budget_tokens: int = 100_000, by: str = "source"
+) -> DataFrame:
+    """Source-mixing rates: given a total token budget split equally
+    across sources, the per-source sampling rate that hits it —
+    rate = min(1, share / source_tokens). The knob every pretraining mix
+    uses (up-weight small clean sources, down-sample the crawl).
+
+    One agg shuffle on the source key; the per-source table is tiny, so
+    the share division happens against a 1-row broadcast of the source
+    count. Token totals are integer sums (exact, order-independent);
+    the rate is a single rational division rounded once — deterministic
+    on any engine."""
+    per = documents.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).alias("n_tokens"),
+    )
+    n_sources = per.agg(F.count(F.lit(1)).alias("n_sources"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_tokens))
+        / (F.col("n_sources") * F.col("n_tokens")).cast("double"),
+    )
+    return (
+        per.crossJoin(F.broadcast(n_sources))
+        .select(
+            by,
+            "n_docs",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.round(rate, 6) + F.lit(0.0)).alias("sample_rate"),
+        )
+    )
+
+
+def percentile_filter(
+    documents: DataFrame, p: float = 0.1, by: str = "lang"
+) -> DataFrame:
+    """Drop each stratum's shortest p-fraction of documents (the classic
+    too-short filter, but with a per-language floor instead of one global
+    constant). Exact rank arithmetic — keep rows with
+    row_number > floor(p * n) ordered by (n_chars, doc_id) — so every
+    engine agrees bit-for-bit; no percentile interpolation.
+
+    One window shuffle per stratum. The within-stratum sort is the cost
+    at 100 TB — for a skewed mega-stratum, compute the cutoff with
+    approx_percentile and broadcast it instead; this exact form is the
+    correctness oracle for that."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy("n_chars", "doc_id")
+    ranked = documents.select(
+        "doc_id",
+        by,
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(by)).alias("n"),
+    )
+    return ranked.where(
+        F.col("rk") > F.floor(F.lit(p) * F.col("n"))
+    ).select("doc_id", by, "n_chars")
+
+
+def cap_per_source(
+    documents: DataFrame, k: int = 100, salt: str = "cap"
+) -> DataFrame:
+    """Cap each source at k documents, chosen by deterministic hash rank
+    (md5 of doc_id + salt) — the per-domain cap crawl pipelines apply so
+    no single site dominates the mix. Hash order makes the kept set a
+    uniform pseudo-random sample that is stable across reruns and
+    re-shards, unlike rand()-based sampling.
+
+    One window shuffle on source. A mega-source makes one hot partition;
+    at 100 TB pre-filter with a per-partition local top-k (sort within
+    parquet partitions, keep k per source per partition, then the global
+    window over the <= k * n_partitions survivors)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt)))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        documents.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.lit(k))
+        .select("doc_id", "source")
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 

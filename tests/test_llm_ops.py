@@ -415,3 +415,67 @@ def test_hash_split_proportions_stability_and_independence(spark, tables):
 
     with _pytest.raises(ValueError):
         text.hash_split(docs, weights={"train": 0.5, "val": 0.2})
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark, tables):
+    """A doc made of corpus-frequent tokens must out-score a doc of
+    tokens that appear nowhere else, and every score is negative."""
+    base = tables["documents"]
+    schema = base.schema
+    extra = spark.createDataFrame(
+        [
+            (200001, "the the the the", "en", "srcX", 15),
+            (200002, "qqxyzzy fnordlike blorptastic wunk", "en", "srcX", 34),
+        ],
+        schema=schema,
+    )
+    out = text.unigram_logprob(base.unionByName(extra))
+    scores = {r.doc_id: r.avg_logprob for r in out.collect()}
+    assert scores[200001] > scores[200002]
+    assert all(v < 0 for v in scores.values())
+
+
+def test_source_mix_rates(spark, tables):
+    out = text.source_mix(tables["documents"], budget_tokens=100_000)
+    rows = out.collect()
+    assert all(0 < r.sample_rate <= 1.0 for r in rows)
+    # a tiny budget forces every source below 1.0 and keeps ordering by size
+    tiny = {r.source: r.sample_rate
+            for r in text.source_mix(tables["documents"], budget_tokens=10).collect()}
+    toks = {r.source: r.n_tokens for r in rows}
+    big, small = max(toks, key=toks.get), min(toks, key=toks.get)
+    assert tiny[big] <= tiny[small] < 1.0
+
+
+def test_percentile_filter_drops_shortest_fraction(spark, tables):
+    docs = tables["documents"]
+    out = text.percentile_filter(docs, p=0.2)
+    per_lang_in = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    per_lang_out = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per_lang_in.items():
+        assert per_lang_out[lang] == n - int(0.2 * n)
+    # survivors are never shorter than any dropped doc (per stratum)
+    joined = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+    for lang in per_lang_in:
+        dropped_max = joined.where(F.col("lang") == lang).agg(
+            F.max("n_chars")).first()[0]
+        kept_min = out.where(F.col("lang") == lang).agg(
+            F.min("n_chars")).first()[0]
+        assert dropped_max <= kept_min
+
+
+def test_cap_per_source_stable_subset(spark, tables):
+    docs = tables["documents"]
+    out = text.cap_per_source(docs, k=10)
+    per = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in per.values())
+    # determinism: same kept set on a re-run and under a different
+    # partitioning (hash rank, not rand())
+    again = text.cap_per_source(docs.repartition(7), k=10)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # capping at a higher k is a superset of the lower-k choice
+    wider = text.cap_per_source(docs, k=20)
+    assert {r.doc_id for r in out.collect()} <= {r.doc_id for r in wider.collect()}

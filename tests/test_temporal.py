@@ -74,3 +74,27 @@ def test_range_join_band(spark, tables):
         gap = (r.pts - r.cts).total_seconds()
         assert 0 <= gap <= 3600
         assert r.cu == r.pu
+
+
+def test_merge_latest_upsert_semantics(spark):
+    from dbt_schema_builder_spark.operators import temporal
+
+    base = spark.createDataFrame(
+        [(1, 100, 10, "old", 1.0), (2, 200, 20, "keep", 2.0)],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    updates = spark.createDataFrame(
+        [
+            (3, 150, 10, "newer", 9.0),   # updates user 10
+            (4, 50, 20, "stale", 0.0),    # older than base -> ignored
+            (5, 70, 30, "insert", 3.0),   # brand-new key
+            (6, 70, 30, "insert2", 4.0),  # same ts: event_id tiebreak wins
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    out = {r.user_id: r for r in temporal.merge_latest(
+        base, updates, key="user_id", ts="ts").collect()}
+    assert out[10].event_type == "newer"
+    assert out[20].event_type == "keep"
+    assert out[30].event_type == "insert2"  # ts tie -> higher event_id
+    assert len(out) == 3
