@@ -120,3 +120,66 @@ def test_include_filter_pushes_isin(tables):
     ).select("event_id")
     plan = _plan(df)
     assert re.search(r"PushedFilters: \[.*In\(event_type", plan), plan
+
+
+def test_ngram_jaccard_no_cartesian_and_no_string_join_key(tables):
+    """The rewritten jaccard: candidate join on the hashed 8-byte key,
+    never a cartesian; set sizes carried through the explode (no second
+    aggregation-join for denominators)."""
+    from dbt_schema_builder_spark.operators import dedup
+
+    df = dedup.ngram_jaccard_pairs(tables["documents"], max_df=50)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly one join in the whole plan: the hashed-shingle self-join
+    assert len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    )) == 1, plan
+    # join key is the xxhash64 long, not the shingle string
+    assert "xxhash64" in plan, plan
+
+
+def test_merge_latest_single_shuffle(tables):
+    from dbt_schema_builder_spark.operators import temporal
+
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type")
+    out = temporal.merge_latest(
+        ev.where(F.col("event_id") % 3 != 0),
+        ev.where(F.col("event_id") % 3 == 0),
+        key="user_id",
+    )
+    plan = _plan(out)
+    # union + one window: exactly one exchange, no join; WindowGroupLimit
+    # prunes to the per-key top row map-side before the shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join type" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_split_is_pure_projection(tables):
+    from dbt_schema_builder_spark.operators import text
+
+    plan = _plan(text.hash_split(tables["documents"]))
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_source_mix_broadcasts_totals(tables):
+    from dbt_schema_builder_spark.operators import text
+
+    plan = _plan(text.source_mix(tables["documents"]))
+    # the 1-row totals side must broadcast, never shuffle the corpus twice
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lsh_vectorized_signature_is_arrow_batched(tables):
+    """The GEMM signature runs as ArrowEvalPython (vectorized batch
+    transfer), never row-at-a-time BatchEvalPython."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    df = similarity.lsh_bucketed_topk(
+        emb, similarity.queries_from_corpus(emb, 3), k=3
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
