@@ -60,6 +60,8 @@ HEADLINE = [
     "q_percentile_filter",
     "q_cap_per_source",
     "q_merge_latest",
+    "q_oov_rate",
+    "q_dedup_stats",
 ]
 
 

@@ -185,6 +185,31 @@ def incremental_dedup(
     return keyed.join(seen_keys, "content_md5", "left_anti").drop("content_md5")
 
 
+def dedup_stats(documents: DataFrame, by: str = "source") -> DataFrame:
+    """Per-group duplication report: how much of each source is exact-
+    duplicate content (the go/no-go number a curation run reports before
+    spending GPU time). distinct-fingerprint counting reuses the exact-
+    dedup key; one grouped agg with map-side partials — count(DISTINCT)
+    over the 16-byte md5, never raw text."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        documents.select(by, F.md5(norm).alias("content_md5"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("content_md5").alias("n_distinct"),
+            (
+                F.round(
+                    (F.count(F.lit(1)) - F.countDistinct("content_md5"))
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def decontaminate(
     documents: DataFrame, benchmark: DataFrame, n: int = 3
 ) -> DataFrame:

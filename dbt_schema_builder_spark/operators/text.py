@@ -550,6 +550,45 @@ def cap_per_source(
     )
 
 
+def top_vocab(documents: DataFrame, size: int = 1000) -> DataFrame:
+    """The corpus's ``size`` most frequent tokens (deterministic
+    tie-break on the token itself) — a stand-in for a tokenizer
+    vocabulary. Count agg with map-side combine, then a global top-k
+    (TakeOrderedAndProject — per-partition heaps, never a full sort)."""
+    return (
+        documents.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(size)
+        .select("token")
+    )
+
+
+def oov_rate(documents: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference vocabulary
+    (the tokenizer-coverage check run before training: a high OOV rate
+    flags encoding damage, wrong language, or a vocab mismatch).
+    ``vocab`` needs a ``token`` column and is broadcast — tokenizer
+    vocabularies are tiny next to the corpus, so the membership probe
+    never shuffles corpus rows; the only shuffle is the per-doc re-agg
+    on doc_id. Integer counts -> exact rational rate, deterministic."""
+    ex = documents.select("doc_id", F.explode(tokens()).alias("token"))
+    marked = ex.join(
+        F.broadcast(vocab.select("token").withColumn("in_vocab", F.lit(1))),
+        "token",
+        "left",
+    )
+    n_oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (F.round(n_oov / F.count(F.lit(1)), 4) + F.lit(0.0)).alias("oov_rate"),
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 

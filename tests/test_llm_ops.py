@@ -479,3 +479,46 @@ def test_cap_per_source_stable_subset(spark, tables):
     # capping at a higher k is a superset of the lower-k choice
     wider = text.cap_per_source(docs, k=20)
     assert {r.doc_id for r in out.collect()} <= {r.doc_id for r in wider.collect()}
+
+
+def test_oov_rate_planted(spark, tables):
+    """Docs made entirely of vocab tokens score 0; unknown-token docs
+    score 1; the rate is the exact token fraction."""
+    schema = tables["documents"].schema
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en", "s", 16),
+            (2, "alpha zzz", "en", "s", 9),
+            (3, "qqq zzz www", "en", "s", 11),
+        ],
+        schema=schema,
+    )
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    out = {r.doc_id: r for r in text.oov_rate(docs, vocab).collect()}
+    assert out[1].oov_rate == 0.0 and out[1].n_oov == 0
+    assert out[2].oov_rate == 0.5
+    assert out[3].oov_rate == 1.0 and out[3].n_tokens == 3
+
+
+def test_top_vocab_deterministic_tiebreak(spark, tables):
+    v1 = [r.token for r in text.top_vocab(tables["documents"], 20).collect()]
+    v2 = [r.token for r in text.top_vocab(
+        tables["documents"].repartition(13), 20).collect()]
+    assert set(v1) == set(v2) and len(v1) == 20
+
+
+def test_dedup_stats_counts_planted_dupes(spark, tables):
+    schema = tables["documents"].schema
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "a", 9),
+            (2, "Same   TEXT", "en", "a", 11),  # normalized dup of 1
+            (3, "other", "en", "a", 5),
+            (4, "unique", "en", "b", 6),
+        ],
+        schema=schema,
+    )
+    out = {r.source: r for r in dedup.dedup_stats(docs).collect()}
+    assert out["a"].n_docs == 3 and out["a"].n_distinct == 2
+    assert out["a"].dup_rate == round(1 / 3, 4)
+    assert out["b"].dup_rate == 0.0
