@@ -927,6 +927,31 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: streamed events joined with
+    the batch customer dimension. Deterministic (no watermark, no
+    state), so unlike the other stream queries it carries a full
+    value-hash oracle."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_static_enrich,
+    )
+
+    src = stream_events(spark, _events_stream_dir(sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return run_stream_to_memory(
+        streaming_static_enrich(src, dim, on="user_id"),
+        "q_stream_enrich_sink",
+        "append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -975,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_latest": q_merge_latest,
         "q_oov_rate": q_oov_rate,
         "q_dedup_stats": q_dedup_stats,
+        "q_stream_enrich": q_stream_enrich,
         # (c) oracle-backed keepers (green in round 1)
         "q_star_join": q_star_join,
         "q_asof_join": q_asof_join,
@@ -982,7 +1008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_group_quantiles": q_group_quantiles,
         "q_topk_similarity": q_topk_similarity,
         "q_ivf_topk": q_ivf_topk,
         # (d) rows-only, no driver row in round 1
@@ -1001,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all queries below carry recorded rows from round 1
         "q_hash_agg": q_hash_agg,
         "q_tumbling_window": q_tumbling_window,
+        "q_group_quantiles": q_group_quantiles,
         "q_safe_view_redaction": q_safe_view_redaction,
         "q_catalog_scan": q_catalog_scan,
         "q_schema_tests": q_schema_tests,
@@ -1618,6 +1644,11 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT k) AS n_distinct, "
             "ROUND((COUNT(*) - COUNT(DISTINCT k)) * 1.0 / COUNT(*), 4) "
             "+ 0.0 AS dup_rate FROM keyed GROUP BY source"
+        ),
+        "q_stream_enrich": (
+            "SELECT e.event_id, e.user_id, e.event_type, "
+            "c.c_mktsegment AS segment FROM events e "
+            "LEFT JOIN customer c ON e.user_id = c.c_custkey"
         ),
         "q_frame_sample": (
             "WITH d AS (SELECT doc_id, 8 + length(text) AS n FROM documents) "

@@ -5,6 +5,7 @@ from .windows import (
     streaming_click_purchase_join,
     streaming_dedup,
     streaming_session_window,
+    streaming_static_enrich,
     streaming_tumbling_counts,
     streaming_user_state,
 )
@@ -18,4 +19,5 @@ __all__ = [
     "run_stream_to_memory",
     "run_stream_to_files",
     "streaming_click_purchase_join",
+    "streaming_static_enrich",
 ]

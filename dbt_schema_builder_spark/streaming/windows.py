@@ -249,3 +249,17 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def streaming_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each streamed event with a slowly-
+    changing batch dimension. The static side is re-read every
+    micro-batch (so dimension updates are picked up between batches) and
+    broadcast — unlike a stream-stream join this keeps NO state and
+    needs no watermark, which makes it the cheapest enrichment shape at
+    scale: the stream never shuffles, each executor probes the broadcast
+    map. Deterministic output (same rows as the batch join), so this is
+    the one streaming operator with a full value-hash oracle."""
+    return events.join(F.broadcast(dim), on, how)

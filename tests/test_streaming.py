@@ -156,3 +156,31 @@ def test_streaming_user_state(spark, tables, events_dir):
         for r in tables["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {r.user_id: r.n_events for r in latest} == batch
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tables, events_dir):
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_static_enrich,
+    )
+
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    src = stream_events(spark, events_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    streamed = run_stream_to_memory(
+        streaming_static_enrich(src, dim, on="user_id"),
+        "t_enrich_sink", "append",
+    )
+    from dbt_schema_builder_spark.session import read_table
+    batch = (
+        tables["events"].select("event_id", "user_id", "event_type")
+        .join(F.broadcast(dim), "user_id", "left")
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
