@@ -821,6 +821,13 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (by n_chars) top-100-per-lang sample."""
+    return text.weighted_sample_per_group(
+        _t(spark, sf_dir, "documents"), k=100
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (rows-only)."""
     media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
@@ -1001,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_oov_rate": q_oov_rate,
         "q_dedup_stats": q_dedup_stats,
         "q_stream_enrich": q_stream_enrich,
+        "q_weighted_sample": q_weighted_sample,
         # (c) oracle-backed keepers (green in round 1)
         "q_star_join": q_star_join,
         "q_asof_join": q_asof_join,
@@ -1008,7 +1016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_topk_similarity": q_topk_similarity,
         "q_ivf_topk": q_ivf_topk,
         # (d) rows-only, no driver row in round 1
         "q_winnowing": q_winnowing,
@@ -1027,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_agg": q_hash_agg,
         "q_tumbling_window": q_tumbling_window,
         "q_group_quantiles": q_group_quantiles,
+        "q_topk_similarity": q_topk_similarity,
         "q_safe_view_redaction": q_safe_view_redaction,
         "q_catalog_scan": q_catalog_scan,
         "q_schema_tests": q_schema_tests,
@@ -1644,6 +1652,17 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT k) AS n_distinct, "
             "ROUND((COUNT(*) - COUNT(DISTINCT k)) * 1.0 / COUNT(*), 4) "
             "+ 0.0 AS dup_rate FROM keyed GROUP BY source"
+        ),
+        "q_weighted_sample": (
+            # A-Res priority replayed in ANSI SQL: u from the md5-prefix
+            # bucket, priority = ln(u)/weight, top-100 per lang
+            "WITH p AS (SELECT doc_id, lang, "
+            "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), "
+            "1, 8)) AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS priority "
+            "FROM documents) "
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY priority DESC, doc_id) AS rk FROM p) WHERE rk <= 100"
         ),
         "q_stream_enrich": (
             "SELECT e.event_id, e.user_id, e.event_type, "

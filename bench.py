@@ -62,6 +62,7 @@ HEADLINE = [
     "q_merge_latest",
     "q_oov_rate",
     "q_dedup_stats",
+    "q_weighted_sample",
 ]
 
 

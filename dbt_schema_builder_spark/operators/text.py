@@ -589,6 +589,46 @@ def oov_rate(documents: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def weighted_sample_per_group(
+    documents: DataFrame,
+    k: int = 100,
+    weight: Column | str = "n_chars",
+    by: str = "lang",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sample of k docs per stratum — Efraimidis-
+    Spirakis A-Res with the uniform drawn from an identity hash instead
+    of an RNG: priority = ln(u) / w, keep the top-k priorities (largest
+    ln(u)/w, i.e. u^(1/w) order). Inclusion probability scales with the
+    weight (sample quality-scored docs proportionally) while staying
+    reproducible across reruns and re-shards, which rand()-based
+    sampling is not. u = (bucket + 0.5) / 2^32 from the first 8 md5 hex
+    digits of (doc_id, salt) — any ANSI engine replays it bit-for-bit.
+
+    One window shuffle per stratum; WindowGroupLimit prunes to k per
+    partition map-side before the exchange, so the shuffle carries
+    ~k * n_partitions rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    w_col = F.col(weight) if isinstance(weight, str) else weight
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    priority = F.log(u) / w_col.cast("double")
+    win = Window.partitionBy(by).orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        documents.select("doc_id", by, priority.alias("priority"))
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= F.lit(k))
+        .select("doc_id", by)
+    )
+
+
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 

@@ -522,3 +522,25 @@ def test_dedup_stats_counts_planted_dupes(spark, tables):
     assert out["a"].n_docs == 3 and out["a"].n_distinct == 2
     assert out["a"].dup_rate == round(1 / 3, 4)
     assert out["b"].dup_rate == 0.0
+
+
+def test_weighted_sample_properties(spark, tables):
+    """Heavier docs are over-represented; scaling all weights by a
+    constant changes nothing; selection is stable under repartitioning."""
+    schema = tables["documents"].schema
+    rows = [(i, "t", "en", "s", 10 if i < 200 else 1) for i in range(400)]
+    docs = spark.createDataFrame(rows, schema=schema)
+    sel = {r.doc_id for r in text.weighted_sample_per_group(
+        docs, k=100, weight="n_chars").collect()}
+    heavy = sum(1 for d in sel if d < 200)
+    assert len(sel) == 100
+    assert heavy > 70  # w=10 class dominates a fair sample
+    # weight scale-invariance
+    scaled = docs.withColumn("n_chars", F.col("n_chars") * 37)
+    sel_scaled = {r.doc_id for r in text.weighted_sample_per_group(
+        scaled, k=100, weight="n_chars").collect()}
+    assert sel_scaled == sel
+    # partition-layout invariance
+    sel_re = {r.doc_id for r in text.weighted_sample_per_group(
+        docs.repartition(11), k=100, weight="n_chars").collect()}
+    assert sel_re == sel
