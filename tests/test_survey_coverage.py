@@ -29,3 +29,30 @@ def test_queries_callable_signatures():
     for name, fn in entrymod.queries().items():
         params = inspect.signature(fn).parameters
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_driver_window_composition():
+    """The driver verifies only the first 50 declared queries. Two
+    invariants keep every query covered across rounds: (1) inside the
+    window, every key either has an oracle or is rows-only by design;
+    (2) every key PAST the window already carries a recorded row in some
+    CORRECTNESS_r*.json (green hash match, or a declared rows-only
+    check). A new query landing past the window would silently never be
+    verified — this test makes that a red build instead."""
+    import glob
+    import json
+
+    qs = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    recorded = {}
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for k, row in json.load(open(f)).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                recorded[k] = True
+    unverified_past_window = [
+        k for k in qs[50:] if k not in recorded
+    ]
+    assert not unverified_past_window, (
+        "queries past the 50-key driver window with no recorded "
+        f"correctness row from any round: {unverified_past_window}"
+    )
