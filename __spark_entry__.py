@@ -638,8 +638,37 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing substring fingerprints (rows-only: hash-defined)."""
-    return text.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+    """Winnowing substring fingerprints, portable-hash variant: grams
+    hashed with md5 so the DuckDB oracle computes bit-identical window
+    minima (upgraded from rows-only in round 2; the xxhash64 default
+    stays available for production shuffling-width reasons)."""
+    return text.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), portable=True
+    )
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span removal (C4-style line dedup over
+    fixed token chunks)."""
+    return dedup.chunk_dedup(_t(spark, sf_dir, "documents"), chunk=8, max_docs=2)
+
+
+def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity + Zipf slope (integer micro-unit
+    least squares, reproducible across engines)."""
+    return text.lexical_zipf_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curriculum difficulty bins (NTILE over deterministic
+    length key)."""
+    return text.curriculum_bins(_t(spark, sf_dir, "documents"), n_bins=10)
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings with carried integer
+    squared norms."""
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,11 +1038,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_stats": q_dedup_stats,
         "q_stream_enrich": q_stream_enrich,
         "q_weighted_sample": q_weighted_sample,
-        # (c) oracle-backed keepers (green in round 1)
-        "q_star_join": q_star_join,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_salted_join": q_salted_join,
+        # (b3) new round-2 oracle-backed operators, second batch
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_zipf_stats": q_zipf_stats,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        # (c) oracle-backed keepers whose implementation changed this
+        # round (re-verify under the new code; plain keepers with green
+        # r1 rows rotated past the window to make room for b3)
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
@@ -1031,6 +1063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_user_state": q_stream_user_state,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1
+        "q_star_join": q_star_join,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_salted_join": q_salted_join,
         "q_hash_agg": q_hash_agg,
         "q_tumbling_window": q_tumbling_window,
         "q_group_quantiles": q_group_quantiles,
@@ -1702,7 +1738,88 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_tokens) AS BIGINT) AS token_budget "
             "FROM d GROUP BY lang"
         ),
+        # Winnowing, portable-hash variant: md5 gram hashes give both
+        # engines the same total order, so the window minima match bit
+        # for bit. k=5, window=4; zipped unnests pair each gram hash
+        # with its position.
+        "q_winnowing": (
+            "WITH g AS (SELECT doc_id, "
+            "list_transform(range(greatest(len(toks)-4, 0)), "
+            "i -> md5(array_to_string(toks[i+1:i+5], ' '))) AS grams "
+            "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+            "AS toks FROM documents)), "
+            "e AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS h, "
+            "unnest(range(len(grams))) AS pos FROM g) "
+            "SELECT DISTINCT doc_id, fp AS fingerprint FROM ("
+            "SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp "
+            "FROM e) WHERE pos <= n - 4"
+        ),
+        # Chunked span dedup: 8-token chunks, spans in > 2 docs removed
+        # everywhere, survivors stitched in order.
+        "q_chunk_dedup": (
+            "WITH c AS (SELECT doc_id, "
+            "list_transform(range(CAST(ceil(len(toks)/8.0) AS BIGINT)), "
+            "i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS chunks "
+            "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+            "AS toks FROM documents)), "
+            "e AS (SELECT doc_id, len(chunks) AS n_chunks, "
+            "unnest(chunks) AS chunk_text, "
+            "unnest(range(len(chunks))) AS chunk_id FROM c), "
+            "df AS (SELECT chunk_text, count(DISTINCT doc_id) AS span_df "
+            "FROM e GROUP BY 1) "
+            "SELECT e.doc_id, "
+            "string_agg(e.chunk_text, ' ' ORDER BY e.chunk_id) AS clean_text, "
+            "CAST(max(e.n_chunks) AS BIGINT) AS n_chunks, "
+            "CAST(count(*) AS BIGINT) AS n_kept "
+            "FROM e JOIN df USING (chunk_text) "
+            "WHERE df.span_df <= 2 GROUP BY e.doc_id"
+        ),
+        # Zipf slope from exact integer micro-unit sums; only the final
+        # division is floating point. Integer SUMs stay inside casts so
+        # no HUGEINT reaches the output.
+        "q_zipf_stats": (
+            "WITH tf AS (SELECT source, tok, count(*) AS freq FROM ("
+            "SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS tok FROM documents) GROUP BY 1, 2), "
+            "r AS (SELECT source, freq, row_number() OVER ("
+            "PARTITION BY source ORDER BY freq DESC, tok ASC) AS rnk FROM tf), "
+            "m AS (SELECT source, freq, "
+            "CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x, "
+            "CAST(round(ln(freq) * 1000000) AS BIGINT) AS y FROM r) "
+            "SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "round(CAST(count(*) AS DOUBLE) / CAST(sum(freq) AS DOUBLE), 6) "
+            "+ 0.0 AS ttr, "
+            "CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0 THEN 0.0 "
+            "ELSE round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) "
+            "/ CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 4) + 0.0 "
+            "END AS zipf_slope "
+            "FROM m GROUP BY source"
+        ),
+        "q_curriculum_bins": (
+            "SELECT doc_id, source, n_chars, "
+            "ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) "
+            "AS bin FROM documents"
+        ),
+        # Int8 scalar quantization: per-element float ops only (max is
+        # order-independent, the norm sums integers), so both engines
+        # produce identical quantized vectors.
+        "q_quantize_embeddings": (
+            "WITH m AS (SELECT vec_id, embedding, CAST(list_aggregate("
+            "list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) "
+            "AS maxabs FROM embeddings), "
+            "q AS (SELECT vec_id, "
+            "CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END AS scale, "
+            "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+            "(CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END)) AS INT)) "
+            "AS qvec FROM m) "
+            "SELECT vec_id, qvec, round(scale, 6) + 0.0 AS q_scale, "
+            "CAST(list_aggregate(list_transform(qvec, "
+            "v -> CAST(v AS BIGINT) * v), 'sum') AS BIGINT) AS q_sqnorm "
+            "FROM q"
+        ),
         # rows-only by design: q_catalog_scan, q_approx_distinct, q_near_dup,
-        # q_simhash_near_dup, q_lsh_topk, q_ivf_topk, q_lang_id,
+        # q_simhash_near_dup, q_lsh_topk, q_lang_id,
         # q_multimodal_features, q_frame_sample
     }

@@ -462,3 +462,58 @@ def simhash_near_dup(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def chunk_dedup(
+    documents: DataFrame, chunk: int = 8, max_docs: int = 2
+) -> DataFrame:
+    """Corpus-level duplicated-span removal: the C4/RefinedWeb "line
+    dedup" generalized to fixed-size token chunks (the synthetic corpus
+    is single-line, so newline splitting would degenerate to exact
+    dedup). Every document is cut into consecutive ``chunk``-token
+    spans; any span whose text occurs in more than ``max_docs`` distinct
+    documents is removed from ALL of them (boilerplate headers, license
+    blocks, navigation chrome); survivors are stitched back in order.
+
+    Shape: chunks are derived by slicing the token array in one
+    projection (no explode-regroup for chunking), then exploded once.
+    Span frequency is a hash aggregation on xxhash64(span) — one shuffle
+    on an 8-byte key, never raw text — joined back on the same long key
+    (second shuffle, AQE-skew-safe; a boilerplate span hot enough to
+    skew is exactly what the filter drops). Reassembly is one shuffle on
+    doc_id with an array_sort on (chunk_id) structs. Documents whose
+    every span was removed drop out (pure duplicates).
+
+    Returns (doc_id, clean_text, n_chunks, n_kept)."""
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    toks_df = documents.repartition(parallelism).select(
+        "doc_id", tokens().alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("toks", i * chunk + 1, chunk), " "),
+    )
+    # sequence(0, -1) counts DOWN; empty token lists need the guard
+    chunked = toks_df.select(
+        "doc_id",
+        n_chunks.cast("bigint").alias("n_chunks"),
+        F.posexplode(
+            F.when(n_chunks < 1, F.array().cast("array<string>")).otherwise(chunk_arr)
+        ).alias("chunk_id", "chunk_text"),
+    ).withColumn("h", F.xxhash64("chunk_text"))
+    span_df = chunked.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("span_df")
+    )
+    kept = chunked.join(
+        span_df.where(F.col("span_df") <= max_docs).select("h"), "h", "inner"
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+        lambda s: s.chunk_text,
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(ordered, " ").alias("clean_text"),
+        F.first("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )

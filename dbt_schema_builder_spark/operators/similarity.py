@@ -469,3 +469,39 @@ def embedding_near_dup(
         .where(raw >= threshold)
         .select("vec_a", "vec_b", F.round(raw, 4).alias("sim"))
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard memory/bandwidth lever for ANN at corpus scale (4x smaller
+    than float32, and int8 dot products SIMD-vectorize). Per-vector
+    scale = 127 / max|x|; q_i = round(x_i * scale). Emits the quantized
+    vector, the rounded scale (for dequantization q/scale) and the exact
+    integer squared norm (the ||q||^2 term every quantized-cosine
+    computation needs — carrying it beats recomputing per candidate
+    pair).
+
+    Pure projection over the scan: no shuffle, no UDF — transform /
+    array_max / aggregate all run in whole-stage codegen. Every float op
+    is per-element (max is order-independent, the norm is an integer
+    sum), so results are bit-reproducible across engines and partition
+    layouts — the quantized vectors are oracle-checkable value by value.
+    """
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
+        "double"
+    )
+    scale = F.when(maxabs == 0, F.lit(1.0)).otherwise(F.lit(127.0) / maxabs)
+    qvec = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+    )
+    q_sqnorm = F.aggregate(
+        qvec,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + (v.cast("bigint") * v.cast("bigint")),
+    )
+    return embeddings.select(
+        "vec_id",
+        qvec.alias("qvec"),
+        (F.round(scale, 6) + F.lit(0.0)).alias("q_scale"),
+        q_sqnorm.alias("q_sqnorm"),
+    )

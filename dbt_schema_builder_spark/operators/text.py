@@ -151,7 +151,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 
 
 def winnowing_fingerprints(
-    documents: DataFrame, k: int = 5, window: int = 4
+    documents: DataFrame, k: int = 5, window: int = 4, portable: bool = False
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every
     k-gram, keep the minimum hash in each sliding window of ``window``
@@ -164,7 +164,17 @@ def winnowing_fingerprints(
     array formulation (array_min over slices of a transform) is
     quadratic once Catalyst collapses the projections — the gram array
     is re-derived for every window index (measured 168 s at sf0.1 vs
-    ~1 s for this shape)."""
+    ~1 s for this shape).
+
+    ``portable=True`` hashes grams with md5 (lowercase hex string) and
+    takes the window minimum lexicographically instead of using Spark's
+    xxhash64. Winnowing only needs *a* deterministic total order on gram
+    hashes, so any hash works — md5 is the one every ANSI engine shares,
+    which makes the portable variant oracle-checkable end to end (the
+    driver's DuckDB twin computes bit-identical fingerprints). Default
+    stays xxhash64: a long comparison beats a 32-char string comparison
+    in the window min, and 8-byte fingerprints shuffle 4x less than hex
+    strings at corpus scale."""
     from pyspark.sql.window import Window
 
     def _safe_seq(n: Column) -> Column:
@@ -178,12 +188,15 @@ def winnowing_fingerprints(
         "doc_id", tokens().alias("toks")
     )
     n_grams = F.size(F.col("toks")) - (k - 1)
+    gram_hash = (
+        (lambda g: F.md5(g)) if portable else (lambda g: F.xxhash64(g))
+    )
     grams = toks_df.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 _safe_seq(n_grams),
-                lambda i: F.xxhash64(F.array_join(F.slice("toks", i, k), " ")),
+                lambda i: gram_hash(F.array_join(F.slice("toks", i, k), " ")),
             )
         ).alias("pos", "gram_hash"),
     )
@@ -653,4 +666,82 @@ def lang_id(documents: DataFrame) -> DataFrame:
         "doc_id",
         best.getField("lang").alias("pred_lang"),
         (-best.getField("neg_score")).alias("marker_hits"),
+    )
+
+
+def lexical_zipf_stats(documents: DataFrame) -> DataFrame:
+    """Per-source lexical-diversity and Zipf-law statistics: token count,
+    type count, type-token ratio, and the slope of ln(freq) ~ ln(rank)
+    over the source's term-frequency distribution (Zipf's law predicts
+    ~ -1 for natural language; corpus-quality pipelines use the deviation
+    to flag boilerplate/spam sources).
+
+    Two shuffles: (source, token) term frequencies, then a per-source
+    rank window + final aggregate. The slope is least-squares computed
+    from EXACT integer sums: ln(rank), ln(freq) are rounded to 1e-6
+    micro-units per row (deterministic map-side op), the sums
+    n*Sxy - Sx*Sy / n*Sxx - Sx^2 run in bigint, and only the final
+    division touches floats — so the rounded result is reproducible
+    across engines and partition orders (the repo's fixed-point
+    convention, see similarity._det_avg). Overflow headroom: micro-unit
+    ln values are < 4e7 for any realistic vocabulary, so Sxy terms stay
+    ~1e17 < 2^63 up to ~50M distinct terms per source.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        documents.select("source", F.explode(tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = tf.select(
+        "source",
+        "freq",
+        F.row_number().over(w).alias("rnk"),
+    )
+    x = F.round(F.log(F.col("rnk").cast("double")) * 1e6).cast("long")
+    y = F.round(F.log(F.col("freq").cast("double")) * 1e6).cast("long")
+    agg = ranked.groupBy("source").agg(
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_types")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round(num.cast("double") / den.cast("double"), 4) + F.lit(0.0)
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        (F.round(n.cast("double") / F.col("n_tokens").cast("double"), 6) + F.lit(0.0)).alias("ttr"),
+        slope.alias("zipf_slope"),
+    )
+
+
+def curriculum_bins(documents: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Curriculum binning: NTILE the corpus into difficulty buckets per
+    source, ordered by a deterministic difficulty key (document length,
+    doc_id tie-break). Training pipelines feed bins in order (short/easy
+    first) or sample bin-stratified batches.
+
+    The window partitions by source, so each source sorts independently —
+    the scale unit is one source, not the corpus. A single skewed source
+    still total-orders on one reducer; NTILE semantics require that. For
+    a truly unbounded single source, swap the exact NTILE for range
+    binning on pre-agreed length boundaries (no global sort)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(n_bins).over(w).alias("bin"),
     )

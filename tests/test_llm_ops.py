@@ -544,3 +544,112 @@ def test_weighted_sample_properties(spark, tables):
     sel_re = {r.doc_id for r in text.weighted_sample_per_group(
         docs.repartition(11), k=100, weight="n_chars").collect()}
     assert sel_re == sel
+
+
+# ---------------------------------------------------------------- round 2b
+
+
+def test_chunk_dedup_removes_planted_boilerplate(spark, tables):
+    """A chunk shared by >max_docs docs is removed from all of them; a
+    doc that is pure boilerplate drops out entirely."""
+    boiler = "this license header repeats in every scraped page verbatim"  # 9 toks
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+            (2, boiler + " one two three four five six seven eight", "en", "s", 1),
+            (3, boiler + " red orange yellow green blue indigo violet pink", "en", "s", 1),
+            (4, "a completely unique document with its own eight words", "en", "s", 1),
+        ],
+        schema=tables["documents"].schema,
+    )
+    # chunk=9 puts the 9-token boilerplate exactly in chunk 0 of docs 1-3
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup(docs, chunk=9, max_docs=2).collect()
+    }
+    assert boiler not in out[1]["clean_text"]
+    assert out[1]["clean_text"].startswith("alpha")
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[4]["clean_text"].startswith("a completely")
+    # raising the cap keeps everything
+    kept_all = dedup.chunk_dedup(docs, chunk=9, max_docs=3).collect()
+    assert all(r["n_kept"] == r["n_chunks"] for r in kept_all)
+
+
+def test_chunk_dedup_drops_pure_duplicate_docs(spark, tables):
+    same = "identical spam page body repeated across the whole crawl"
+    docs = spark.createDataFrame(
+        [(i, same, "en", "s", 1) for i in range(5)],
+        schema=tables["documents"].schema,
+    )
+    out = dedup.chunk_dedup(docs, chunk=16, max_docs=2)
+    assert out.count() == 0
+
+
+def test_winnowing_portable_shares_fingerprints_on_shared_substrings(
+    spark, tables
+):
+    """Winnowing guarantee: a shared run of >= k + window - 1 tokens
+    yields at least one shared fingerprint — in the portable md5 variant
+    too, where fingerprints are hex strings."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # 8 >= 5 + 4 - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix tokens here " + shared, "en", "s", 1),
+            (2, shared + " totally different suffix words", "en", "s", 1),
+            (3, "no overlap with the others at all whatsoever", "en", "s", 1),
+        ],
+        schema=tables["documents"].schema,
+    )
+    out = text.winnowing_fingerprints(docs, k=5, window=4, portable=True)
+    rows = out.collect()
+    assert all(isinstance(r["fingerprint"], str) for r in rows)
+    by_doc = {
+        d: {r["fingerprint"] for r in rows if r["doc_id"] == d} for d in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_zipf_stats_known_values(spark, tables):
+    """Hand-computable corpus: freqs 4/2/1 over one source."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c", "en", "s1", 1), (2, "a a b", "en", "s1", 1)],
+        schema=tables["documents"].schema,
+    )
+    row = text.lexical_zipf_stats(docs).collect()[0]
+    assert row["n_tokens"] == 7 and row["n_types"] == 3
+    assert row["ttr"] == round(3 / 7, 6)
+    xs = [round(math.log(r) * 1e6) for r in (1, 2, 3)]
+    ys = [round(math.log(f) * 1e6) for f in (4, 2, 1)]
+    n = 3
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert row["zipf_slope"] == round(num / den, 4)
+
+
+def test_curriculum_bins_ordered_and_complete(tables):
+    out = text.curriculum_bins(tables["documents"], n_bins=10).collect()
+    assert {r["bin"] for r in out} == set(range(1, 11))
+    by_source = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["n_chars"], r["doc_id"])):
+        prev = by_source.get(r["source"], 0)
+        assert r["bin"] >= prev  # bins monotone in the difficulty key
+        by_source[r["source"]] = r["bin"]
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(tables):
+    out = similarity.quantize_embeddings(tables["embeddings"])
+    joined = out.join(tables["embeddings"], "vec_id").collect()
+    for r in joined[:50]:
+        qs, scale = r["qvec"], r["q_scale"]
+        assert max(abs(q) for q in qs) <= 127
+        # nonzero vectors hit the full int8 range
+        if any(v != 0 for v in r["embedding"]):
+            assert max(abs(q) for q in qs) == 127
+        assert r["q_sqnorm"] == sum(q * q for q in qs)
+        # reconstruction error bounded by half a quantization step
+        for x, q in zip(r["embedding"], qs):
+            assert abs(x - q / scale) <= 0.5 / scale + 1e-4
