@@ -671,6 +671,15 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (integer dots +
+    carried norms: exact on any engine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, similarity.queries_from_corpus(emb, 5), k=5
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_t(spark, sf_dir, "documents"))
 
@@ -688,12 +697,14 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded per-language sampling (rows-only: sampling RNG is
-    engine-specific; proportions pinned in tests). Explicit fractions
-    exercise the collect-free scale path — no strata-discovery job."""
+    """Seeded per-language sampling with the ANSI-portable md5 draw —
+    the DuckDB oracle replays the exact sample (upgraded from rows-only
+    in round 2). Explicit fractions exercise the collect-free scale
+    path — no strata-discovery job."""
     return text.stratified_sample(
         _t(spark, sf_dir, "documents"),
         fractions={"en": 0.1, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.3},
+        key="doc_id",
     ).select("doc_id", "lang")
 
 
@@ -1043,10 +1054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zipf_stats": q_zipf_stats,
         "q_curriculum_bins": q_curriculum_bins,
         "q_quantize_embeddings": q_quantize_embeddings,
+        "q_quantized_topk": q_quantized_topk,
         # (c) oracle-backed keepers whose implementation changed this
         # round (re-verify under the new code; plain keepers with green
         # r1 rows rotated past the window to make room for b3)
-        "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_topk": q_ivf_topk,
         # (d) rows-only, no driver row in round 1
@@ -1063,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_user_state": q_stream_user_state,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1
+        "q_exact_dedup": q_exact_dedup,
         "q_star_join": q_star_join,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -1802,6 +1814,14 @@ def oracle_sql() -> dict[str, str]:
             "ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) "
             "AS bin FROM documents"
         ),
+        # Stratified Bernoulli sample replayed via the md5-prefix draw
+        # (same portable-uniform pattern as q_weighted_sample)
+        "q_stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), "
+            "1, 8)) AS BIGINT) / 4294967296.0 < "
+            "CASE lang WHEN 'en' THEN 0.1 ELSE 0.3 END"
+        ),
         # Int8 scalar quantization: per-element float ops only (max is
         # order-independent, the norm sums integers), so both engines
         # produce identical quantized vectors.
@@ -1818,6 +1838,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_aggregate(list_transform(qvec, "
             "v -> CAST(v AS BIGINT) * v), 'sum') AS BIGINT) AS q_sqnorm "
             "FROM q"
+        ),
+        # Quantized cosine top-k: int8 dots are small exact integers, so
+        # double-summed list_inner_product is bit-exact; ranking and
+        # rounded sims match Spark's integer-dot formulation.
+        "q_quantized_topk": (
+            "WITH m AS (SELECT vec_id, embedding, CAST(list_aggregate("
+            "list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) "
+            "AS maxabs FROM embeddings), "
+            "q AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+            "(CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END)) AS INT)) "
+            "AS qvec FROM m), "
+            "n AS (SELECT vec_id, CAST(qvec AS DOUBLE[]) AS dv, "
+            "list_inner_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])) "
+            "AS sqnorm FROM q), "
+            "qry AS (SELECT vec_id AS query_id, dv AS qdv, sqnorm AS qsq "
+            "FROM n ORDER BY vec_id LIMIT 5), "
+            "s AS (SELECT query_id, n.vec_id, "
+            "CASE WHEN n.sqnorm * qsq = 0 THEN 0.0 "
+            "ELSE list_inner_product(n.dv, qdv) / sqrt(n.sqnorm * qsq) END "
+            "AS raw FROM qry, n) "
+            "SELECT query_id, vec_id, round(raw, 4) + 0.0 AS sim, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY raw DESC, vec_id) AS rank FROM s QUALIFY rank <= 5"
         ),
         # rows-only by design: q_catalog_scan, q_approx_distinct, q_near_dup,
         # q_simhash_near_dup, q_lsh_topk, q_lang_id,

@@ -505,3 +505,56 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         (F.round(scale, 6) + F.lit(0.0)).alias("q_scale"),
         q_sqnorm.alias("q_sqnorm"),
     )
+
+
+def quantized_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the memory/bandwidth
+    scale path for brute-force similarity: the broadcast query side and
+    the scanned corpus both shrink 4x, and the inner loop is an integer
+    dot product. sim = dot_int / sqrt(||qa||^2 * ||qb||^2) using the
+    integer norms carried by ``quantize_embeddings`` — every arithmetic
+    step up to the final scalar division is exact integer math, so the
+    ranking (and the rounded sims) reproduce bit-for-bit on any engine.
+
+    Same plan shape as ``brute_force_topk``: corpus scanned once, query
+    side broadcast, per-query top-k window over already-reduced scored
+    rows. Zero-norm vectors score 0 against everything (guarded, no
+    NaN)."""
+    qc = quantize_embeddings(embeddings)
+    qq = quantize_embeddings(
+        queries.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_vec").alias("embedding"),
+        )
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qqvec"),
+        F.col("q_sqnorm").alias("qq_sqnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "qqvec", lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    norm_prod = F.col("q_sqnorm") * F.col("qq_sqnorm")
+    sim = F.when(norm_prod == 0, F.lit(0.0)).otherwise(
+        dot.cast("double") / F.sqrt(norm_prod.cast("double"))
+    )
+    scored = qc.join(F.broadcast(qq)).select(
+        "query_id", "vec_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "query_id", "vec_id", "sim", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round("sim", 4) + F.lit(0.0)).alias("sim"),
+            "rank",
+        )
+    )

@@ -68,6 +68,7 @@ def stratified_sample(
     default_fraction: float = 0.2,
     seed: int = 42,
     exhaustive: bool = False,
+    key: str | None = None,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling: the standard way to rebalance a
     training corpus by language/source. Seeded and therefore reproducible;
@@ -84,7 +85,12 @@ def stratified_sample(
     uniform draw per row compared to the stratum's fraction) but draws
     from xxhash64(strata, id-independent salt) — deterministic across
     runs AND cluster layouts, which sampleBy's per-partition RNG is not
-    when the partitioning changes."""
+    when the partitioning changes.
+
+    With ``key`` set (a unique id column), the uniform comes from the
+    md5 prefix of (key, seed) instead of xxhash64 — the same
+    ANSI-portable draw as ``weighted_sample_per_group``, so any SQL
+    engine replays the exact sample (the DuckDB oracle does)."""
     if fractions is not None and not exhaustive:
         fr_col = F.col(strata_col)
         frac_expr = F.lit(float(default_fraction))
@@ -93,10 +99,26 @@ def stratified_sample(
         # uniform in [0,1) from a 64-bit hash of (row identity, seed):
         # monotonically-assigned doc ids would bias a modulo draw, the
         # full-width hash does not
-        draw = (
-            F.pmod(F.xxhash64(F.struct(*documents.columns), F.lit(seed)), F.lit(1 << 32))
-            / F.lit(float(1 << 32))
-        )
+        if key is not None:
+            bucket = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key).cast("string"), F.lit(f":{seed}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            draw = bucket.cast("double") / F.lit(float(1 << 32))
+        else:
+            draw = (
+                F.pmod(F.xxhash64(F.struct(*documents.columns), F.lit(seed)), F.lit(1 << 32))
+                / F.lit(float(1 << 32))
+            )
         return documents.where(draw < frac_expr)
     keys = [
         r[0] for r in documents.select(strata_col).distinct().collect()

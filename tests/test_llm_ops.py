@@ -653,3 +653,23 @@ def test_quantize_embeddings_bounds_and_reconstruction(tables):
         # reconstruction error bounded by half a quantization step
         for x, q in zip(r["embedding"], qs):
             assert abs(x - q / scale) <= 0.5 / scale + 1e-4
+
+
+def test_quantized_topk_recall_vs_exact(tables):
+    """Int8 quantization must barely perturb the ranking: top-5 overlap
+    with exact float cosine >= 4/5 per query, and rank-1 always agrees
+    (the nearest neighbor survives quantization)."""
+    emb = tables["embeddings"]
+    qs = similarity.queries_from_corpus(emb, 5)
+    exact = similarity.brute_force_topk(emb, qs, k=5).collect()
+    quant = similarity.quantized_topk(emb, qs, k=5).collect()
+    by_q_exact = {}
+    by_q_quant = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    for q in by_q_exact:
+        assert by_q_quant[q][1] == by_q_exact[q][1]
+        overlap = set(by_q_exact[q].values()) & set(by_q_quant[q].values())
+        assert len(overlap) >= 4
