@@ -680,6 +680,12 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle contamination matrix (pairwise shared
+    shingles + Jaccard; fan-out bounded by source count)."""
+    return dedup.source_overlap_matrix(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_t(spark, sf_dir, "documents"))
 
@@ -1055,11 +1061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curriculum_bins": q_curriculum_bins,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_quantized_topk": q_quantized_topk,
+        "q_source_overlap": q_source_overlap,
         # (c) oracle-backed keepers whose implementation changed this
         # round (re-verify under the new code; plain keepers with green
         # r1 rows rotated past the window to make room for b3)
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_ivf_topk": q_ivf_topk,
         # (d) rows-only, no driver row in round 1
         "q_winnowing": q_winnowing,
         "q_kmeans": q_kmeans,
@@ -1074,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_user_state": q_stream_user_state,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1
+        "q_ivf_topk": q_ivf_topk,
         "q_exact_dedup": q_exact_dedup,
         "q_star_join": q_star_join,
         "q_asof_join": q_asof_join,
@@ -1813,6 +1820,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars, "
             "ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) "
             "AS bin FROM documents"
+        ),
+        # Cross-source contamination matrix: distinct (source, 60-bit
+        # md5-prefix shingle key) pairs, self-join bounded by source
+        # count, Jaccard from exact integer set sizes.
+        "q_source_overlap": (
+            "WITH toks AS (SELECT source, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT source, "
+            "CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) "
+            "AS BIGINT) AS h "
+            "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
+            "AS u(i)), "
+            "sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source), "
+            "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared FROM sh a JOIN sh b "
+            "ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT source_a, source_b, n_shared, "
+            "ROUND(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 4) "
+            "+ 0.0 AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.source = source_a "
+            "JOIN sizes sb ON sb.source = source_b"
         ),
         # Stratified Bernoulli sample replayed via the md5-prefix draw
         # (same portable-uniform pattern as q_weighted_sample)

@@ -517,3 +517,67 @@ def chunk_dedup(
         F.first("n_chunks").alias("n_chunks"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
+
+
+def source_overlap_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of distinct word n-gram shingles they share and the Jaccard
+    of their shingle sets. Corpus forensics — a crawl snapshot that
+    plagiarizes another source, or two dumps of the same site, light up
+    as an off-diagonal hot cell long before document-level dedup runs.
+
+    Scale: fan-out is bounded by the number of SOURCES sharing a
+    shingle (s sources -> s(s-1)/2 pairs), never by document count —
+    unlike document-pair Jaccard there is no per-doc quadratic term.
+    One shuffle for distinct (source, shingle-hash), a self-join on a
+    60-bit integer key, then a broadcast of per-source set sizes (one
+    row per source). Shingles are keyed by the md5-prefix bigint both
+    engines share: identical hash => identical collision behavior, so
+    counts match the DuckDB oracle exactly even in the (2^-60) collision
+    case."""
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.select("source", tokens().alias("toks")).repartition(
+        parallelism
+    )
+    sh = (
+        toks.select(
+            "source",
+            F.explode(_shingles_from(F.col("toks"), n)).alias("shingle"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.round(F.col("n_shared").cast("double") / union_sz, 4) + F.lit(0.0)).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -673,3 +673,24 @@ def test_quantized_topk_recall_vs_exact(tables):
         assert by_q_quant[q][1] == by_q_exact[q][1]
         overlap = set(by_q_exact[q].values()) & set(by_q_quant[q].values())
         assert len(overlap) >= 4
+
+
+def test_source_overlap_matrix_planted(spark, tables):
+    """Two sources sharing a 5-token run share exactly 3 tri-gram
+    shingles; an unrelated source shares none and has no row."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two", "en", "sA", 1),
+            (2, shared + " three four", "en", "sB", 1),
+            (3, "totally different words everywhere here now", "en", "sC", 1),
+        ],
+        schema=tables["documents"].schema,
+    )
+    rows = dedup.source_overlap_matrix(docs, n=3).collect()
+    pairs = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert set(pairs) == {("sA", "sB")}
+    r = pairs[("sA", "sB")]
+    assert r["n_shared"] == 3  # the 3 tri-grams inside the shared run
+    # each source has 5 distinct tri-grams (7 tokens)
+    assert r["jaccard"] == round(3 / (5 + 5 - 3), 4)
