@@ -50,7 +50,11 @@ from dbt_schema_builder_spark.policy.metadata import (  # noqa: E402
     find_duplicates,
     metadata_merge_join,
 )
-from dbt_schema_builder_spark.session import load_tables, read_table  # noqa: E402
+from dbt_schema_builder_spark.session import (  # noqa: E402
+    epoch_millis,
+    load_tables,
+    read_table,
+)
 from dbt_schema_builder_spark.views import TrifectaBuilder  # noqa: E402
 
 
@@ -379,7 +383,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["purchase_value"],
     ).select(
         "event_id", "user_id",
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
         F.col("asof_purchase_value").alias("last_purchase_value"),
     )
 
@@ -453,8 +457,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "session_id",
         "n_events",
-        F.unix_millis("session_start").alias("session_start_ms"),
-        F.unix_millis("session_end").alias("session_end_ms"),
+        epoch_millis("session_start").alias("session_start_ms"),
+        epoch_millis("session_end").alias("session_end_ms"),
     )
 
 
@@ -847,7 +851,7 @@ def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = temporal.merge_latest(base, updates, key="user_id")
     return out.select(
         "user_id",
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        epoch_millis(F.col("ts")).alias("ts_ms"),
         "event_type",
         "value",
         "event_id",
@@ -900,14 +904,26 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """Stage the events parquet into a directory for the file stream
-    source (file sources want a directory, not a single file)."""
-    import shutil
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events parquet as a ts-range-partitioned multi-file
+    directory for the file stream source, once per sf_dir (cached under a
+    deterministic path — earlier rounds leaked one tempdir per call).
+
+    Range partitioning by ts means file k's events all precede file k+1's;
+    with ``maxFilesPerTrigger=1`` each micro-batch advances the watermark
+    past the previous file's windows, so append-mode flushes them."""
+    import hashlib
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", d)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_stage_{tag}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        _t(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+            "overwrite"
+        ).parquet(d)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
     return d
 
 
@@ -918,7 +934,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_tumbling_counts,
     )
 
-    src = stream_events(spark, _events_stream_dir(sf_dir))
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir))
     return run_stream_to_memory(
         streaming_tumbling_counts(src), "q_stream_tumbling_sink", "append"
     )
@@ -931,7 +947,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_window,
     )
 
-    src = stream_events(spark, _events_stream_dir(sf_dir))
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir))
     return run_stream_to_memory(
         streaming_session_window(src), "q_stream_session_sink", "append"
     )
@@ -944,7 +960,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup,
     )
 
-    src = stream_events(spark, _events_stream_dir(sf_dir))
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir))
     return run_stream_to_memory(
         streaming_dedup(src).select("event_id", "user_id", "event_type"),
         "q_stream_dedup_sink",
@@ -961,7 +977,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_click_purchase_join,
     )
 
-    src = stream_events(spark, _events_stream_dir(sf_dir))
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir))
     return run_stream_to_memory(
         streaming_click_purchase_join(src), "q_stream_join_sink", "append"
     )
@@ -974,7 +990,7 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_user_state,
     )
 
-    src = stream_events(spark, _events_stream_dir(sf_dir))
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir))
     return run_stream_to_memory(
         streaming_user_state(src), "q_stream_user_state_sink", "update"
     )
@@ -991,7 +1007,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_static_enrich,
     )
 
-    src = stream_events(spark, _events_stream_dir(sf_dir)).select(
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir)).select(
         "event_id", "user_id", "event_type"
     )
     dim = _t(spark, sf_dir, "customer").select(

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import epoch_millis
+
 
 def asof_join(
     left: DataFrame,
@@ -67,7 +69,7 @@ def asof_join(
     out = carried.where(F.col("_src") == 1)
     if tolerance_seconds is not None:
         in_window = (
-            F.unix_millis(F.col(on_time)) - F.unix_millis(F.col("_carry_time"))
+            epoch_millis(F.col(on_time)) - epoch_millis(F.col("_carry_time"))
         ) <= tolerance_seconds * 1000
         out = out.select(
             *left.columns,
@@ -98,10 +100,10 @@ def range_join(
     gap_ms = max_gap_seconds * 1000
     cond = (
         (F.col(on_key_left) == F.col(on_key_right))
-        & (F.unix_millis(F.col(time_right)) >= F.unix_millis(F.col(time_left)))
+        & (epoch_millis(F.col(time_right)) >= epoch_millis(F.col(time_left)))
         & (
-            F.unix_millis(F.col(time_right))
-            <= F.unix_millis(F.col(time_left)) + gap_ms
+            epoch_millis(F.col(time_right))
+            <= epoch_millis(F.col(time_left)) + gap_ms
         )
     )
     return left.join(right, cond)

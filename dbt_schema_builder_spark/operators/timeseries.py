@@ -10,6 +10,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import epoch_millis
+
 
 def tumbling_window_stats(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling-window aggregate via date_trunc: count / sum / distinct
@@ -53,10 +55,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_ms = gap_minutes * 60 * 1000
     prev_ts = F.lag("ts").over(by_user)
     # millisecond epoch on both sides (oracle uses epoch_ms) — second-level
-    # truncation would mis-flag gaps that straddle a second boundary
+    # truncation would mis-flag gaps that straddle a second boundary;
+    # epoch_millis (not unix_millis) because events.ts is TIMESTAMP_NTZ
     is_new = F.when(
         prev_ts.isNull()
-        | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)) > gap_ms),
+        | ((epoch_millis(F.col("ts")) - epoch_millis(prev_ts)) > gap_ms),
         1,
     ).otherwise(0)
     with_id = events.select(

@@ -73,10 +73,12 @@ TABLES = (
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (from the footer).
 
-    Spark has no nanosecond timestamp; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as epoch-nanos
-    longs, which ``read_table`` converts to microsecond timestamps
-    (truncation — the same conversion DuckDB applies when comparing).
+    Spark has no nanosecond timestamp. How a NANOS column surfaces depends
+    on the runtime: Spark 4.1 truncates it to TIMESTAMP_NTZ micros (the
+    ``nanosAsLong`` legacy conf is accepted but ignored); older runtimes
+    honoring the conf surface an epoch-nanos long. ``read_table``
+    normalizes every case to TIMESTAMP_NTZ micros — the same floor
+    DuckDB applies at its fetch layer, and timezone-independent.
     """
     try:
         import pyarrow as pa
@@ -97,19 +99,67 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def epoch_millis(col) -> F.Column:
+    """Epoch milliseconds of a timestamp column, NTZ-safe.
+
+    ``unix_millis`` rejects TIMESTAMP_NTZ (the type every nanos parquet
+    column surfaces as under Spark 4.1); ``timestamp_diff`` against an NTZ
+    epoch literal computes the same floor-to-ms value without a timezone
+    dependency. LTZ inputs are first cast to NTZ (identity under the UTC
+    session this engine pins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MILLISECOND",
+        F.expr(_EPOCH_NTZ),
+        c.cast("timestamp_ntz"),
+    )
+
+
+def epoch_micros(col) -> F.Column:
+    """Epoch microseconds, NTZ-safe twin of ``unix_micros``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.expr(_EPOCH_NTZ),
+        c.cast("timestamp_ntz"),
+    )
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read one parquet table, normalizing nanosecond timestamps to Spark's
-    microsecond TimestampType. Safe under any session: the legacy conf is
-    dynamic, so set it here too (the driver harness builds its own session)."""
+    """Read one parquet table, normalizing nanosecond timestamps to
+    TIMESTAMP_NTZ microseconds regardless of runtime.
+
+    This is the one seam where timestamp representation is decided: every
+    consumer sees TIMESTAMP_NTZ micros and derives epoch math through
+    ``epoch_millis``/``epoch_micros`` (never ``unix_millis``, which
+    rejects NTZ). Safe under any session — vanilla Spark 4.1 already
+    surfaces NANOS as truncated NTZ; older runtimes honoring
+    ``nanosAsLong`` surface a long, converted here."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
-        # integer `div` keeps full int64 precision (a double division would
-        # lose bits above 2^53 on epoch-nanos values)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        dt = df.schema[c].dataType.typeName()
+        if dt == "long":
+            # integer `div` keeps full int64 precision; timestampadd from
+            # the NTZ epoch is timezone-independent
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{c}` div 1000, {_EPOCH_NTZ})"
+                ),
+            )
+        elif dt == "timestamp":
+            # LTZ surfacing (conf honored differently): pin to NTZ; the
+            # engine session runs UTC so the cast is an identity
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+        # timestamp_ntz: already the normalized form (micros truncation
+        # applied by the parquet reader)
     return df
 
 

@@ -28,13 +28,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
+# Spark 4.1 surfaces parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ truncated to
+# micros (the nanosAsLong legacy conf is ignored) — declaring LongType here
+# silently reads NULL ts, which is exactly how round 2's streaming queries
+# emitted zero rows. Same normalization seam as session.read_table.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # TIMESTAMP(NANOS) reads as long
+        StructField("ts", TimestampNTZType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -44,15 +49,22 @@ EVENTS_SCHEMA = StructType(
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """readStream over the events parquet (directory). The nanos timestamp
-    arrives as epoch-nanos long (same legacy conf as batch ``read_table``)
-    and is normalized to a microsecond timestamp here."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """readStream over the events parquet (directory).
+
+    The nanos timestamp surfaces as TIMESTAMP_NTZ micros and is cast to
+    TIMESTAMP (LTZ) because event-time watermarks require it
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The engine session
+    pins UTC, so the cast is an identity on the wall-clock value and
+    collected rows compare equal to the NTZ batch twins."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        # one file per micro-batch: the watermark advances between batches,
+        # so append-mode window aggregates flush closed windows even on a
+        # finite availableNow run over a pre-staged multi-file directory
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(

@@ -84,7 +84,11 @@ def test_timestamp_nanos_truncation_agrees_with_duckdb(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from dbt_schema_builder_spark.session import read_table
+    from dbt_schema_builder_spark.session import (
+        epoch_micros,
+        epoch_millis,
+        read_table,
+    )
 
     ns_values = [
         1_700_000_000_123_456_789,  # sub-us tail ...789
@@ -101,8 +105,8 @@ def test_timestamp_nanos_truncation_agrees_with_duckdb(spark, tmp_path):
     )
     sdf = read_table(spark, path).select(
         "id",
-        F.unix_millis("ts").alias("ms"),
-        F.unix_micros("ts").alias("us"),
+        epoch_millis("ts").alias("ms"),
+        epoch_micros("ts").alias("us"),
     )
     spark_rows = {r.id: (r.ms, r.us) for r in sdf.collect()}
     duck = duckdb.connect().execute(
