@@ -671,8 +671,19 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of embeddings with carried integer
-    squared norms."""
-    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    squared norms. The quantized vector leaves the query as an md5 of
+    its comma-joined elements: the driver's canonicalizer can't hash a
+    raw array cell, and the digest is just as strong a value check
+    (int-string rendering is identical across engines)."""
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.md5(F.array_join(F.col("qvec").cast("array<string>"), ",")).alias(
+            "qvec_md5"
+        ),
+        "q_scale",
+        "q_sqnorm",
+    )
 
 
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,7 +1879,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Int8 scalar quantization: per-element float ops only (max is
         # order-independent, the norm sums integers), so both engines
-        # produce identical quantized vectors.
+        # produce identical quantized vectors; the vector is compared as
+        # md5(comma-joined ints) because the driver hash can't take a
+        # raw array cell.
         "q_quantize_embeddings": (
             "WITH m AS (SELECT vec_id, embedding, CAST(list_aggregate("
             "list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) "
@@ -1878,7 +1891,9 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
             "(CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END)) AS INT)) "
             "AS qvec FROM m) "
-            "SELECT vec_id, qvec, round(scale, 6) + 0.0 AS q_scale, "
+            "SELECT vec_id, "
+            "md5(array_to_string(qvec, ',')) AS qvec_md5, "
+            "round(scale, 6) + 0.0 AS q_scale, "
             "CAST(list_aggregate(list_transform(qvec, "
             "v -> CAST(v AS BIGINT) * v), 'sum') AS BIGINT) AS q_sqnorm "
             "FROM q"
