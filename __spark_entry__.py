@@ -556,8 +556,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup clusters over n-gram Jaccard pairs (rows-only:
-    iterative label propagation)."""
+    """Transitive dedup clusters over n-gram Jaccard pairs. Iterative
+    label propagation on the Spark side; the oracle replays the pair
+    graph (the already-proven q_ngram_jaccard SQL) and closes it with a
+    recursive CTE — min reachable doc_id per component on both sides
+    (upgraded from rows-only in r3)."""
     pairs = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2,
         max_df=_JACCARD_MAX_DF,
@@ -579,13 +582,25 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH candidates (rows-only: approximate by design)."""
-    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    """MinHash + banded LSH candidates with the portable (md5-derived)
+    shingle hash, so the fixed hash family h_i(x) = (a_i*x + b_i) mod p
+    is replayable in DuckDB and the candidate set + signature agreement
+    counts get a hard value oracle (upgraded from rows-only in r3).
+    ``n_agree`` is the exact integer surface; the float est_jaccard stays
+    API-side only (rounding ties at /32 differ across engines)."""
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), shingle_hash="portable"
+    ).select("doc_a", "doc_b", "n_agree")
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-LSH near-dups (rows-only)."""
-    return dedup.simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=16)
+    """SimHash Hamming-LSH near-dups with the portable (md5-derived
+    60-bit) token hash: the per-bit votes, banding, and XOR popcount are
+    all integer arithmetic DuckDB replays exactly (upgraded from
+    rows-only in r3)."""
+    return dedup.simhash_near_dup(
+        _t(spark, sf_dir, "documents"), max_hamming=16, token_hash="portable"
+    )
 
 
 def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1922,7 +1937,126 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY raw DESC, vec_id) AS rank FROM s QUALIFY rank <= 5"
         ),
-        # rows-only by design: q_catalog_scan, q_approx_distinct, q_near_dup,
-        # q_simhash_near_dup, q_lsh_topk, q_lang_id,
-        # q_multimodal_features, q_frame_sample
+        # MinHash LSH with the portable shingle hash: DuckDB replays the
+        # full fixed hash family, the banding, and the agreement count.
+        "q_near_dup": _minhash_oracle_sql(),
+        # SimHash with the portable 60-bit token hash: per-bit votes,
+        # 16-bit bands and XOR popcount replayed as integer arithmetic.
+        "q_simhash_near_dup": _simhash_oracle_sql(),
+        # Connected components of the (proven) n-gram Jaccard pair graph
+        # via recursive CTE; min reachable doc_id per component.
+        "q_dedup_clusters": _dedup_clusters_oracle_sql(),
+        # rows-only by design: q_catalog_scan, q_approx_distinct,
+        # q_lsh_topk, q_lang_id, q_multimodal_features, q_frame_sample
     }
+
+
+def _simhash_oracle_sql(n_bits: int = 60, max_hamming: int = 16) -> str:
+    """DuckDB replay of dedup.simhash_near_dup(token_hash='portable'):
+    distinct tokens per doc, 60-bit md5-derived token hash, per-bit +1/-1
+    votes, signature = OR of positive-vote bits, 16-bit band candidates,
+    Hamming via bit_count(xor(...))."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h & (1::BIGINT << {i})) != 0 THEN 1 ELSE -1 END) "
+        f"AS v{i}"
+        for i in range(n_bits)
+    )
+    sig_bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(n_bits)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (s >> {b * 16}) & 65535 AS bucket "
+        "FROM sig"
+        for b in range(4)
+    )
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents), "
+        "hx AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) "
+        "AS BIGINT) AS h FROM toks), "
+        f"v AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, ({sig_bits}) AS s FROM v), "
+        f"bandkeys AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bandkeys a JOIN bandkeys b ON a.band = b.band "
+        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming "
+        "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
+        "JOIN sig sb ON sb.doc_id = doc_b "
+        f"WHERE bit_count(xor(sa.s, sb.s)) <= {max_hamming}"
+    )
+
+
+def _dedup_clusters_oracle_sql(threshold: float = 0.2) -> str:
+    """DuckDB replay of dedup_clusters over ngram_jaccard_pairs: the
+    proven q_ngram_jaccard pair SQL (df cap is a no-op at oracle SF)
+    closed transitively with a recursive CTE; cluster_id = min doc_id
+    reachable in the pair graph (including self)."""
+    return (
+        "WITH RECURSIVE toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS "
+        "shingle FROM toks, LATERAL unnest(generate_series(1, "
+        "greatest(len(t)-2, 0))) AS u(i)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) "
+        "AS n_inter FROM sh a JOIN sh b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+        "pr AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= {threshold}), "
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pr "
+        "UNION SELECT doc_b, doc_a FROM pr), "
+        "reach(doc_id, r) AS (SELECT DISTINCT s, s FROM edges "
+        "UNION SELECT e.s, reach.r FROM edges e "
+        "JOIN reach ON reach.doc_id = e.d) "
+        "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id"
+    )
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB replay of dedup.minhash_lsh_candidates(shingle_hash=
+    'portable'): same 3-gram shingles as the q_ngram_jaccard oracle, base
+    hash = first 32 bits of md5(shingle), h_i(x) = ((2i+1)*x + 7919i+1)
+    mod 4294967311, banded candidates via exact slice equality (Spark
+    buckets on xxhash64 of the slice — equal iff the slices are equal,
+    collisions aside), agreement counted over all 32 positions."""
+    p = 4294967311
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"min(({2 * i + 1} * h + {7919 * i + 1}) % {p}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(':', {cols}) AS bkey FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CAST(sa.mh_{i} = sb.mh_{i} AS INT)" for i in range(num_hashes)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        "'\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS "
+        "shingle FROM toks, LATERAL unnest(generate_series(1, "
+        "greatest(len(t)-2, 0))) AS u(i)), "
+        "hx AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) "
+        "AS BIGINT) AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id), "
+        f"bandkeys AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bandkeys a JOIN bandkeys b ON a.band = b.band "
+        "AND a.bkey = b.bkey AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, CAST({agree} AS BIGINT) AS n_agree "
+        "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
+        "JOIN sig sb ON sb.doc_id = doc_b"
+    )

@@ -245,15 +245,33 @@ def decontaminate(
 
 
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 32, n: int = 3
+    documents: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: per permutation i, min over shingles of
-    h_i(xxhash64(shingle)) with h_i(x) = (a_i*x + b_i) mod p. Fixed (a, b)
+    h_i(base(shingle)) with h_i(x) = (a_i*x + b_i) mod p. Fixed (a, b)
     per index — fully deterministic, no RNG at plan time. One explode +
-    one groupBy; the signature is an array column."""
+    one groupBy; the signature is an array column.
+
+    ``shingle_hash`` picks the base hash: ``xxhash64`` (JVM codegen, the
+    production default) or ``portable`` — the first 32 bits of
+    md5(shingle), which any ANSI engine reproduces exactly
+    (``CAST('0x'||substr(md5(s),1,8) AS BIGINT)`` in DuckDB), making the
+    whole signature — and therefore LSH candidates and agreement counts —
+    oracle-checkable value by value. Both stay below p, so the h_i
+    arithmetic never overflows int64."""
+    if shingle_hash == "portable":
+        # 8 hex chars -> 32-bit value; 2^32 < _HASH_P so no pmod needed
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        base = F.pmod(F.xxhash64("shingle"), F.lit(_HASH_P))
     hashed = shingle_sets(documents, n).select(
         "doc_id",
-        F.pmod(F.xxhash64("shingle"), F.lit(_HASH_P)).alias("h"),
+        base.alias("h"),
     )
     mins = [
         F.min(((2 * i + 1) * F.col("h") + (7919 * i + 1)) % _HASH_P)
@@ -272,14 +290,17 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: slice each signature into ``bands``
     rows, hash the slice, self-join on (band, slice-hash). Candidates come
-    out with their estimated Jaccard (signature agreement rate)."""
+    out with their raw signature agreement count (``n_agree``, exact
+    integer — the oracle-safe surface) and the estimated Jaccard
+    (``est_jaccard`` = n_agree / num_hashes, the API convenience)."""
     rows_per_band = num_hashes // bands
     # persist: the signature pipeline (explode + 32-way min agg) feeds
     # both sides of the self-join and would otherwise run twice
-    sig = minhash_signatures(documents, num_hashes, n).persist()
+    sig = minhash_signatures(documents, num_hashes, n, shingle_hash).persist()
     banded = sig.select(
         "doc_id",
         "signature",
@@ -327,6 +348,7 @@ def minhash_lsh_candidates(
         .select(
             "doc_a",
             "doc_b",
+            agree.cast("bigint").alias("n_agree"),
             F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
@@ -396,33 +418,46 @@ def dedup_clusters(
 
 
 def simhash_near_dup(
-    documents: DataFrame, max_hamming: int = 8
+    documents: DataFrame, max_hamming: int = 8, token_hash: str = "xxhash64"
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign of per-bit vote over token
     hashes; candidate pairs via 16-bit band equality (a pair within
     Hamming distance 3 shares at least one of 4 bands; wider distances
     trade recall), verified by popcount of the XOR. All JVM-side bit
-    arithmetic."""
+    arithmetic.
+
+    ``token_hash='portable'`` swaps xxhash64 for the first 60 bits of
+    md5(token) (15 hex chars — stays positive in int64), which an ANSI
+    oracle reproduces exactly; bits 60-63 then vote -1 for every doc, a
+    constant the Hamming distance cancels."""
+    n_bits = 60 if token_hash == "portable" else 64
+
     def _bit(i: int) -> int:
         # signed-long literal for bit i (bit 63 is the sign bit)
         return (1 << i) if i < 63 else -(1 << 63)
 
+    if token_hash == "portable":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        h = F.xxhash64("tok")
     toks_hashed = (
         documents.repartition(
             documents.sparkSession.sparkContext.defaultParallelism
         )
         .select("doc_id", F.explode(F.array_distinct(tokens())).alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", h.alias("h"))
     )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     voted = toks_hashed.groupBy("doc_id").agg(*votes)
     sim = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     sigs = voted.select("doc_id", sim.alias("simhash"))
