@@ -935,9 +935,12 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     directory for the file stream source, once per sf_dir (cached under a
     deterministic path — earlier rounds leaked one tempdir per call).
 
-    Range partitioning by ts means file k's events all precede file k+1's;
-    with ``maxFilesPerTrigger=1`` each micro-batch advances the watermark
-    past the previous file's windows, so append-mode flushes them."""
+    All staged files are consumed in ONE availableNow batch (see
+    stream_events: per-file triggers drop data when listing order is
+    unlucky); the trailing no-data micro-batch then advances the
+    watermark to max(ts) - delay, flushing every closed window. That
+    makes each streaming query's emitted set a deterministic function of
+    the data — which is what the DuckDB oracles below rely on."""
     import hashlib
     import tempfile
 
@@ -961,8 +964,13 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = stream_events(spark, _events_stream_dir(spark, sf_dir))
-    return run_stream_to_memory(
+    out = run_stream_to_memory(
         streaming_tumbling_counts(src), "q_stream_tumbling_sink", "append"
+    )
+    # append mode emits exactly the windows whose end <= final watermark
+    # (max ts - 10 min): a closed-form set the DuckDB oracle replays.
+    return out.select(
+        epoch_millis("bucket").alias("bucket_ms"), "n_events", "sum_value"
     )
 
 
@@ -974,8 +982,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = stream_events(spark, _events_stream_dir(spark, sf_dir))
-    return run_stream_to_memory(
+    out = run_stream_to_memory(
         streaming_session_window(src), "q_stream_session_sink", "append"
+    )
+    # emitted sessions = those with end (last event + gap) <= final
+    # watermark (max ts - 1 h); the oracle replays sessionize + filter.
+    return out.select(
+        "user_id",
+        epoch_millis("session_start").alias("session_start_ms"),
+        epoch_millis("session_end").alias("session_end_ms"),
+        "n_events",
     )
 
 
@@ -995,8 +1011,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream join (rows-only; batch range-join parity
-    pinned in tests)."""
+    """Watermarked stream-stream join. Single-batch intake means no
+    state eviction can hide a pair, so the emitted set equals the batch
+    range join — a full value oracle."""
     from dbt_schema_builder_spark.streaming import (
         run_stream_to_memory,
         stream_events,
@@ -1017,8 +1034,16 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = stream_events(spark, _events_stream_dir(spark, sf_dir))
-    return run_stream_to_memory(
+    out = run_stream_to_memory(
         streaming_user_state(src), "q_stream_user_state_sink", "update"
+    )
+    # single-batch intake => exactly one update emission per user, equal
+    # to the per-user batch aggregate (count / rounded sum / max ts).
+    return out.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        epoch_millis("last_ts").alias("last_ts_ms"),
     )
 
 
@@ -1945,6 +1970,60 @@ def oracle_sql() -> dict[str, str]:
         # Connected components of the (proven) n-gram Jaccard pair graph
         # via recursive CTE; min reachable doc_id per component.
         "q_dedup_clusters": _dedup_clusters_oracle_sql(),
+        # --- streaming (finite availableNow runs are deterministic:
+        # single-batch intake + trailing no-data batch, so the emitted
+        # sets are closed-form functions of the data) ---
+        # append-mode tumbling windows: emitted iff window end <= final
+        # watermark (max ts - 10 min)
+        "q_stream_tumbling": (
+            "WITH w AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm "
+            "FROM events), "
+            "b AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS "
+            "n_events, ROUND(SUM(value), 4) AS sum_value FROM events "
+            "GROUP BY 1) "
+            "SELECT epoch_ms(bucket) AS bucket_ms, n_events, sum_value "
+            "FROM b, w WHERE bucket + INTERVAL 1 HOUR <= wm"
+        ),
+        # append-mode session windows: sessionize (the proven
+        # q_session_window shape), end = last event + 30 min gap,
+        # emitted iff end <= final watermark (max ts - 1 h)
+        "q_stream_session": (
+            "WITH flagged AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR epoch_ms(ts) - epoch_ms(lag(ts) "
+            "OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS "
+            "sid FROM flagged), "
+            "agg AS (SELECT user_id, sid, COUNT(*) AS n_events, "
+            "epoch_ms(MIN(ts)) AS session_start_ms, "
+            "epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_ms, "
+            "MAX(ts) + INTERVAL 30 MINUTE AS send FROM sess "
+            "GROUP BY user_id, sid), "
+            "w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events) "
+            "SELECT user_id, session_start_ms, session_end_ms, n_events "
+            "FROM agg, w WHERE send <= wm"
+        ),
+        # dropDuplicatesWithinWatermark over already-unique event_ids:
+        # exact pass-through, no drops (single batch => no lateness)
+        "q_stream_dedup": (
+            "SELECT event_id, user_id, event_type FROM events"
+        ),
+        # stream-stream join, single-batch intake: no state eviction can
+        # hide a pair, so emitted = the batch range join
+        "q_stream_join": (
+            "SELECT c.event_id AS click_id, p.event_id AS purchase_id "
+            "FROM events c JOIN events p ON c.event_type = 'click' "
+            "AND p.event_type = 'purchase' AND c.user_id = p.user_id "
+            "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE"
+        ),
+        # applyInPandasWithState running totals: one update emission per
+        # user per batch; single batch => the per-user batch aggregate
+        "q_stream_user_state": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 4) AS total_value, "
+            "epoch_ms(MAX(ts)) AS last_ts_ms FROM events GROUP BY user_id"
+        ),
         # rows-only by design: q_catalog_scan, q_approx_distinct,
         # q_lsh_topk, q_lang_id, q_multimodal_features, q_frame_sample
     }

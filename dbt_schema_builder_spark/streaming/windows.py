@@ -56,14 +56,16 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The engine session
     pins UTC, so the cast is an identity on the wall-clock value and
     collected rows compare equal to the NTZ batch twins."""
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        # one file per micro-batch: the watermark advances between batches,
-        # so append-mode window aggregates flush closed windows even on a
-        # finite availableNow run over a pre-staged multi-file directory
-        .option("maxFilesPerTrigger", "1")
-        .parquet(events_dir)
-    )
+    # All available files are processed in one availableNow batch (no
+    # maxFilesPerTrigger): the file source does not guarantee listing
+    # order, so one-file-per-trigger can process a late-timestamp file
+    # first and silently DROP earlier files' rows as late data (measured:
+    # 278 of 530 windows emitted, order-dependent). Single-batch intake
+    # has no cross-batch lateness; the trailing no-data micro-batch then
+    # advances the watermark to max(ts) - delay and append mode flushes
+    # every closed window deterministically — which is what makes the
+    # streaming queries value-oracle-checkable.
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
