@@ -98,15 +98,21 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             }
 
             def entropy(b: bytes) -> float:
+                # fixed-point micro-units (the repo convention for
+                # reproducible float aggregates): each histogram term is
+                # rounded to 1e-6 BEFORE summing, so the integer sum is
+                # order-independent and an ANSI oracle replays it exactly
                 if not b:
                     return 0.0
                 counts: dict[int, int] = {}
                 for byte in b:
                     counts[byte] = counts.get(byte, 0) + 1
                 n = len(b)
-                return round(
-                    -sum(c / n * math.log2(c / n) for c in counts.values()), 4
+                micro = sum(
+                    math.floor(-(c / n) * math.log2(c / n) * 1_000_000 + 0.5)
+                    for c in counts.values()
                 )
+                return micro / 1_000_000
 
             out["byte_entropy"] = pdf["payload"].map(entropy).astype("float64")
             yield pd.DataFrame(out)

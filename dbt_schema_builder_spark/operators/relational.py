@@ -193,3 +193,36 @@ def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
         inter.exceptAll(rich).select("custkey", F.lit("modest").alias("bucket"))
         .unionAll(inter.intersect(rich).select("custkey", F.lit("rich").alias("bucket")))
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, support: float = 0.1
+) -> DataFrame:
+    """Frequent items above a support threshold, sketch-then-verify
+    (B34): ``freqItems`` (Karp/Misra-Gries, one pass, bounded 1/support
+    state per executor) proposes a candidate superset — it retains every
+    item with frequency strictly above ``support`` but may add false
+    positives — then one exact counting pass over ONLY the candidate
+    rows removes them. At 100 TB the verify pass is a broadcast-filtered
+    scan + an aggregation whose key space is at most 1/support items, so
+    neither pass shuffles the full key cardinality.
+
+    Emits exact (value, n, frac) for items with frequency > support —
+    deterministic and oracle-checkable, unlike the raw sketch output.
+    """
+    cands = df.stat.freqItems([col], support).collect()[0][0]
+    if not cands:
+        cands = [None]
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        df.where(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") > support * F.col("_total"))
+        .select(
+            col,
+            "n",
+            F.round(F.col("n") / F.col("_total"), 4).alias("frac"),
+        )
+    )
