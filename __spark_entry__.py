@@ -611,10 +611,14 @@ def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (rows-only: approximate by design)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_topk(
-        emb, similarity.queries_from_corpus(emb, 5), k=5
+    """LSH-bucketed ANN, integer-exact portable composition: int8
+    quantization + md5-derived integer hyperplane buckets + quantized
+    cosine rerank. Every stage is integer math, so the approximate
+    result is still deterministic and carries a full value oracle
+    (upgraded from rows-only in r3; the float-GEMM variant
+    ``lsh_bucketed_topk`` stays as the API default)."""
+    return similarity.lsh_quantized_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, bits=8, dim=64, n_queries=5
     )
 
 
@@ -1148,15 +1152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_quoting": q_keyword_quoting,
         "q_regex_anti_filter": q_regex_anti_filter,
         "q_scalar_kernel": q_scalar_kernel,
-        "q_metadata_merge_join": q_metadata_merge_join,
-        "q_dupe_detection": q_dupe_detection,
         # (e) upgraded rows-only -> hard oracle this round, second batch
+        "q_kmeans": q_kmeans,
+        "q_lsh_topk": q_lsh_topk,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
         "q_multimodal_features": q_multimodal_features,
         "q_audio_features": q_audio_features,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1 or 2
+        "q_dupe_detection": q_dupe_detection,
+        "q_metadata_merge_join": q_metadata_merge_join,
         "q_rollup": q_rollup,
         "q_window_rank": q_window_rank,
         "q_window_running": q_window_running,
@@ -1199,9 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantized_topk": q_quantized_topk,
         "q_source_overlap": q_source_overlap,
         "q_catalog_scan": q_catalog_scan,
-        "q_kmeans": q_kmeans,
         "q_approx_distinct": q_approx_distinct,
-        "q_lsh_topk": q_lsh_topk,
     }
 
 
@@ -2038,6 +2042,13 @@ def oracle_sql() -> dict[str, str]:
         # heuristic language ID: integer marker-hit argmax, tie-broken
         # by language code — replayed as a ranked unpivot
         "q_lang_id": _lang_id_oracle_sql(),
+        # Lloyd's k-means, 3 unrolled iterations: argmax-cosine
+        # assignment + fixed-point centroid means (both idioms proven on
+        # q_ivf_topk / q_centroid_by_label)
+        "q_kmeans": _kmeans_oracle_sql(),
+        # integer-exact LSH ANN: quantize (proven), md5-integer
+        # hyperplane sign buckets, quantized-cosine rerank (proven)
+        "q_lsh_topk": _lsh_topk_oracle_sql(),
         # sketch-then-verify heavy hitters: the verified output is the
         # exact > support frequency set
         "q_heavy_hitters": (
@@ -2080,6 +2091,88 @@ def oracle_sql() -> dict[str, str]:
         # rows-only by design: q_catalog_scan, q_approx_distinct,
         # q_lsh_topk
     }
+
+
+def _lsh_topk_oracle_sql(
+    k: int = 5, bits: int = 8, dim: int = 64, n_queries: int = 5
+) -> str:
+    """DuckDB replay of similarity.lsh_quantized_topk: the proven
+    quantization CTE, integer hyperplane weights regenerated from md5,
+    sign-bit buckets, bucket-join candidates, quantized-cosine rerank."""
+    return (
+        "WITH m AS (SELECT vec_id, embedding, CAST(list_aggregate("
+        "list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) "
+        "AS maxabs FROM embeddings), "
+        "q AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        "(CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END)) AS INT)) "
+        "AS qvec FROM m), "
+        "n AS (SELECT vec_id, qvec, CAST(list_aggregate(list_transform("
+        "qvec, v -> CAST(v AS BIGINT) * v), 'sum') AS BIGINT) AS sqnorm "
+        "FROM q), "
+        "hp AS (SELECT b.b AS bit, p.p AS pos, "
+        "(CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' || "
+        "CAST(p.p AS VARCHAR)), 1, 8)) AS BIGINT) % 15) - 7 AS w "
+        f"FROM (SELECT unnest(range({bits})) AS b) b, "
+        f"(SELECT unnest(range({dim})) AS p) p), "
+        "dots AS (SELECT n.vec_id, hp.bit, "
+        "SUM(CAST(n.qvec[hp.pos + 1] AS BIGINT) * hp.w) AS d "
+        "FROM n, hp GROUP BY n.vec_id, hp.bit), "
+        "sigs AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN "
+        "(1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM dots GROUP BY vec_id), "
+        "corpus AS (SELECT n.vec_id, n.qvec, n.sqnorm, s.bucket "
+        "FROM n JOIN sigs s ON s.vec_id = n.vec_id), "
+        "qry AS (SELECT vec_id AS query_id, qvec AS qq, sqnorm AS qsq, "
+        f"bucket FROM corpus ORDER BY vec_id LIMIT {n_queries}), "
+        "scored AS (SELECT qry.query_id, c.vec_id, "
+        "CASE WHEN c.sqnorm = 0 OR qry.qsq = 0 THEN 0.0 ELSE "
+        "list_inner_product(CAST(c.qvec AS DOUBLE[]), "
+        "CAST(qry.qq AS DOUBLE[])) / sqrt(CAST(c.sqnorm AS DOUBLE) * "
+        "qry.qsq) END AS raw FROM qry JOIN corpus c "
+        "ON c.bucket = qry.bucket) "
+        "SELECT query_id, vec_id, round(raw, 4) + 0.0 AS sim, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY raw DESC, vec_id) AS rank FROM scored QUALIFY rank <= {k}"
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:
+    """DuckDB replay of similarity.kmeans: deterministic init (first k
+    vec_ids), per-iteration argmax-cosine assignment (the proven
+    q_ivf_topk idiom) and micro-unit fixed-point centroid means (the
+    proven q_centroid_by_label idiom, + the float32 cast Spark applies),
+    unrolled ``iterations`` times."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "embedding FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid FROM (SELECT e.vec_id, "
+            f"{prev}.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_cosine_similarity(e.v, {prev}.cv) DESC, "
+            f"{prev}.cid) AS rn FROM e, {prev}) WHERE rn = 1)"
+        )
+        if i < iterations:
+            parts.append(
+                f"m{i} AS (SELECT cid, list(CAST(CAST(m AS REAL) AS "
+                "DOUBLE) ORDER BY pos) AS cv FROM (SELECT cid, pos, "
+                "SUM(CAST(ROUND(val * 1000000) AS BIGINT)) / "
+                "(COUNT(*) * 1000000.0) AS m FROM (SELECT "
+                f"a{i}.cid, CAST(unnest(e.embedding) AS DOUBLE) AS val, "
+                "generate_subscripts(e.embedding, 1) AS pos FROM e "
+                f"JOIN a{i} ON a{i}.vec_id = e.vec_id) "
+                "GROUP BY cid, pos) GROUP BY cid)"
+            )
+            prev = f"m{i}"
+    return (
+        ", ".join(parts)
+        + f" SELECT vec_id, cid AS centroid_id FROM a{iterations}"
+    )
 
 
 def _lang_id_oracle_sql() -> str:

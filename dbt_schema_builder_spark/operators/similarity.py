@@ -558,3 +558,108 @@ def quantized_topk(
             "rank",
         )
     )
+
+
+def _int_hyperplanes(dim: int, bits: int) -> list[list[int]]:
+    """Integer hyperplane weights derived from md5 — the portable twin of
+    ``_hyperplanes``: w(bit, pos) = (first-32-bits(md5("bit:pos")) mod 15)
+    - 7, i.e. small ints in [-7, 7] any ANSI engine regenerates exactly
+    (``CAST('0x'||substr(md5(b||':'||p),1,8) AS BIGINT) % 15 - 7``)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{b}:{p}".encode()).hexdigest()[:8], 16) % 15)
+            - 7
+            for p in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def _int_signature(planes: list[list[int]]):
+    """Arrow-batched integer hyperplane signature over int8-quantized
+    vectors: one int64 numpy GEMM per batch — EXACT (no float
+    reassociation), so the resulting buckets are engine-reproducible,
+    unlike float sign bits which can flip within GEMM rounding distance
+    of zero."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="int64").T  # dim x bits
+    weights = (1 << np.arange(P.shape[1])).astype("int64")
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.vstack(v.to_numpy()).astype("int64")
+        return pd.Series(((M @ P) > 0) @ weights)
+
+    return sig
+
+
+def lsh_quantized_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Approximate top-k with every stage integer-exact: int8 scalar
+    quantization (``quantize_embeddings``), md5-derived integer
+    hyperplane sign buckets, and a quantized-cosine rerank of the
+    query's bucket only. The composition is the production ANN shape —
+    4x smaller vectors, bucket-pruned candidate set, SIMD integer dots —
+    AND fully value-oracle-checkable, because no step depends on float
+    summation order (the one final sqrt/divide consumes exact integers).
+
+    At 100 TB: corpus written partitioned by bucket => a query scans one
+    partition; the signature pass is a pure map (no shuffle)."""
+    q = quantize_embeddings(embeddings)
+    planes = _int_hyperplanes(dim, bits)
+    sig = _int_signature(planes)
+    corpus = q.select(
+        "vec_id", "qvec", "q_sqnorm", sig(F.col("qvec")).alias("bucket")
+    ).persist()
+    qry = (
+        corpus.orderBy("vec_id")
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("query_qvec"),
+            F.col("q_sqnorm").alias("query_sqnorm"),
+            "bucket",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "qvec",
+            "query_qvec",
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    raw = F.when(
+        (F.col("q_sqnorm") == 0) | (F.col("query_sqnorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot / F.sqrt(F.col("q_sqnorm").cast("double") * F.col("query_sqnorm"))
+    )
+    scored = corpus.join(F.broadcast(qry), "bucket").select(
+        "query_id",
+        "vec_id",
+        (F.round(raw, 4) + F.lit(0.0)).alias("sim"),
+        raw.alias("_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_raw").desc(), F.col("vec_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
+            "sim",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
