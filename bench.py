@@ -63,6 +63,16 @@ HEADLINE = [
     "q_oov_rate",
     "q_dedup_stats",
     "q_weighted_sample",
+    # round 3 additions (newly oracle-backed operators)
+    "q_simhash_near_dup",
+    "q_dedup_clusters",
+    "q_quantize_embeddings",
+    "q_quantized_topk",
+    "q_kmeans",
+    "q_lang_id",
+    "q_heavy_hitters",
+    "q_audio_features",
+    "q_source_overlap",
 ]
 
 

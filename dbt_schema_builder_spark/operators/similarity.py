@@ -491,18 +491,31 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         "double"
     )
     scale = F.when(maxabs == 0, F.lit(1.0)).otherwise(F.lit(127.0) / maxabs)
+    # explode-let bindings: CollapseProject inlines aliased expressions
+    # into HOF lambdas, so a naive `transform(e, x -> round(x*scale))`
+    # re-evaluates the array_max PER ELEMENT — O(dim^2) interpreted ops
+    # per row (measured 3.3x slower at sf0.1). A 1-element explode is a
+    # Generate node the optimizer cannot collapse through, pinning scale
+    # (and then qvec) to exactly one evaluation per row — no shuffle.
+    with_scale = embeddings.select(
+        "vec_id", "embedding", F.explode(F.array(scale)).alias("_scale")
+    )
     qvec = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+        "embedding",
+        lambda x: F.round(x.cast("double") * F.col("_scale")).cast("int"),
+    )
+    with_qvec = with_scale.select(
+        "vec_id", "_scale", F.explode(F.array(qvec)).alias("_qvec")
     )
     q_sqnorm = F.aggregate(
-        qvec,
+        F.col("_qvec"),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + (v.cast("bigint") * v.cast("bigint")),
     )
-    return embeddings.select(
+    return with_qvec.select(
         "vec_id",
-        qvec.alias("qvec"),
-        (F.round(scale, 6) + F.lit(0.0)).alias("q_scale"),
+        F.col("_qvec").alias("qvec"),
+        (F.round(F.col("_scale"), 6) + F.lit(0.0)).alias("q_scale"),
         q_sqnorm.alias("q_sqnorm"),
     )
 
@@ -615,21 +628,21 @@ def lsh_quantized_topk(
 
     At 100 TB: corpus written partitioned by bucket => a query scans one
     partition; the signature pass is a pure map (no shuffle)."""
-    q = quantize_embeddings(embeddings)
     planes = _int_hyperplanes(dim, bits)
     sig = _int_signature(planes)
-    corpus = q.select(
+    corpus = quantize_embeddings(embeddings).select(
         "vec_id", "qvec", "q_sqnorm", sig(F.col("qvec")).alias("bucket")
-    ).persist()
-    qry = (
-        corpus.orderBy("vec_id")
-        .limit(n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qvec").alias("query_qvec"),
-            F.col("q_sqnorm").alias("query_sqnorm"),
-            "bucket",
-        )
+    )
+    # quantize the n query rows independently (per-vector scale, so the
+    # 5-row result is identical to slicing the corpus) — the corpus then
+    # flows through exactly ONE scan into the bucket join, no persist
+    qry = quantize_embeddings(
+        embeddings.orderBy("vec_id").limit(n_queries)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("query_qvec"),
+        F.col("q_sqnorm").alias("query_sqnorm"),
+        sig(F.col("qvec")).alias("bucket"),
     )
     dot = F.aggregate(
         F.zip_with(
