@@ -183,3 +183,58 @@ def test_lsh_vectorized_signature_is_arrow_batched(tables):
     plan = _plan(df)
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_quantize_is_shuffle_free_with_explode_let(tables):
+    """quantize_embeddings is a pure map: no Exchange, no Python, and the
+    explode-let Generate nodes pin scale/qvec to one eval per row (the
+    collapsed form re-evaluated array_max per element — O(dim^2))."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    df = similarity.quantize_embeddings(tables["embeddings"])
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Generate") >= 2, plan
+    # the per-element lambda must reference the Generate output, not an
+    # inlined array_max: exactly one array_max evaluation site
+    assert plan.count("array_max") <= 2, plan
+
+
+def test_lsh_quantized_topk_broadcasts_queries_only(tables):
+    """The corpus flows through one scan into a broadcast bucket join;
+    Python appears only as the Arrow-batched signature GEMM."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    df = similarity.lsh_quantized_topk(tables["embeddings"])
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+
+
+def test_heavy_hitters_verify_pass_is_candidate_filtered(tables):
+    """The exact pass scans with an isin pushdown on the bounded
+    candidate set and broadcasts the single-row total."""
+    from dbt_schema_builder_spark.operators import relational as rel
+
+    df = rel.heavy_hitters(tables["events"], "event_type", support=0.1)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*In\(event_type", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_simhash_stays_jvm_side(tables):
+    """60 bit-vote aggregation + banding: no Python anywhere, and the
+    tokenize pipeline repartitions before the explode so one input file
+    cannot serialize the CPU-heavy stage onto one core."""
+    from dbt_schema_builder_spark.operators import dedup
+
+    df = dedup.simhash_near_dup(
+        tables["documents"], max_hamming=16, token_hash="portable"
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
