@@ -586,6 +586,11 @@ def source_overlap_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
             .alias("h"),
         )
         .distinct()
+        # feeds the per-source sizes AND both self-join sides: without a
+        # persist the tokenize+shingle+md5 pipeline runs three times
+        # (measured 3x the query cost; same persist-beats-ReuseExchange
+        # finding as the MinHash banded self-join)
+        .persist()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
