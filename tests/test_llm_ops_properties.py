@@ -117,3 +117,92 @@ def test_decontaminate_covers_every_doc(spark, text_list, n_bench):
     for r in out:
         assert r.contaminated == (r.n_hits > 0)
         assert r.n_hits >= 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_quantize_roundtrip_bound_and_norm(spark, vecs):
+    """For any embeddings: dequantized values land within half a
+    quantization step of the original, every |q| <= 127, and the carried
+    squared norm equals the recomputed one."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = similarity.quantize_embeddings(df).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        orig = vecs[r.vec_id]
+        # reconstruct the exact scale the operator used (float32-cast
+        # inputs), not the pre-cast python floats
+        import struct
+
+        f32 = [struct.unpack("f", struct.pack("f", x))[0] for x in orig]
+        maxabs = max(abs(x) for x in f32)
+        scale = 1.0 if maxabs == 0 else 127.0 / maxabs
+        assert all(abs(q) <= 127 for q in r.qvec), r
+        assert r.q_sqnorm == sum(q * q for q in r.qvec), r
+        for q, x in zip(r.qvec, f32):
+            assert abs(q / scale - x) <= 0.5 / scale + 1e-9, (q, x, scale)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    labels=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=5, max_size=60
+    )
+)
+def test_heavy_hitters_matches_exact_threshold(spark, labels):
+    """Sketch-then-verify must equal the brute-force 'frequency strictly
+    above support' answer for any distribution — the sketch can only add
+    candidates, never lose a true heavy hitter."""
+    from dbt_schema_builder_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(labels)], "id bigint, v string"
+    )
+    got = {
+        (r.v, r.n) for r in relational.heavy_hitters(df, "v", 0.25).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(labels)
+    want = {
+        (v, n) for v, n in counts.items() if n > 0.25 * len(labels)
+    }
+    assert got == want, (got, want, counts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(text_list=st.lists(texts, min_size=2, max_size=8))
+def test_minhash_portable_agreement_bounds(spark, text_list):
+    """Portable-hash MinHash candidates: n_agree in [0, 32], pairs are
+    ordered (doc_a < doc_b), and identical documents always reach full
+    agreement when both have shingles."""
+    cand = dedup.minhash_lsh_candidates(
+        _docs(spark, text_list + [text_list[0]]), shingle_hash="portable"
+    ).collect()
+    for r in cand:
+        assert 0 <= r.n_agree <= 32
+        assert r.doc_a < r.doc_b
+    dup_id = len(text_list)  # appended copy of doc 0
+    n_tokens = len(text_list[0].split())
+    if n_tokens >= 3:  # 3-gram shingles exist -> signatures exist
+        full = [
+            r for r in cand
+            if r.doc_a == 0 and r.doc_b == dup_id
+        ]
+        assert full and full[0].n_agree == 32, cand
