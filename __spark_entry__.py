@@ -597,9 +597,14 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-LSH near-dups with the portable (md5-derived
     60-bit) token hash: the per-bit votes, banding, and XOR popcount are
     all integer arithmetic DuckDB replays exactly (upgraded from
-    rows-only in r3)."""
+    rows-only in r3). max_bucket=200 is the production skew cap
+    (mega-bucket fan-out measured 57s -> 2.4s on a 10x dup-dense
+    corpus); the oracle replays the cap as a windowed count."""
     return dedup.simhash_near_dup(
-        _t(spark, sf_dir, "documents"), max_hamming=16, token_hash="portable"
+        _t(spark, sf_dir, "documents"),
+        max_hamming=16,
+        token_hash="portable",
+        max_bucket=200,
     )
 
 
@@ -2088,8 +2093,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(x) AS INT) AS peak "
             "FROM c GROUP BY doc_id, chunk_idx"
         ),
-        # rows-only by design: q_catalog_scan, q_approx_distinct,
-        # q_lsh_topk
+        # rows-only by design: q_approx_distinct (HLL sketch — the one
+        # query whose output is approximate with no deterministic replay)
     }
 
 
@@ -2202,11 +2207,14 @@ def _lang_id_oracle_sql() -> str:
     )
 
 
-def _simhash_oracle_sql(n_bits: int = 60, max_hamming: int = 16) -> str:
-    """DuckDB replay of dedup.simhash_near_dup(token_hash='portable'):
-    distinct tokens per doc, 60-bit md5-derived token hash, per-bit +1/-1
-    votes, signature = OR of positive-vote bits, 16-bit band candidates,
-    Hamming via bit_count(xor(...))."""
+def _simhash_oracle_sql(
+    n_bits: int = 60, max_hamming: int = 16, max_bucket: int = 200
+) -> str:
+    """DuckDB replay of dedup.simhash_near_dup(token_hash='portable',
+    max_bucket=200): distinct tokens per doc, 60-bit md5-derived token
+    hash, per-bit +1/-1 votes, signature = OR of positive-vote bits,
+    16-bit band candidates with the windowed bucket-size cap, Hamming
+    via bit_count(xor(...))."""
     votes = ", ".join(
         f"SUM(CASE WHEN (h & (1::BIGINT << {i})) != 0 THEN 1 ELSE -1 END) "
         f"AS v{i}"
@@ -2230,8 +2238,11 @@ def _simhash_oracle_sql(n_bits: int = 60, max_hamming: int = 16) -> str:
         f"v AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id), "
         f"sig AS (SELECT doc_id, ({sig_bits}) AS s FROM v), "
         f"bandkeys AS ({band_selects}), "
+        "capped AS (SELECT doc_id, band, bucket FROM (SELECT *, COUNT(*) "
+        "OVER (PARTITION BY band, bucket) AS bsz FROM bandkeys) "
+        f"WHERE bsz <= {max_bucket}), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM bandkeys a JOIN bandkeys b ON a.band = b.band "
+        "FROM capped a JOIN capped b ON a.band = b.band "
         "AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
         "SELECT doc_a, doc_b, "
         "CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming "

@@ -418,7 +418,10 @@ def dedup_clusters(
 
 
 def simhash_near_dup(
-    documents: DataFrame, max_hamming: int = 8, token_hash: str = "xxhash64"
+    documents: DataFrame,
+    max_hamming: int = 8,
+    token_hash: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign of per-bit vote over token
     hashes; candidate pairs via 16-bit band equality (a pair within
@@ -429,7 +432,17 @@ def simhash_near_dup(
     ``token_hash='portable'`` swaps xxhash64 for the first 60 bits of
     md5(token) (15 hex chars — stays positive in int64), which an ANSI
     oracle reproduces exactly; bits 60-63 then vote -1 for every doc, a
-    constant the Hamming distance cancels."""
+    constant the Hamming distance cancels.
+
+    ``max_bucket`` is the scale lever: self-join fan-out is quadratic
+    per (band, bucket) cell, so a corpus with dense near-duplicate
+    clusters explodes hot buckets (measured 16.7x runtime on a 10x
+    corpus where every doc has 9 near-copies). Capping drops cells with
+    more than ``max_bucket`` members before the join — the SimHash twin
+    of n-gram Jaccard's ``max_df`` stop-shingle cap, with the same
+    recall trade: pairs confined to dropped mega-buckets are found by
+    the other 3 bands or not at all. The count rides the join's own
+    (band, bucket) partitioning — no extra shuffle."""
     n_bits = 60 if token_hash == "portable" else 64
 
     def _bit(i: int) -> int:
@@ -480,6 +493,15 @@ def simhash_near_dup(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     banded = banded.repartition(parallelism, "band", "bucket")
+    if max_bucket is not None:
+        from pyspark.sql.window import Window as _W
+
+        bw = _W.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

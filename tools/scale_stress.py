@@ -1,0 +1,104 @@
+"""10x scale-up stress for the round-3 operators (SCALE.md evidence).
+
+Builds a pseudo-sf1 replica of the sf0.1 documents/embeddings tables
+(10 copies, distinct ids, one perturbing token per document copy so
+replicas are near- not exact-duplicates — deliberately inflating shingle
+document frequency and bucket collision rates), then times each operator
+warm at sf0.1 and at 10x and prints a JSON table of the scaling ratios.
+
+Run: SPARK_GRAFT_DRIVER_MEM=24g python tools/scale_stress.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.session import get_spark, read_table
+from dbt_schema_builder_spark.operators import dedup, relational, similarity, text
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STAGE = "/tmp/scale10_r3"
+
+spark = get_spark(app_name="scale-stress")
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def stage_10x():
+    docs = read_table(spark, f"{SF_DIR}/documents.parquet")
+    emb = read_table(spark, f"{SF_DIR}/embeddings.parquet")
+    if not os.path.exists(f"{STAGE}/documents.parquet/_SUCCESS"):
+        rep = spark.range(10).select(F.col("id").alias("rep"))
+        (
+            docs.crossJoin(rep)
+            .select(
+                (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
+                ).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 5).alias("n_chars"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{STAGE}/documents.parquet")
+        )
+        (
+            emb.crossJoin(rep)
+            .select(
+                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{STAGE}/embeddings.parquet")
+        )
+    return (
+        read_table(spark, f"{STAGE}/documents.parquet"),
+        read_table(spark, f"{STAGE}/embeddings.parquet"),
+    )
+
+
+def timed(df):
+    df.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+docs1 = read_table(spark, f"{SF_DIR}/documents.parquet")
+emb1 = read_table(spark, f"{SF_DIR}/embeddings.parquet")
+docs10, emb10 = stage_10x()
+print(
+    "rows:",
+    docs1.count(), "->", docs10.count(), "docs;",
+    emb1.count(), "->", emb10.count(), "vecs",
+    file=sys.stderr,
+)
+
+OPS = {
+    "simhash_near_dup(h<=8)": lambda d, e: dedup.simhash_near_dup(
+        d, max_hamming=8, token_hash="portable"
+    ),
+    "lsh_quantized_topk": lambda d, e: similarity.lsh_quantized_topk(e),
+    "source_overlap_matrix": lambda d, e: dedup.source_overlap_matrix(d),
+    "kmeans(k=8,it=3)": lambda d, e: similarity.kmeans(e, k=8, iterations=3),
+    "lang_id": lambda d, e: text.lang_id(d),
+    "minhash_portable": lambda d, e: dedup.minhash_lsh_candidates(
+        d, shingle_hash="portable"
+    ),
+}
+
+table = {}
+for name, fn in OPS.items():
+    t1 = timed(fn(docs1, emb1))
+    t10 = timed(fn(docs10, emb10))
+    table[name] = {"sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)}
+    print(f"{name}: {t1}s -> {t10}s ({table[name]['ratio']}x)", file=sys.stderr)
+
+print(json.dumps(table))
