@@ -189,12 +189,32 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (max cosine). ``centroids`` needs (centroid_id, centroid_vec); it is
-    broadcast — the corpus never shuffles for assignment."""
-    scored = embeddings.join(F.broadcast(centroids)).select(
+    broadcast — the corpus never shuffles for assignment.
+
+    Norms are precomputed once per side before the k-way fan-out: inlining
+    ``cosine()`` into the joined projection recomputes the row norm per
+    CENTROID (k × dim redundant interpreted ops per row — the same
+    CollapseProject trap as quantize_embeddings, fixed the same way with
+    an explode-let). Same doubles, so rankings and the DuckDB oracle are
+    unchanged."""
+    emb_n = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(_norm(F.col("embedding")))).alias("_vn"),
+    )
+    cent_n = centroids.select(
+        "centroid_id",
+        "centroid_vec",
+        _norm(F.col("centroid_vec")).alias("_cn"),
+    )
+    scored = emb_n.join(F.broadcast(cent_n)).select(
         "vec_id",
         "embedding",
         "centroid_id",
-        cosine(F.col("embedding"), F.col("centroid_vec")).alias("sim"),
+        (
+            _dot(F.col("embedding"), F.col("centroid_vec"))
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return (
