@@ -45,10 +45,20 @@ def test_empty_input_through_operators(spark, tables):
     empty_docs = tables["documents"].where("doc_id < 0")
     assert dedup.exact_dedup(empty_docs).count() == 0
     assert dedup.minhash_lsh_candidates(empty_docs).count() == 0
+    assert dedup.simhash_near_dup(
+        empty_docs, token_hash="portable", max_bucket=200
+    ).count() == 0
     assert text.quality_score(empty_docs).count() == 0
+    assert text.lang_id(empty_docs).count() == 0
     empty_events = tables["events"].where("event_id < 0")
     assert timeseries.sessionize(empty_events).count() == 0
     assert timeseries.tumbling_window_stats(empty_events).count() == 0
+    from dbt_schema_builder_spark.operators import relational
+
+    assert relational.heavy_hitters(empty_events, "event_type").count() == 0
+    empty_emb = tables["embeddings"].where("vec_id < 0")
+    assert similarity.quantize_embeddings(empty_emb).count() == 0
+    assert similarity.lsh_quantized_topk(empty_emb).count() == 0
 
 
 def test_kmeans_converges_to_stable_assignment(spark, tables):
