@@ -367,11 +367,23 @@ def dedup_clusters(
 
     ``pairs`` needs (doc_a, doc_b). Returns (doc_id, cluster_id).
     """
+    # both edge orientations from ONE evaluation of `pairs`: the union
+    # form evaluates the caller's pair pipeline (often a full shingle
+    # self-join) once per branch — measured 2x the whole query cost
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
