@@ -864,6 +864,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM, per-doc mean smoothed conditional
+    log-probability (new in r3; fixed-point mean, full oracle)."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling rates for an equal-share token budget."""
     return text.source_mix(_t(spark, sf_dir, "documents"), budget_tokens=100_000)
@@ -1145,7 +1151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_json_extract": q_json_extract,
         "q_salted_agg": q_salted_agg,
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_pii_view_projection": q_pii_view_projection,
         "q_soft_delete_filter": q_soft_delete_filter,
         "q_banned_column_filter": q_banned_column_filter,
@@ -1160,12 +1165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (e) upgraded rows-only -> hard oracle this round, second batch
         "q_kmeans": q_kmeans,
         "q_lsh_topk": q_lsh_topk,
+        # (f) new round-3 operator (oracle-backed)
+        "q_bigram_logprob": q_bigram_logprob,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
         "q_multimodal_features": q_multimodal_features,
         "q_audio_features": q_audio_features,
         # ---- driver window boundary (50) ----
         # all queries below carry recorded rows from round 1 or 2
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_dupe_detection": q_dupe_detection,
         "q_metadata_merge_join": q_metadata_merge_join,
         "q_rollup": q_rollup,
@@ -2092,6 +2100,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sqrt(SUM(x * x) * 1.0 / COUNT(*)), 4) AS rms, "
             "CAST(MAX(x) AS INT) AS peak "
             "FROM c GROUP BY doc_id, chunk_idx"
+        ),
+        # bigram LM: conditional smoothed log-probs, context counts
+        # rolled up from the bigram table, fixed-point per-doc mean
+        "q_bigram_logprob": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+            "'\\s+') AS a FROM documents), "
+            "big AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM t, "
+            "LATERAL unnest(generate_series(1, len(a)-1)) AS u(i)), "
+            "bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2), "
+            "cc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cctx FROM bc "
+            "GROUP BY w1), "
+            "vv AS (SELECT COUNT(DISTINCT tok) AS v FROM "
+            "(SELECT unnest(a) AS tok FROM t)), "
+            "scored AS (SELECT doc_id, ln((cb + 1) / CAST(cctx + v AS "
+            "DOUBLE)) AS lp FROM big JOIN bc USING (w1, w2) "
+            "JOIN cc USING (w1) CROSS JOIN vv) "
+            "SELECT doc_id, ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS "
+            "BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) + 0.0 AS "
+            "avg_logprob, COUNT(*) AS n_bigrams FROM scored GROUP BY doc_id"
         ),
         # rows-only by design: q_approx_distinct (HLL sketch — the one
         # query whose output is approximate with no deterministic replay)

@@ -73,6 +73,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_audio_features",
     "q_source_overlap",
+    "q_bigram_logprob",
 ]
 
 

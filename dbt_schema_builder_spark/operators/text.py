@@ -499,6 +499,60 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Bigram language-model quality score — the KenLM-shaped upgrade of
+    ``unigram_logprob``: each document's mean smoothed conditional token
+    log-probability ln((c(w_prev, w) + 1) / (c_ctx(w_prev) + V)), where
+    c_ctx is the count of bigrams starting with w_prev (derivable from
+    the bigram table itself — no second corpus pass) and V the unigram
+    vocabulary. Word-salad whose unigrams are common but transitions are
+    not scores low; repeated boilerplate scores high — the signal CCNet
+    thresholds KenLM perplexity on.
+
+    Shape: one tokenize pass (repartitioned before the explode),
+    zip_with over shifted slices for the bigram stream, one (w1, w2)
+    count shuffle, a context roll-up of that count table, one join of
+    the bigram stream back on its key (the cost center; the count side
+    is Zipf-small and AQE broadcasts it in practice), fixed-point
+    ``_det_avg`` per doc. Documents with fewer than two tokens have no
+    bigrams and drop out, same as the oracle.
+    """
+    from .similarity import _det_avg
+
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    t = documents.select("doc_id", tokens().alias("toks")).repartition(
+        parallelism
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.slice("toks", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cctx"))
+    vocab = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    lp = F.log(
+        (F.col("cb") + F.lit(1)).cast("double")
+        / (F.col("cctx") + F.col("v")).cast("double")
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(_det_avg(lp), 4) + F.lit(0.0)).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def source_mix(
     documents: DataFrame, budget_tokens: int = 100_000, by: str = "source"
 ) -> DataFrame:

@@ -694,3 +694,20 @@ def test_source_overlap_matrix_planted(spark, tables):
     assert r["n_shared"] == 3  # the 3 tri-grams inside the shared run
     # each source has 5 distinct tri-grams (7 tokens)
     assert r["jaccard"] == round(3 / (5 + 5 - 3), 4)
+
+
+def test_bigram_logprob_invariants(spark, tables):
+    """Scores are log-probabilities (< 0), bigram counts equal token
+    count - 1 per doc, and sub-2-token docs drop out."""
+    docs = tables["documents"]
+    out = text.bigram_logprob(docs).collect()
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    assert len(out) == sum(1 for n in n_tok.values() if n >= 2)
+    for r in out:
+        assert r.avg_logprob < 0
+        assert r.n_bigrams == n_tok[r.doc_id] - 1
