@@ -143,6 +143,31 @@ def _vectorized_signature(planes: list[list[float]]):
     return sig
 
 
+def _vectorized_table_buckets(
+    planes: list[list[float]], bits: int, tables: int
+):
+    """Per-table LSH buckets for all tables from one Arrow-batched GEMM:
+    (N x dim) @ (dim x bits*tables) sign bits, reshaped (N, tables, bits)
+    and bit-packed per table. Same float64 dots as the per-table
+    ``hyperplane_signature`` composition, ~an order of magnitude cheaper
+    than bits*tables interpreted HOF dot products per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64").T  # dim x (bits*tables)
+    weights = (1 << np.arange(bits)).astype("int64")
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        M = np.vstack(v.to_numpy()).astype("float64")
+        signs = (M @ P) > 0  # N x (bits*tables)
+        packed = signs.reshape(len(M), tables, bits) @ weights  # N x tables
+        return pd.Series(list(packed))
+
+    return buckets
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -260,9 +285,12 @@ def kmeans(
     shape: per round, assign via broadcast centroids (``ivf_assign``),
     recompute centroids as per-cluster means, loop on the driver. Only
     the k centroid vectors ever reach the driver; the corpus stays
-    distributed and is re-scanned once per iteration. Deterministic init
-    (first k vec_ids). Returns the final (vec_id, centroid_id)."""
+    distributed and is persisted across iterations (each round's assign +
+    means both scan it — without the persist that is 2 parquet scans per
+    iteration). Deterministic init (first k vec_ids). Returns the final
+    (vec_id, centroid_id)."""
     spark = embeddings.sparkSession
+    embeddings = embeddings.persist()
     centroids = (
         embeddings.orderBy("vec_id")
         .limit(k)
@@ -386,6 +414,127 @@ def embedding_near_dup_blocked(
     )
 
 
+def embedding_near_dup_ivf_sharded(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    k_cells: int = 32,
+    nprobe: int = 3,
+    round_to: int = 4,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """Bounded-work near-dup pairs for weak thresholds: GEMM *within IVF
+    cells* instead of across all block pairs. Each vector is replicated
+    to its ``nprobe`` nearest coarse cells (multi-probe); a pair is
+    emitted iff the two vectors share >= 1 cell and their exact cosine
+    clears the threshold. Work is O(sum cell_pop^2) ~= O(n^2 * nprobe /
+    k_cells) with balanced cells — k_cells scales with the corpus, so
+    per-task work stays fixed where the blocked-GEMM path grows
+    quadratically.
+
+    The price is RECALL < 1: a qualifying pair whose members share no
+    probed cell is silently missed, and weak-similarity pairs (cos 0.5 =
+    60 degrees) are exactly the ones that straddle cell boundaries —
+    measured ~0.8 recall vs ``embedding_near_dup_exact`` on this corpus
+    (pinned in tests/test_llm_ops.py). That trade is the POINT: it is
+    the only way to cap the work at weak thresholds, and callers who
+    need completeness must pay for ``strategy="blocked"`` explicitly.
+
+    ``max_cell`` caps any one cell's population (keep the lowest vec_ids
+    — deterministic) so one mega-cluster cannot recreate the quadratic
+    blow-up inside a single task; the simhash max_bucket lesson, one
+    level up. Centroids are the first ``k_cells`` corpus vectors
+    (deterministic, the ivf_topk convention)."""
+    centroids = (
+        embeddings.orderBy("vec_id")
+        .limit(k_cells)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    # normalize once; GEMM then needs only dot products
+    inv_norm = F.lit(1.0) / _norm(F.col("embedding"))
+    normed = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * inv_norm
+        ).alias("nvec"),
+    )
+    cent_n = centroids.select(
+        "centroid_id",
+        "centroid_vec",
+        _norm(F.col("centroid_vec")).alias("_cn"),
+    )
+    # multi-probe assignment: top-nprobe cells per vector (nvec is unit,
+    # so cosine = dot / centroid norm)
+    scored = normed.join(F.broadcast(cent_n)).select(
+        "vec_id",
+        "nvec",
+        "centroid_id",
+        (_dot(F.col("nvec"), F.col("centroid_vec")) / F.col("_cn")).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        scored.select(
+            "vec_id", "nvec", "centroid_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= nprobe)
+        .drop("rn")
+    )
+    # per-cell population cap on the join's own partitioning (keep the
+    # lowest vec_ids): bounds the worst single task at (max_cell)^2
+    wc = Window.partitionBy("centroid_id").orderBy("vec_id")
+    capped = (
+        probed.select(
+            "vec_id", "nvec", "centroid_id",
+            F.row_number().over(wc).alias("pos"),
+        )
+        .where(F.col("pos") <= max_cell)
+        .drop("pos")
+    )
+    thr = float(threshold)
+
+    def _cell_gemm(key, pdf):
+        # no type hints (partial hints break applyInPandas inference)
+        import numpy as np
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf.vec_id.to_numpy()
+        M = np.vstack(pdf.nvec.to_numpy())
+        sims = M @ M.T
+        ia, ib = np.nonzero(sims >= thr)
+        keep = ids[ia] < ids[ib]
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "sim": sims[ia, ib][keep],
+            }
+        )
+
+    pairs = capped.groupBy("centroid_id").applyInPandas(
+        _cell_gemm, "vec_a long, vec_b long, sim double"
+    )
+    # a pair co-probing several cells is computed in each; dedup on ids
+    return (
+        pairs.dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.round("sim", round_to) + F.lit(0.0)).alias("sim"),
+        )
+    )
+
+
 def embedding_near_dup_exact(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:
@@ -411,22 +560,32 @@ def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,
     strategy: str = "auto",
-    bits: int = 4,
-    tables: int = 32,
+    bits: int = 8,
+    tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     blocks: int = 8,
+    max_gemm_rows: int = 5_000_000,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold), strategy chosen by
     the similarity regime — measured on this corpus, not assumed:
 
     - ``"lsh"``: multi-table hyperplane-LSH candidates + exact verify.
       Sublinear ONLY for high thresholds: a pair at angle theta collides
-      per table with (1-theta/pi)**bits, so at threshold 0.9 (theta ~=
-      26deg) 4-bit tables pass 28% of true pairs but only 6% of random
-      ones. At threshold 0.5 (theta ~= 60deg) the gap collapses: 87% of
-      RANDOM pairs collide in >=1 of 32 tables (p_rand = 0.5 per bit),
-      so "candidates" ~= all pairs and the verify stage is quadratic
+      per table with (1-theta/pi)**bits. Table WIDTH is the selectivity
+      lever: the original 4-bit x 32-table defaults let 87% of RANDOM
+      pairs (theta ~= 90deg, p_bit = 0.5) collide in >= 1 table, which
+      made candidate generation near-quadratic at ANY threshold — first
+      surfaced when round 4 benched this branch at sf0.1: 39 s, 24x
+      slower than the all-pairs block GEMM. 8-bit x 16-table defaults
+      collide only ~6% of random pairs (1 - (1 - 2^-8)^16) while a true
+      pair at cos 0.9 (p_bit = 0.856) still lands in >= 1 table with
+      ~99.6% probability; at the 0.8 dispatch boundary recall is ~94%
+      (measured 39 s -> 1.7 s at sf0.1, planted-dup recall unchanged —
+      identical vectors collide in EVERY table at any width). At weak
+      thresholds the gap still collapses (theta ~= 60deg: p_bit = 0.67,
+      random-pair table collision only ~25x rarer than true-pair), so
+      "candidates" ~= all pairs and the verify stage is quadratic
       anyway (measured 16.4 s at sf0.1). IVF multi-probe is no better
       here: top-3-of-32 cells capture only 11/14 qualifying pairs at
       sf0.1 — weak-similarity pairs are not clusterable.
@@ -435,30 +594,47 @@ def embedding_near_dup(
       threshold is too weak for any sketch to filter: O(n^2) work is
       information-theoretically unavoidable, so spend it in vectorized
       matrix math instead of per-pair expression eval.
-    - ``"auto"``: "lsh" at threshold >= 0.8, else "blocked".
+    - ``"ivf_sharded"``: bounded-work GEMM within multi-probed IVF cells
+      (``embedding_near_dup_ivf_sharded``) — sub-quadratic at weak
+      thresholds at the price of documented recall loss (~0.8 measured).
+    - ``"auto"``: "lsh" at threshold >= 0.8, else "blocked" — but the
+      blocked dispatch is guarded: exact completeness at a weak
+      threshold is O(n^2) compute, so corpora beyond ``max_gemm_rows``
+      refuse loudly instead of launching an unbounded job. The caller
+      then chooses: "ivf_sharded" (bounded, lossy) or a bigger
+      ``max_gemm_rows`` (they know their cluster budget).
     """
     if strategy == "auto":
         strategy = "lsh" if threshold >= 0.8 else "blocked"
+    if strategy == "ivf_sharded":
+        return embedding_near_dup_ivf_sharded(embeddings, threshold=threshold)
     if strategy == "blocked":
+        n = embeddings.count()
+        if n > max_gemm_rows:
+            raise ValueError(
+                f"embedding_near_dup: exact blocked-GEMM at threshold "
+                f"{threshold} over {n} rows is O(n^2) compute "
+                f"(> max_gemm_rows={max_gemm_rows}). No sketch can "
+                "prune weak-similarity pairs (cos 0.5 is 60 degrees — "
+                "87% of RANDOM pairs collide in >=1 LSH table), so "
+                "either accept recall loss with strategy='ivf_sharded' "
+                "or raise max_gemm_rows to pay the quadratic cost "
+                "knowingly."
+            )
         return embedding_near_dup_blocked(
             embeddings, threshold=threshold, blocks=blocks
         )
     all_planes = _hyperplanes(dim, bits * tables, seed)
-    sig_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(
-                    F.col("embedding"), all_planes[t * bits : (t + 1) * bits]
-                ).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
-    )
+    # all tables' buckets from ONE Arrow GEMM per batch (the
+    # _vectorized_signature precedent: bits*tables plane dots per row is
+    # dense linear algebra, the one place pandas beats codegen);
+    # posexplode turns the per-table bucket array into (tbl, bucket) rows
+    buckets_of = _vectorized_table_buckets(all_planes, bits, tables)
     parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
     bucketed = (
-        embeddings.select("vec_id", F.explode(sig_structs).alias("tb"))
-        .select("vec_id", "tb.tbl", "tb.bucket")
+        embeddings.select(
+            "vec_id", F.posexplode(buckets_of("embedding")).alias("tbl", "bucket")
+        )
         .repartition(parallelism, "tbl", "bucket")
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -476,18 +652,40 @@ def embedding_near_dup(
         # (two ids), vectors are wide — verify each candidate once
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    ea = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    # verify on pre-normalized vectors: the naive cosine(emb_a, emb_b)
+    # form recomputes BOTH norms per candidate pair (the ivf_assign
+    # trap); normalizing once per vector behind an explode-let Generate
+    # leaves one dot product per pair — same blocked-GEMM math, same
+    # 4-decimal rounded sims
+    normed = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array(_norm(F.col("embedding")))).alias("_n"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_n")
+            ).alias("nvec"),
+        )
     )
-    eb = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    ea = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("nvec").alias("nvec_a")
     )
-    raw = cosine(F.col("emb_a"), F.col("emb_b"))
+    eb = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("nvec").alias("nvec_b")
+    )
+    raw = _dot(F.col("nvec_a"), F.col("nvec_b"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .where(raw >= threshold)
-        .select("vec_a", "vec_b", F.round(raw, 4).alias("sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.round(raw, 4) + F.lit(0.0)).alias("sim"),
+        )
     )
 
 

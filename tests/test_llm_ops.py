@@ -110,6 +110,45 @@ def test_embedding_near_dup_lsh_matches_exact(spark, tables):
     assert blocked == exact
 
 
+def test_embedding_near_dup_guard_refuses_unbounded_gemm(spark, tables):
+    """The weak-threshold blocked-GEMM path is O(n^2) compute; beyond
+    max_gemm_rows it must refuse loudly (naming the recall trade) rather
+    than launch an unbounded job on a 100-TB corpus."""
+    emb = tables["embeddings"]
+    with pytest.raises(ValueError, match="ivf_sharded"):
+        similarity.embedding_near_dup(emb, threshold=0.5, max_gemm_rows=10)
+    # the high-threshold LSH path is sub-quadratic and never guarded
+    similarity.embedding_near_dup(emb, threshold=0.9, max_gemm_rows=10)
+
+
+def test_embedding_near_dup_ivf_sharded_recall(spark, tables):
+    """The bounded-work weak-threshold strategy: every emitted pair must
+    be a true pair with the exact cosine (precision 1 — the in-cell
+    verify is exact), and recall vs the quadratic oracle is pinned at
+    the documented ~0.8 level. Deterministic: centroids are the first k
+    corpus vectors and probing is argmax-cosine, so recall is a fixed
+    function of the data, not a seed."""
+    emb = tables["embeddings"]
+    exact = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in similarity.embedding_near_dup_exact(emb, 0.45).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in similarity.embedding_near_dup_ivf_sharded(
+            emb, 0.45, k_cells=32, nprobe=5
+        ).collect()
+    }
+    assert set(got) <= set(exact)  # no false positives
+    assert all(got[p] == exact[p] for p in got)  # exact sims
+    assert len(got) / len(exact) >= 0.8  # measured 6/7 on this corpus
+    # dispatcher route
+    routed = similarity.embedding_near_dup(
+        emb, threshold=0.45, strategy="ivf_sharded"
+    )
+    assert {(r.vec_a, r.vec_b) for r in routed.collect()} <= set(exact)
+
+
 def test_embedding_near_dup_lsh_finds_planted_duplicate(spark, tables):
     """High-threshold regime: an identical planted vector has identical
     hyperplane signs, so the LSH path finds it deterministically (every
