@@ -356,7 +356,7 @@ def minhash_lsh_candidates(
 
 
 def dedup_clusters(
-    pairs: DataFrame, max_iterations: int = 10
+    pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """Transitive closure of near-dup pairs into clusters: each doc gets
     the minimum doc_id reachable through the pair graph (the canonical
@@ -392,6 +392,7 @@ def dedup_clusters(
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -425,7 +426,21 @@ def dedup_clusters(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # the q_dedup_clusters oracle is the FULL transitive closure
+        # (recursive CTE); silently returning unconverged labels would be
+        # a wrong answer, not a slow one. Min-label propagation advances
+        # one hop per round, so 50 rounds cover components of diameter 50
+        # — far past any dup group; hitting this means the pair threshold
+        # is chaining non-duplicates and the caller must decide.
+        raise RuntimeError(
+            "dedup_clusters did not converge within "
+            f"{max_iterations} label-propagation rounds; raise "
+            "max_iterations (components this deep suggest the pair "
+            "threshold is admitting non-duplicates)"
+        )
     return labels
 
 
