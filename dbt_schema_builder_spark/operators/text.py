@@ -479,7 +479,11 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     """
     from .similarity import _det_avg
 
-    toks = documents.select("doc_id", F.explode(tokens()).alias("token"))
+    # persist: the exploded token stream feeds both the count shuffle and
+    # the scoring join — without it the tokenize re-runs per consumer
+    toks = documents.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    ).persist()
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
@@ -520,8 +524,14 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     from .similarity import _det_avg
 
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    t = documents.select("doc_id", tokens().alias("toks")).repartition(
-        parallelism
+    # persist: the tokenize pipeline has three consumers (the bigram
+    # stream, the context roll-up's parent, and the vocab scan) — without
+    # it each re-runs the regex split per consumer (the multi-evaluation
+    # trap measured 3x cost on source_overlap_matrix)
+    t = (
+        documents.select("doc_id", tokens().alias("toks"))
+        .repartition(parallelism)
+        .persist()
     )
     n1 = F.greatest(F.size("toks") - 1, F.lit(0))
     pairs = F.zip_with(
@@ -532,7 +542,9 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     big = t.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # the Zipf-small count table also has two consumers (context roll-up
+    # + the scoring join); persisting it avoids a second explode+shuffle
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
     cc = bc.groupBy("w1").agg(F.sum("cb").alias("cctx"))
     vocab = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
