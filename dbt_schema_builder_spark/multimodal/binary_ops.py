@@ -86,7 +86,7 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     resize / embed stage uses."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
         for pdf in batches:
             out = {
@@ -101,18 +101,18 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 # fixed-point micro-units (the repo convention for
                 # reproducible float aggregates): each histogram term is
                 # rounded to 1e-6 BEFORE summing, so the integer sum is
-                # order-independent and an ANSI oracle replays it exactly
+                # order-independent and an ANSI oracle replays it exactly.
+                # Histogram via np.bincount over a zero-copy frombuffer
+                # view (vectorized; the per-byte Python loop it replaced
+                # was the batch bottleneck), same float64 ops bit-for-bit.
                 if not b:
                     return 0.0
-                counts: dict[int, int] = {}
-                for byte in b:
-                    counts[byte] = counts.get(byte, 0) + 1
-                n = len(b)
-                micro = sum(
-                    math.floor(-(c / n) * math.log2(c / n) * 1_000_000 + 0.5)
-                    for c in counts.values()
+                counts = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8), minlength=256
                 )
-                return micro / 1_000_000
+                p = counts[counts > 0] / len(b)
+                micro = np.floor(-p * np.log2(p) * 1_000_000 + 0.5).sum()
+                return float(micro) / 1_000_000
 
             out["byte_entropy"] = pdf["payload"].map(entropy).astype("float64")
             yield pd.DataFrame(out)
