@@ -467,11 +467,30 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7: HLL profiling (rows-only — approximate by design)."""
+    """B7: HLL profiling, sketch-then-verify (the q_heavy_hitters
+    pattern): the HLL estimate itself is engine-specific and stays out
+    of the hashed surface; what IS hashed is the exact per-group
+    distinct count (oracle-replayable) plus an integer flag asserting
+    the sketch landed within 5% of it. rsd=0.02 leaves a wide margin —
+    measured ≤0.67% across sf0.001..sf0.1 (default rsd=0.05 measured
+    6.7% at sf0.1, outside its own envelope)."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            )
+            .cast("int")
+            .alias("within_5pct"),
+        )
     )
 
 
@@ -1104,35 +1123,85 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round 3 front-loads (a) the 5 oracle-backed queries fixed this
-    round (NTZ family + quantize hash surface — the only ones without a
-    currently-valid green row), (b) the 3 queries upgraded from rows-only
-    to hard oracles this round, (c) the 5 streaming rows-only queries
-    whose source path changed (re-record rows > 0 under the new NTZ
-    schema), then (d) oracle-backed keepers re-confirming under the new
-    read_table seam. Every query past position 50 carries a recorded
-    driver row from round 1 or 2 (tests/test_query_window.py audits
-    this)."""
+    keys. Round 4 front-loads (a) q_approx_distinct — newly oracle-backed
+    via the exact-count + within_5pct envelope, the only key without a
+    green row ever; (b) the three queries whose hashed values changed
+    this round (micro-unit fixed-point sums: q_stream_tumbling,
+    q_stream_user_state, q_tumbling_window); (c) the ten keys last
+    driver-verified in round 1 (environment drift broke old-greens once
+    already — round-2 lesson); (d) keys in modules touched this round
+    (ANN guard, dedup_clusters convergence, LM-scorer persists, bincount
+    entropy); then (e) round-2-verified keepers to refresh. Every query
+    past position 50 carries a green row from round 2 or 3
+    (tests/test_query_window.py audits this)."""
     return {
-        # (a) fixed this round — need a first (or first valid) green row
+        # (a) newly oracle-backed (sketch-then-verify envelope)
+        "q_approx_distinct": q_approx_distinct,
+        # (b) hashed values changed this round (micro-unit sums)
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_user_state": q_stream_user_state,
+        "q_tumbling_window": q_tumbling_window,
+        # (c) stale round-1 rows — re-verify against drift
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
+        "q_dupe_detection": q_dupe_detection,
+        "q_metadata_merge_join": q_metadata_merge_join,
+        "q_rollup": q_rollup,
+        "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_ivf_topk": q_ivf_topk,
+        "q_catalog_scan": q_catalog_scan,
+        # (d) modules touched this round
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_multimodal_features": q_multimodal_features,
+        # (e) round-2 keepers rotated in for a fresh row
+        "q_winnowing": q_winnowing,
+        "q_stratified_sample": q_stratified_sample,
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_token_count": q_token_count,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_quality_score": q_quality_score,
+        "q_text_stats": q_text_stats,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_pandas_udf": q_pandas_udf,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_frame_sample": q_frame_sample,
+        "q_prep_pipeline": q_prep_pipeline,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
+        "q_profile": q_profile,
+        "q_pii_scrub": q_pii_scrub,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_hash_split": q_hash_split,
+        "q_source_mix": q_source_mix,
+        "q_percentile_filter": q_percentile_filter,
+        "q_cap_per_source": q_cap_per_source,
+        "q_oov_rate": q_oov_rate,
+        "q_dedup_stats": q_dedup_stats,
+        "q_weighted_sample": q_weighted_sample,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_zipf_stats": q_zipf_stats,
+        "q_curriculum_bins": q_curriculum_bins,
+        # ---- driver window boundary (50) ----
+        # all queries below carry green rows from round 2 or 3
         "q_session_window": q_session_window,
         "q_merge_latest": q_merge_latest,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        # (b) upgraded rows-only -> hard oracle this round
         "q_near_dup": q_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
-        "q_dedup_clusters": q_dedup_clusters,
-        # (c) streaming source path changed (NTZ schema + staged files)
-        "q_stream_tumbling": q_stream_tumbling,
         "q_stream_session": q_stream_session,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_join": q_stream_join,
-        "q_stream_user_state": q_stream_user_state,
-        # (d) oracle-backed keepers (all green-ever; re-confirm under the
-        # new timestamp seam — events consumers first)
-        "q_tumbling_window": q_tumbling_window,
         "q_sliding_window": q_sliding_window,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_stream_enrich": q_stream_enrich,
@@ -1162,63 +1231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_quoting": q_keyword_quoting,
         "q_regex_anti_filter": q_regex_anti_filter,
         "q_scalar_kernel": q_scalar_kernel,
-        # (e) upgraded rows-only -> hard oracle this round, second batch
         "q_kmeans": q_kmeans,
         "q_lsh_topk": q_lsh_topk,
-        # (f) new round-3 operator (oracle-backed)
-        "q_bigram_logprob": q_bigram_logprob,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
-        "q_multimodal_features": q_multimodal_features,
         "q_audio_features": q_audio_features,
-        # ---- driver window boundary (50) ----
-        # all queries below carry recorded rows from round 1 or 2
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
-        "q_dupe_detection": q_dupe_detection,
-        "q_metadata_merge_join": q_metadata_merge_join,
-        "q_rollup": q_rollup,
-        "q_window_rank": q_window_rank,
-        "q_window_running": q_window_running,
-        "q_topk": q_topk,
-        "q_set_ops": q_set_ops,
-        "q_ivf_topk": q_ivf_topk,
-        "q_winnowing": q_winnowing,
-        "q_stratified_sample": q_stratified_sample,
-        "q_centroid_by_label": q_centroid_by_label,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_token_count": q_token_count,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_quality_score": q_quality_score,
-        "q_text_stats": q_text_stats,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_pandas_udf": q_pandas_udf,
-        "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_frame_sample": q_frame_sample,
-        "q_prep_pipeline": q_prep_pipeline,
-        "q_pivot": q_pivot,
-        "q_unpivot": q_unpivot,
-        "q_profile": q_profile,
-        "q_pii_scrub": q_pii_scrub,
-        "q_repetition_stats": q_repetition_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_hash_split": q_hash_split,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_source_mix": q_source_mix,
-        "q_percentile_filter": q_percentile_filter,
-        "q_cap_per_source": q_cap_per_source,
-        "q_oov_rate": q_oov_rate,
-        "q_dedup_stats": q_dedup_stats,
-        "q_weighted_sample": q_weighted_sample,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_zipf_stats": q_zipf_stats,
-        "q_curriculum_bins": q_curriculum_bins,
         "q_quantized_topk": q_quantized_topk,
         "q_source_overlap": q_source_overlap,
-        "q_catalog_scan": q_catalog_scan,
-        "q_approx_distinct": q_approx_distinct,
     }
 
 
@@ -1434,7 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_tumbling_window": (
             "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events, "
-            "ROUND(SUM(value), 4) AS sum_value, "
+            "SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS sum_value, "
             "COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY date_trunc('hour', ts)"
         ),
@@ -2007,8 +2026,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH w AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm "
             "FROM events), "
             "b AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS "
-            "n_events, ROUND(SUM(value), 4) AS sum_value FROM events "
-            "GROUP BY 1) "
+            "n_events, SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6 "
+            "AS sum_value FROM events GROUP BY 1) "
             "SELECT epoch_ms(bucket) AS bucket_ms, n_events, sum_value "
             "FROM b, w WHERE bucket + INTERVAL 1 HOUR <= wm"
         ),
@@ -2049,7 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         # user per batch; single batch => the per-user batch aggregate
         "q_stream_user_state": (
             "SELECT user_id, COUNT(*) AS n_events, "
-            "ROUND(SUM(value), 4) AS total_value, "
+            "SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS total_value, "
             "epoch_ms(MAX(ts)) AS last_ts_ms FROM events GROUP BY user_id"
         ),
         # heuristic language ID: integer marker-hit argmax, tie-broken
@@ -2120,8 +2139,15 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) + 0.0 AS "
             "avg_logprob, COUNT(*) AS n_bigrams FROM scored GROUP BY doc_id"
         ),
-        # rows-only by design: q_approx_distinct (HLL sketch — the one
-        # query whose output is approximate with no deterministic replay)
+        # sketch-then-verify (the q_heavy_hitters pattern): the hashed
+        # surface is the exact distinct count + the integer accuracy flag;
+        # the HLL estimate itself never enters the hash. within_5pct = 1
+        # is the oracle's assertion that the rsd=0.02 sketch held its
+        # envelope (measured ≤0.67% error across sf0.001..sf0.1).
+        "q_approx_distinct": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "1 AS within_5pct FROM events GROUP BY event_type"
+        ),
     }
 
 

@@ -21,7 +21,13 @@ def tumbling_window_stats(events: DataFrame, unit: str = "hour") -> DataFrame:
         events.groupBy(F.date_trunc(unit, F.col("ts")).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # fixed-point micro-units: round each row once (deterministic),
+            # sum exactly as longs, divide once — a distributed double sum
+            # is summation-order dependent and a trailing ROUND(..., 4) can
+            # flip on the last bits (repo convention, see similarity._det_avg)
+            (F.sum(F.round(F.col("value") * 1e6).cast("long")) / F.lit(1e6)).alias(
+                "sum_value"
+            ),
             F.countDistinct("user_id").alias("n_users"),
         )
     )

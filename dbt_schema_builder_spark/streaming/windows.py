@@ -80,7 +80,12 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", width).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # micro-unit fixed point (not ROUND(SUM,4)): the partial-agg
+            # order of a distributed double sum is nondeterministic and a
+            # trailing round can flip — integer micro-unit sums are exact
+            (
+                F.sum(F.round(F.col("value") * 1e6).cast("long")) / F.lit(1e6)
+            ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("bucket"), "n_events", "sum_value")
     )
@@ -126,7 +131,10 @@ USER_STATE_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType(), True),
-        StructField("total", DoubleType(), True),
+        # total value in integer micro-units: accumulating a double across
+        # micro-batches is order dependent and Python round() is banker's
+        # (unlike Spark/DuckDB half-away) — exact long arithmetic instead
+        StructField("total_micro", LongType(), True),
     ]
 )
 
@@ -153,21 +161,24 @@ def streaming_user_state(
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_micro = state.get if state.exists else (0, 0)
         last_ts = None
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # value_micro is derived Spark-side (F.round half-away), so
+            # the state update is exact integer arithmetic — reproducible
+            # regardless of batch/partition order
+            total_micro += int(pdf["value_micro"].sum())
             m = pdf["ts"].max()
             last_ts = m if last_ts is None else max(last_ts, m)
-        state.update((n, total))
+        state.update((n, total_micro))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 4)],
+                "total_value": [total_micro / 1e6],
                 "last_ts": [last_ts],
             }
         )
@@ -178,7 +189,10 @@ def streaming_user_state(
         else GroupStateTimeout.NoTimeout
     )
     return (
-        events.groupBy("user_id")
+        events.withColumn(
+            "value_micro", F.round(F.col("value") * 1e6).cast("long")
+        )
+        .groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType=USER_STATE_SCHEMA,

@@ -126,3 +126,28 @@ def test_timestamp_nanos_truncation_agrees_with_duckdb(spark, tmp_path):
     assert spark_rows == duck_rows
     # and the expected floor semantics hold
     assert spark_rows[0] == (1_700_000_000_123, 1_700_000_000_123_456)
+
+
+def test_documents_text_is_pure_ascii_across_sfs(spark):
+    """Pin the corpus assumption the multimodal/audio oracles depend on:
+    q_multimodal_features / q_audio_features build their DuckDB oracles
+    with CHARACTER semantics (len(s), ascii(substr(s, i, 1))) while the
+    Spark side operates on the UTF-8 BYTE payload (F.encode). The two
+    agree iff every document is pure ASCII (1 char == 1 byte, codepoint
+    == byte value). Green today because the synthetic corpus is ASCII —
+    this test makes a future data regeneration that breaks the
+    assumption fail HERE with a named cause instead of as a silent
+    oracle hash mismatch."""
+    from dbt_schema_builder_spark.session import read_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = read_table(spark, f"/root/testdata/{sf}/documents.parquet")
+        non_ascii = docs.where(
+            F.length("text") != F.length(F.encode("text", "UTF-8"))
+        ).count()
+        assert non_ascii == 0, (
+            f"{sf}: {non_ascii} non-ASCII documents — the character-"
+            "semantics oracles of q_multimodal_features/q_audio_features "
+            "no longer replay the byte-level Spark results; rebuild those "
+            "oracles over encode(s, 'utf-8') bytes"
+        )

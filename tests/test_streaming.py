@@ -184,3 +184,59 @@ def test_stream_static_enrich_matches_batch_join(spark, tables, events_dir):
     got = {tuple(r) for r in streamed.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def events_dir_multifile(sf_dir, tmp_path_factory, spark):
+    """Four ts-range files so a maxFilesPerTrigger drain is genuinely
+    multi-micro-batch (the single-file fixture is always one batch)."""
+    from dbt_schema_builder_spark.session import read_table
+
+    d = str(tmp_path_factory.mktemp("events_stream_parts"))
+    read_table(spark, f"{sf_dir}/events.parquet").repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_tumbling_processing_time_multibatch(
+    spark, tables, events_dir_multifile
+):
+    """Multi-micro-batch state eviction, which availableNow's single-batch
+    intake can't exercise: drain 4 ts-range files 2-per-trigger under a
+    ProcessingTime trigger. Per-batch watermark advancement may DROP
+    late-listed rows (file listing order is unguaranteed) but must never
+    invent or double-count a window — so the emitted set is an
+    eventual SUBSET of the deterministic availableNow set, with equality
+    on every window both runs emit."""
+    stream = streaming_tumbling_counts(
+        stream_events(spark, events_dir_multifile)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_tumbling_pt")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", "2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.bucket, r.n_events, r.sum_value)
+        for r in spark.table("t_tumbling_pt").collect()
+    }
+    oracle_run = run_stream_to_memory(
+        streaming_tumbling_counts(stream_events(spark, events_dir_multifile)),
+        "t_tumbling_pt_oracle",
+        "append",
+    )
+    oracle = {
+        (r.bucket, r.n_events, r.sum_value) for r in oracle_run.collect()
+    }
+    # a window the PT run emitted must exist with identical counts in the
+    # availableNow set (state closed once, correctly, per window)...
+    assert got <= oracle
+    # ...and the drain made real progress (not everything dropped as late)
+    assert len(got) >= len(oracle) // 2 > 0
