@@ -74,7 +74,39 @@ HEADLINE = [
     "q_audio_features",
     "q_source_overlap",
     "q_bigram_logprob",
+    # round 4 additions
+    "q_prep_pipeline",
 ]
+
+
+def _near_dup_lsh08(spark, sf_dir):
+    """The LSH branch of embedding_near_dup — the strategy actually
+    dispatched at scale-relevant thresholds (q_embedding_near_dup's 0.5
+    times the blocked-GEMM branch only)."""
+    from dbt_schema_builder_spark.operators import similarity
+    from dbt_schema_builder_spark.session import read_table
+
+    return similarity.embedding_near_dup(
+        read_table(spark, f"{sf_dir}/embeddings.parquet"), threshold=0.8
+    )
+
+
+def _near_dup_ivf_sharded05(spark, sf_dir):
+    """The bounded-work weak-threshold strategy added in round 4."""
+    from dbt_schema_builder_spark.operators import similarity
+    from dbt_schema_builder_spark.session import read_table
+
+    return similarity.embedding_near_dup_ivf_sharded(
+        read_table(spark, f"{sf_dir}/embeddings.parquet"), threshold=0.5
+    )
+
+
+# Bench-only entries: operator branches worth timing that aren't their own
+# queries() key (their semantics are covered by existing oracle keys).
+EXTRA = {
+    "x_embedding_near_dup_lsh08": _near_dup_lsh08,
+    "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
+}
 
 
 def main() -> None:
@@ -83,24 +115,42 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    queries = dict(entrymod.queries())
+    queries.update(EXTRA)
+    names = [n for n in HEADLINE + list(EXTRA) if n in queries]
     # Warm up JVM/codegen on the smallest SF so the timed numbers measure
     # the plans, not first-run JIT: run every headline query once at
     # sf0.001 (sub-second each), then time at the target SF.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            fn = queries.get(name)
-            if fn is not None:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for name in names:
+            queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    # Median-of-N per query, passes INTERLEAVED (pass 1 runs every query,
+    # then pass 2, ...) so a host-load spike lands on different queries in
+    # different passes instead of poisoning all samples of one query —
+    # single-pass timings on this host showed ±40% noise and two 3x
+    # phantom "regressions" (round-3 verdict).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.perf_counter() - t0)
+            # drop persisted frames the query left behind: operators
+            # persist() subtrees consumed multiple times and never
+            # unpersist (lazy consumers); across 50 queries x N passes
+            # the accumulated blocks showed up as ~1.3x phantom
+            # slowdowns on unrelated small queries (measured: 0.35 s
+            # in-suite vs 0.20 s isolated for q_exact_dedup)
+            spark.catalog.clearCache()
+    timings = {
+        n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
+    }
 
     print(
         json.dumps(
@@ -110,6 +160,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "passes": passes,
             }
         )
     )
