@@ -92,6 +92,15 @@ OPS = {
     "minhash_portable": lambda d, e: dedup.minhash_lsh_candidates(
         d, shingle_hash="portable"
     ),
+    # round-4: Zipf-skew probe for the LM scorers — the exploded-token
+    # join keys are Zipf-hot; this measures whether AQE skew-join keeps
+    # the 10x per-row cost <= 2x (VERDICT r3 #4)
+    "unigram_logprob": lambda d, e: text.unigram_logprob(d),
+    "bigram_logprob": lambda d, e: text.bigram_logprob(d),
+    # round-4: the bounded weak-threshold ANN path at its target regime
+    "embedding_near_dup_ivf(thr.5)": lambda d, e: (
+        similarity.embedding_near_dup_ivf_sharded(e, threshold=0.5)
+    ),
 }
 
 table = {}
