@@ -750,3 +750,33 @@ def test_bigram_logprob_invariants(spark, tables):
     for r in out:
         assert r.avg_logprob < 0
         assert r.n_bigrams == n_tok[r.doc_id] - 1
+
+
+def test_embedding_near_dup_lsh_finds_planted_near_identical(spark, tables):
+    """Realistic-recall pin for the 8-bit x 16-table LSH shape: a
+    PERTURBED copy (cos ~0.96, not 1.0) must still collide in >= 1
+    table and verify. Identical vectors collide at any table width, so
+    only a near-identical plant actually exercises the recall math
+    (p_bit ~= 0.91, per-table ~0.48, >= 1 of 16 ~= 1 - 3e-5); with
+    seeded hyperplanes the outcome is deterministic. Guards against a
+    future 'optimization' that narrows tables into recall collapse."""
+    import math
+
+    emb = tables["embeddings"]
+    first = emb.orderBy("vec_id").first()
+    v = list(first.embedding)
+    w = list(v)
+    w[0] = w[0] + 0.55 * math.sqrt(sum(x * x for x in v)) * 0.5
+    cos = sum(a * b for a, b in zip(v, w)) / math.sqrt(
+        sum(x * x for x in v) * sum(x * x for x in w)
+    )
+    assert 0.9 < cos < 0.99  # genuinely non-identical, above threshold
+    planted = spark.createDataFrame(
+        [(999999, [float(x) for x in w], first.label)], emb.schema
+    )
+    out = similarity.embedding_near_dup(
+        emb.unionByName(planted), threshold=0.9, strategy="lsh"
+    )
+    pairs = {(r.vec_a, r.vec_b): r.sim for r in out.collect()}
+    got = pairs.get((first.vec_id, 999999))
+    assert got is not None and got == round(cos, 4)
