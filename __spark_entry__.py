@@ -587,6 +587,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (new r4): near-dup clusters
+    (the proven q_dedup_clusters pair graph) assigned atomically to one
+    split via the proven q_hash_split md5 arithmetic on the cluster
+    representative — a near-duplicate pair can never straddle the
+    train/eval boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=_JACCARD_MAX_DF
+    )
+    return dedup.cluster_safe_split(docs, pairs)
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated per-group percentiles (median + p90 of doc
     length per language)."""
@@ -669,6 +682,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(
         _t(spark, sf_dir, "embeddings"), threshold=0.5
     )
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus hygiene gate (new r4): cosine of each vector to
+    its OWN label centroid (fixed-point centroid means — the proven
+    q_centroid_by_label surface), flagging vectors below 0.0 (negatively
+    correlated with their label's mean direction)."""
+    return similarity.centroid_outliers(_t(spark, sf_dir, "embeddings"))
 
 
 def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1152,7 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_ivf_topk": q_ivf_topk,
         "q_catalog_scan": q_catalog_scan,
-        # (d) modules touched this round
+        # (d) modules touched this round (+ the round's new operators)
+        "q_cluster_safe_split": q_cluster_safe_split,
+        "q_centroid_outliers": q_centroid_outliers,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1188,9 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_stats": q_dedup_stats,
         "q_weighted_sample": q_weighted_sample,
         "q_chunk_dedup": q_chunk_dedup,
+        # ---- driver window boundary (50) ----
         "q_zipf_stats": q_zipf_stats,
         "q_curriculum_bins": q_curriculum_bins,
-        # ---- driver window boundary (50) ----
         # all queries below carry green rows from round 2 or 3
         "q_session_window": q_session_window,
         "q_merge_latest": q_merge_latest,
@@ -1590,6 +1613,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT label, unnest(embedding) AS val, "
             "generate_subscripts(embedding, 1) AS ord FROM embeddings) "
             "GROUP BY label, ord"
+        ),
+        # centroid hygiene gate: the proven fixed-point centroid means
+        # assembled per label, the proven list_cosine_similarity + ROUND
+        # idiom for the surface; the flag compares the unrounded cosine
+        "q_centroid_outliers": (
+            "WITH cent AS (SELECT label, ord AS pos, "
+            "ROUND(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) "
+            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_val FROM "
+            "(SELECT label, unnest(embedding) AS val, "
+            "generate_subscripts(embedding, 1) AS ord FROM embeddings) "
+            "GROUP BY label, ord), "
+            "cv AS (SELECT label, list(avg_val ORDER BY pos) AS cvec "
+            "FROM cent GROUP BY label), "
+            "s AS (SELECT e.vec_id, e.label, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cvec) "
+            "AS sim FROM embeddings e JOIN cv USING (label)) "
+            "SELECT vec_id, label, ROUND(sim, 4) + 0.0 AS sim_centroid, "
+            "CAST(sim < 0.0 AS INT) AS is_outlier FROM s"
         ),
         "q_token_count": (
             "SELECT doc_id, "
@@ -2017,6 +2058,9 @@ def oracle_sql() -> dict[str, str]:
         # Connected components of the (proven) n-gram Jaccard pair graph
         # via recursive CTE; min reachable doc_id per component.
         "q_dedup_clusters": _dedup_clusters_oracle_sql(),
+        # leakage-safe split: closure representative (or own id) through
+        # the proven md5 bucket arithmetic
+        "q_cluster_safe_split": _cluster_safe_split_oracle_sql(),
         # --- streaming (finite availableNow runs are deterministic:
         # single-batch intake + trailing no-data batch, so the emitted
         # sets are closed-form functions of the data) ---
@@ -2305,11 +2349,10 @@ def _simhash_oracle_sql(
     )
 
 
-def _dedup_clusters_oracle_sql(threshold: float = 0.2) -> str:
-    """DuckDB replay of dedup_clusters over ngram_jaccard_pairs: the
-    proven q_ngram_jaccard pair SQL (df cap is a no-op at oracle SF)
-    closed transitively with a recursive CTE; cluster_id = min doc_id
-    reachable in the pair graph (including self)."""
+def _pair_closure_ctes(threshold: float = 0.2) -> str:
+    """Shared recursive-CTE prefix: the proven q_ngram_jaccard pair SQL
+    (df cap is a no-op at oracle SF) closed transitively; ``reach``
+    enumerates every (doc_id, reachable doc_id) of the pair graph."""
     return (
         "WITH RECURSIVE toks AS (SELECT doc_id, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
@@ -2329,7 +2372,34 @@ def _dedup_clusters_oracle_sql(threshold: float = 0.2) -> str:
         "reach(doc_id, r) AS (SELECT DISTINCT s, s FROM edges "
         "UNION SELECT e.s, reach.r FROM edges e "
         "JOIN reach ON reach.doc_id = e.d) "
+    )
+
+
+def _dedup_clusters_oracle_sql(threshold: float = 0.2) -> str:
+    """DuckDB replay of dedup_clusters over ngram_jaccard_pairs:
+    cluster_id = min doc_id reachable in the pair graph (incl. self)."""
+    return _pair_closure_ctes(threshold) + (
         "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id"
+    )
+
+
+def _cluster_safe_split_oracle_sql(threshold: float = 0.2) -> str:
+    """DuckDB replay of dedup.cluster_safe_split: the transitive-closure
+    cluster representative (falling back to the doc's own id for
+    singletons) fed through the proven q_hash_split md5 bucket
+    arithmetic — so every cluster member provably lands in one split."""
+    return _pair_closure_ctes(threshold) + (
+        ", cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach "
+        "GROUP BY doc_id), "
+        "keyed AS (SELECT d.doc_id, "
+        "COALESCE(cl.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id), "
+        "b AS (SELECT doc_id, cluster_id, "
+        "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || 'v1'), "
+        "1, 8)) AS BIGINT) % 10000 AS bucket FROM keyed) "
+        "SELECT doc_id, cluster_id, bucket, "
+        "CASE WHEN bucket < 9000 THEN 'train' "
+        "WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split FROM b"
     )
 
 

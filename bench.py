@@ -76,6 +76,8 @@ HEADLINE = [
     "q_bigram_logprob",
     # round 4 additions
     "q_prep_pipeline",
+    "q_cluster_safe_split",
+    "q_centroid_outliers",
 ]
 
 

@@ -670,3 +670,43 @@ def source_overlap_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def cluster_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a near-dup
+    cluster receives the SAME split, closing the contamination channel a
+    plain identity-hash split leaves open — two near-identical documents
+    hash to independent buckets, so one lands in train and its twin in
+    eval, and the eval set silently measures memorization.
+
+    The split key is the cluster representative (min doc_id reachable in
+    the ``pairs`` graph, via ``dedup_clusters``); documents in no pair
+    key on themselves, so their assignment is IDENTICAL to
+    ``text.hash_split`` — adopting the safe split changes only the docs
+    that were leaking. Same md5 bucket arithmetic, so any ANSI engine
+    replays it and assignments stay stable under reruns and corpus
+    growth. Cost over hash_split: the label propagation on the (tiny)
+    pair graph plus one join of the corpus against the cluster labels —
+    the corpus never shuffles on anything wider than doc_id.
+
+    Returns (doc_id, cluster_id, bucket, split).
+    """
+    from .text import hash_split
+
+    labels = dedup_clusters(pairs)
+    keyed = (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return hash_split(
+        keyed, weights=weights, salt=salt, key="cluster_id", keep=("doc_id",)
+    )

@@ -894,3 +894,45 @@ def lsh_quantized_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def centroid_outliers(
+    embeddings: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Per-label centroid-cosine quality gate — the embedding-corpus
+    hygiene pass every training pipeline runs before contrastive /
+    retrieval training: a vector whose cosine to its OWN label centroid
+    falls below ``threshold`` is flagged as an outlier (mislabeled,
+    degenerate, or embedding-version drift). Default 0.0 flags vectors
+    negatively correlated with their label's mean direction.
+
+    Shape: one ``centroid_by_label`` pass (fixed-point means, so the
+    centroid is byte-reproducible across engines), centroids assembled
+    label-wise and broadcast (#labels rows), one corpus scan scoring
+    each vector against its own label's centroid — no corpus shuffle at
+    all. The cosine is materialized once per row behind an explode-let
+    (two consumers: the rounded surface and the flag — CollapseProject
+    would otherwise evaluate it twice).
+
+    Returns (vec_id, label, sim_centroid, is_outlier).
+    """
+    cent = centroid_by_label(embeddings)
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "avg_val"))),
+            lambda s: s["avg_val"],
+        ).alias("centroid_vec")
+    )
+    scored = embeddings.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(cosine(F.col("embedding"), F.col("centroid_vec")))
+        ).alias("_sim"),
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        (F.round("_sim", 4) + F.lit(0.0)).alias("sim_centroid"),
+        (F.col("_sim") < threshold).cast("int").alias("is_outlier"),
+    )

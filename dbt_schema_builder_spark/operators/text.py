@@ -417,6 +417,7 @@ def hash_split(
     weights: dict[str, float] | None = None,
     salt: str = "v1",
     key: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic train/val/test assignment by identity hash — the
     split every training pipeline needs: stable under reruns, re-shards,
@@ -458,7 +459,7 @@ def hash_split(
         )
         edge = hi
     return documents.select(
-        key, bucket.alias("bucket"), split_col.alias("split")
+        *keep, key, bucket.alias("bucket"), split_col.alias("split")
     )
 
 

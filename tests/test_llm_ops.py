@@ -780,3 +780,61 @@ def test_embedding_near_dup_lsh_finds_planted_near_identical(spark, tables):
     pairs = {(r.vec_a, r.vec_b): r.sim for r in out.collect()}
     got = pairs.get((first.vec_id, 999999))
     assert got is not None and got == round(cos, 4)
+
+
+def test_cluster_safe_split_keeps_near_dups_together(spark, docs_with_dupes):
+    """The leakage guarantee: doc 0 and its planted exact + near copies
+    form one pair-graph cluster and must land in the SAME split, while
+    documents in no pair keep exactly their plain hash_split assignment
+    (adopting the safe split only changes the docs that were leaking)."""
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dupes, n=3, threshold=0.2)
+    out = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in dedup.cluster_safe_split(docs_with_dupes, pairs).collect()
+    }
+    # the planted family is one cluster with one split
+    fam = {out[0], out[100001], out[100002]}
+    assert len(fam) == 1, fam
+    # singletons (docs in no pair) match plain hash_split exactly
+    paired = set()
+    for r in pairs.collect():
+        paired.add(r.doc_a)
+        paired.add(r.doc_b)
+    plain = {
+        r.doc_id: r.split
+        for r in text.hash_split(docs_with_dupes).collect()
+    }
+    for doc_id, (cluster_id, split) in out.items():
+        if doc_id not in paired:
+            assert cluster_id == doc_id
+            assert split == plain[doc_id], doc_id
+
+
+def test_centroid_outliers_flags_anti_aligned_vector(spark, tables):
+    """A planted copy of some label-0 vector stays inlier-ish while its
+    NEGATION (cosine -1 to whatever direction the original had) must be
+    flagged: sign of the centroid cosine flips exactly with the vector."""
+    emb = tables["embeddings"]
+    probe = emb.where(F.col("label") == 0).orderBy("vec_id").first()
+    planted = spark.createDataFrame(
+        [
+            (888801, [float(x) for x in probe.embedding], 0),
+            (888802, [float(-x) for x in probe.embedding], 0),
+        ],
+        emb.schema,
+    )
+    out = {
+        r.vec_id: (r.sim_centroid, r.is_outlier)
+        for r in similarity.centroid_outliers(
+            emb.unionByName(planted)
+        ).collect()
+    }
+    sim_pos, flag_pos = out[888801]
+    sim_neg, flag_neg = out[888802]
+    assert sim_neg == -sim_pos  # exact negation of the same dot product
+    assert flag_pos + flag_neg == 1  # exactly one side of the 0 boundary
+    # every row carries the flag consistent with its unrounded sign
+    # (spot-check via the rounded surface away from the boundary)
+    for vid, (s, f) in out.items():
+        if abs(s) > 0.001:
+            assert f == (1 if s < 0 else 0), (vid, s, f)
