@@ -59,6 +59,21 @@ def test_empty_input_through_operators(spark, tables):
     empty_emb = tables["embeddings"].where("vec_id < 0")
     assert similarity.quantize_embeddings(empty_emb).count() == 0
     assert similarity.lsh_quantized_topk(empty_emb).count() == 0
+    assert similarity.centroid_outliers(empty_emb).count() == 0
+    assert similarity.embedding_near_dup_ivf_sharded(empty_emb).count() == 0
+    empty_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert (
+        dedup.cluster_safe_split(empty_docs, empty_pairs).count() == 0
+    )
+    # empty pair graph over a NON-empty corpus: everyone is a singleton
+    # and the safe split degenerates to exactly hash_split
+    full = dedup.cluster_safe_split(tables["documents"], empty_pairs)
+    plain = text.hash_split(tables["documents"])
+    assert (
+        full.select("doc_id", "split").exceptAll(
+            plain.select("doc_id", "split")
+        ).count() == 0
+    )
 
 
 def test_kmeans_converges_to_stable_assignment(spark, tables):

@@ -101,6 +101,13 @@ OPS = {
     "embedding_near_dup_ivf(thr.5)": lambda d, e: (
         similarity.embedding_near_dup_ivf_sharded(e, threshold=0.5)
     ),
+    # round-4: leakage-safe split = pair gen + label propagation + md5
+    # buckets; the dup-dense 10x corpus is its worst case (every doc in
+    # a 10-member cluster)
+    "cluster_safe_split": lambda d, e: dedup.cluster_safe_split(
+        d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64)
+    ),
+    "centroid_outliers": lambda d, e: similarity.centroid_outliers(e),
 }
 
 table = {}
