@@ -78,6 +78,10 @@ HEADLINE = [
     "q_prep_pipeline",
     "q_cluster_safe_split",
     "q_centroid_outliers",
+    "q_incremental_dedup_bloom",
+    "q_shared_ngram_fraction",
+    "q_tfidf_cosine_pairs",
+    "q_pq_topk",
 ]
 
 

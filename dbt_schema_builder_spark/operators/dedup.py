@@ -185,6 +185,258 @@ def incremental_dedup(
     return keyed.join(seen_keys, "content_md5", "left_anti").drop("content_md5")
 
 
+def _bloom_positions(key, m_bits: int, k: int):
+    """k Bloom bit positions for a key, from the portable md5-derived
+    hash family (replayable in any ANSI engine): position_i =
+    int(md5(key || '#i')[:8 hex]) mod m_bits. 8 hex digits < 2^32, so
+    the conv result fits a long with no sign trouble."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(key, F.lit(f"#{i}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bits(
+    seen: DataFrame, m_bits: int = 4096, k: int = 3, key: str = "content_md5"
+) -> DataFrame:
+    """The Bloom filter as a RELATION: the distinct set bit positions of
+    every seen key. Bounded by ``m_bits`` rows no matter how large the
+    seen corpus is — this is the artifact a 100 TB ingest maintains
+    incrementally (the set is monotone: union new batches' positions in)
+    and broadcasts to probe new data, instead of shuffling every new
+    batch against the full fingerprint history."""
+    return (
+        seen.select(
+            F.explode(_bloom_positions(F.col(key), m_bits, k)).alias("pos")
+        ).distinct()
+    )
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    m_bits: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """``incremental_dedup`` with a Bloom prefilter — EXACT semantics,
+    sub-linear contact with the seen corpus. A new doc whose k bit
+    positions are not ALL set in the seen filter is definitely unseen
+    (Bloom filters have no false negatives) and passes through without
+    ever joining the history; only the "maybe seen" sliver (true dups +
+    the false-positive rate) is verified by the exact fingerprint
+    anti-join, which removes Bloom false positives.
+
+    Scale: the 100 TB fingerprint history is touched by (a) the bounded
+    ``bloom_bits`` build — one pass, reusable/monotone across ingests —
+    and (b) the verify anti-join restricted to maybe-seen candidates.
+    At steady state (most new docs genuinely new) the expensive join
+    processes dup_rate + FPR of the batch instead of all of it. The bit
+    table broadcasts (m_bits rows of longs), so the probe itself is
+    shuffle-free; the only batch-sized shuffle is the doc_id distinct.
+    FPR ~= (1 - exp(-k*n/m))^k — the default auto-sizes m_bits to ~10
+    bits per seen key (FPR ~1% at k=3; one count() scalar to the
+    driver), because an undersized filter saturates and every batch doc
+    degrades to the verify join. The output is exact at ANY setting,
+    the knob only moves the verify-join volume.
+    """
+    if m_bits is None:
+        # ~10 bits/key, power of two, floor 1024 so tiny corpora do not
+        # produce a degenerate modulus
+        m_bits = max(1024, 1 << (10 * max(seen.count(), 1)).bit_length())
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    # persist: the keyed batch feeds the probe AND both output branches
+    keyed = new_docs.withColumn("content_md5", F.md5(norm)).persist()
+    bits = F.broadcast(bloom_bits(seen, m_bits=m_bits, k=k))
+    probe = keyed.select(
+        "doc_id",
+        F.explode(
+            _bloom_positions(F.col("content_md5"), m_bits, k)
+        ).alias("pos"),
+    )
+    # >=1 unset bit => definitely new; the anti-join against the
+    # broadcast bit table never shuffles the batch
+    definite_new = (
+        probe.join(bits, "pos", "left_anti").select("doc_id").distinct().persist()
+    )
+    maybe_seen = keyed.join(definite_new, "doc_id", "left_anti")
+    seen_keys = seen.select("content_md5").distinct()
+    verified_new = maybe_seen.join(seen_keys, "content_md5", "left_anti")
+    passed = keyed.join(definite_new, "doc_id", "left_semi")
+    return passed.unionByName(verified_new).drop("content_md5")
+
+
+def shared_ngram_fraction(
+    documents: DataFrame, n: int = 3, min_df: int = 2
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the RefinedWeb/Gopher
+    dup-quality signal: for each document, what share of its n-gram
+    positions is covered by grams that also appear in at least
+    ``min_df`` distinct documents. High fractions flag boilerplate and
+    template text that exact/near dedup keeps (the doc as a whole is
+    unique) but that still teaches a model to repeat itself.
+
+    Distinct from ``repetition_stats`` (WITHIN-doc repetition) and
+    ``ngram_jaccard_pairs`` (pairwise overlap): this is a per-doc
+    corpus-level signal with no self-join at all — one explode, one
+    gram-frequency shuffle, one join back (AQE broadcasts the gram
+    count table when it is vocab-bounded, the common case), one doc
+    rollup. The per-doc gram total is carried map-side from the array,
+    not re-aggregated. Emits integer surfaces plus a floored
+    parts-per-million fraction (no float rounding ties possible).
+    """
+    grams_arr = _tokenized(documents).select(
+        "doc_id",
+        F.when(
+            F.size("toks") - (n - 1) < 1, F.array().cast("array<string>")
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))
+                ),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+            )
+        )
+        .alias("grams"),
+    )
+    # positions, NOT distinct grams — the fraction weights by occurrence.
+    # persist: the explode pipeline has three consumers (gram frequency,
+    # the hit join, per-doc totals); without it the tokenize+gram stage
+    # re-runs per consumer (the bigram_logprob/source_overlap lesson)
+    exploded = grams_arr.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode_outer(
+            F.transform("grams", lambda g: F.xxhash64(g))
+        ).alias("gh"),
+    ).persist()
+    dfs = (
+        exploded.where(F.col("gh").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gh")
+    )
+    hits = exploded.join(dfs, "gh", "left_semi")
+    shared = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    totals = exploded.select("doc_id", "n_grams").distinct()
+    out = totals.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+    )
+    ppm = F.when(F.col("n_grams") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("n_shared") * F.lit(1000000.0) / F.col("n_grams"))
+    )
+    return out.withColumn("shared_ppm", ppm.cast("bigint"))
+
+
+def tfidf_ngram_cosine_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine over TF-IDF-weighted n-gram vectors —
+    the weighted refinement of ``ngram_jaccard_pairs``: a shared RARE
+    shingle (high IDF) counts for much more than a shared boilerplate
+    one, so template-heavy corpora stop producing false near-dups on
+    their shared chrome. Same inverted-index shape as Jaccard (only
+    docs sharing a shingle are ever paired; ``max_df`` drops
+    stopword-like hot shingles), so the scale properties carry over.
+
+    Determinism: weights are fixed-point milli-units
+    (``round(tf * ln(N/df) * 1000)`` as bigint), so dot products and
+    norms are exact integer sums — order-independent under any
+    partitioning, and replayable by any ANSI engine (the ``_det_avg``
+    pattern applied to a bilinear form). Bounds: |w| < 2^31 holds while
+    tf * ln(N/df) < 2.1e6, and the norm sum stays in int64 while
+    sum(tf^2) * ln(N)^2 * 1e6 < 9e18 per doc — generous at any real
+    document size. ``sim`` is computed from the exact integers, so the
+    threshold cut is reproducible too.
+    """
+    from pyspark.sql.window import Window
+
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    grams = _tokenized(documents).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") - (n - 1) < 1, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("toks") - (n - 1), F.lit(1)),
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+                )
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    # persist: the tf table feeds the df aggregation AND the weighted
+    # index (two consumers of the tokenize+gram+count pipeline)
+    tf = grams.groupBy("doc_id", "gh").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    dfs = tf.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()  # one scalar to the driver
+    weighted = tf.join(dfs, "gh")  # AQE broadcasts the vocab-bounded dfs
+    if max_df is not None:
+        weighted = weighted.where(F.col("df") <= max_df)
+    wi = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000.0
+    ).cast("bigint")
+    # per-doc norm as a window over doc_id: one exchange, no agg+back-join
+    wnorm = Window.partitionBy("doc_id")
+    index = (
+        weighted.select("doc_id", "gh", wi.alias("wi"))
+        .withColumn("nrm", F.sum(F.col("wi") * F.col("wi")).over(wnorm))
+        .where(F.col("wi") != 0)  # df == n_docs terms contribute nothing
+    )
+    # explicit hash partitioning on the join key: quadratic post-join
+    # fan-out is invisible to AQE's pre-join coalescing (repo convention)
+    capped = index.repartition(parallelism, "gh")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.wi") * F.col("b.wi")).alias("dot"),
+            F.min(F.col("a.nrm")).alias("na"),
+            F.min(F.col("b.nrm")).alias("nb"),
+        )
+    )
+    sim = F.col("dot") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        pairs.where(sim >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(sim, 4) + F.lit(0.0)).alias("cosine_tfidf"),
+        )
+    )
+
+
 def dedup_stats(documents: DataFrame, by: str = "source") -> DataFrame:
     """Per-group duplication report: how much of each source is exact-
     duplicate content (the go/no-go number a curation run reports before

@@ -214,6 +214,92 @@ def test_ivf_assign_puts_centroids_in_their_own_cell(spark, tables):
     assert own.count() == 8  # each centroid's nearest centroid is itself
 
 
+def test_pq_encode_shape_determinism_and_self_assignment(spark, tables):
+    """Codes are (subspaces) ints in [0, codes); encoding is bit-stable
+    across runs; each SAMPLED vector's codeword reproduces its own
+    subvector exactly (distance 0 — the codebook is its subvectors)."""
+    emb = tables["embeddings"]
+    cb = similarity.pq_codebook(emb, subspaces=8, codes=16)
+    enc = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, cb).collect()}
+    assert all(
+        len(c) == 8 and all(0 <= x < 16 for x in c) for c in enc.values()
+    )
+    enc2 = {
+        r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, cb).collect()
+    }
+    assert enc == enc2
+    sampled = [
+        (i, r)
+        for i, r in enumerate(
+            emb.orderBy("vec_id").limit(16).select("vec_id").collect()
+        )
+    ]
+    import numpy as np
+
+    for c_idx, row in sampled:
+        codes = enc[row.vec_id]
+        for s in range(8):
+            # the assigned codeword must be at distance 0 (ties can pick
+            # an EARLIER identical codeword, so compare vectors not ids)
+            assert np.array_equal(
+                np.asarray(cb[s][codes[s]]), np.asarray(cb[s][c_idx])
+            ) or codes[s] == c_idx
+
+
+def test_pq_topk_full_rerank_equals_exact_l2(spark, tables):
+    """With a shortlist covering the corpus, pq_topk degenerates to the
+    exact integer-L2 top-k — pinned against an independent numpy
+    computation of the same fixed-point distances."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    out = similarity.pq_topk(
+        emb, n_queries=3, k=5, subspaces=8, codes=16, rerank=n
+    ).collect()
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.round(
+        np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        * 1000.0
+    ).astype(np.int64)
+    for qi in range(3):
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        expect = [
+            (int(ids[qi]), int(ids[j]), int(d2[j]), r + 1)
+            for r, j in enumerate(order[:5])
+        ]
+        got = sorted(
+            [
+                (r.query_id, r.vec_id, r.d2, r.rank)
+                for r in out
+                if r.query_id == ids[qi]
+            ],
+            key=lambda t: t[3],
+        )
+        assert got == expect
+
+
+def test_pq_topk_adc_only_mode(spark, tables):
+    """rerank=None surfaces raw ADC distances: k rows per query, ranks
+    dense, distances non-decreasing within a query."""
+    out = similarity.pq_topk(
+        tables["embeddings"], n_queries=2, k=5, rerank=None
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 2
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        assert all(
+            rows[i].d2 <= rows[i + 1].d2 for i in range(len(rows) - 1)
+        )
+        assert rows[0].d2 == 0  # the query is its own nearest code point
+
+
 def test_stratified_sample_proportions_and_determinism(spark, tables):
     docs = tables["documents"]
     s1 = text.stratified_sample(docs, default_fraction=0.5)
@@ -430,6 +516,84 @@ def test_incremental_dedup_planted(spark, tables):
     out = dedup.incremental_dedup(new_docs, seen, broadcast_seen=True)
     assert [r.doc_id for r in out.collect()] == [11]
     assert set(out.columns) == set(new_docs.columns)  # fingerprint not leaked
+
+
+def test_incremental_dedup_bloom_exact_under_forced_false_positives(
+    spark, tables
+):
+    """With a deliberately tiny filter (m_bits=16) nearly every batch doc
+    collides into 'maybe seen' — the verify join must still remove every
+    Bloom false positive, so the output is IDENTICAL to the plain
+    anti-join at any filter setting. This is the operator's contract:
+    the knob moves work volume, never results."""
+    docs = tables["documents"]
+    seen = text.fingerprint(docs.where(F.col("source").rlike("^src1.*$")))
+    new = docs.where(~F.col("source").rlike("^src1.*$"))
+    exact = {r.doc_id for r in dedup.incremental_dedup(new, seen).collect()}
+    for m_bits, k in [(16, 2), (2048, 3)]:
+        out = dedup.incremental_dedup_bloom(new, seen, m_bits=m_bits, k=k)
+        assert {r.doc_id for r in out.collect()} == exact, (m_bits, k)
+        assert set(out.columns) == set(new.columns)
+
+
+def test_bloom_bits_bounded_and_monotone(spark, tables):
+    """The bit relation never exceeds m_bits rows no matter the corpus
+    size, and a superset corpus only ever ADDS bits (monotone — the
+    property that makes the artifact incrementally maintainable)."""
+    docs = tables["documents"]
+    half = text.fingerprint(docs.where("doc_id % 2 = 0"))
+    full = text.fingerprint(docs)
+    m = 64
+    bits_half = {r.pos for r in dedup.bloom_bits(half, m_bits=m, k=3).collect()}
+    bits_full = {r.pos for r in dedup.bloom_bits(full, m_bits=m, k=3).collect()}
+    assert len(bits_full) <= m
+    assert bits_half <= bits_full
+    assert all(0 <= p < m for p in bits_full)
+
+
+def test_shared_ngram_fraction_planted(spark, tables):
+    """Two docs sharing a 3-gram span mark exactly those positions as
+    shared; a doc shorter than n grams reports 0/0 with ppm 0."""
+    schema = tables["documents"].schema
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),  # grams: abc bcd cde
+            (2, "a b c x y", "en", "s", 9),  # grams: abc bcx cxy
+            (3, "p q r s t", "en", "s", 9),  # grams: pqr qrs rst (unique)
+            (4, "x y", "en", "s", 3),  # shorter than n: zero grams
+        ],
+        schema=schema,
+    )
+    out = {r.doc_id: r for r in dedup.shared_ngram_fraction(docs).collect()}
+    assert (out[1].n_grams, out[1].n_shared) == (3, 1)  # only "a b c"
+    assert out[1].shared_ppm == 333333
+    assert (out[2].n_grams, out[2].n_shared) == (3, 1)
+    assert (out[3].n_grams, out[3].n_shared) == (3, 0)
+    assert (out[4].n_grams, out[4].n_shared, out[4].shared_ppm) == (0, 0, 0)
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark, tables):
+    """Exact copies have cosine 1.0; a doc sharing no gram never pairs;
+    max_df drops hot-gram contributions from candidate generation."""
+    schema = tables["documents"].schema
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (3, "one two three four five six", "en", "s", 27),
+        ],
+        schema=schema,
+    )
+    out = dedup.tfidf_ngram_cosine_pairs(docs, n=3, threshold=0.1).collect()
+    pairs = {(r.doc_a, r.doc_b): r.cosine_tfidf for r in out}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert not any(3 in p for p in pairs)
+    # every gram of docs 1/2 has df=2; max_df=1 kills all candidates
+    assert (
+        dedup.tfidf_ngram_cosine_pairs(docs, n=3, threshold=0.1, max_df=1)
+        .count()
+        == 0
+    )
 
 
 def test_hash_split_proportions_stability_and_independence(spark, tables):

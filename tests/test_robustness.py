@@ -61,6 +61,18 @@ def test_empty_input_through_operators(spark, tables):
     assert similarity.lsh_quantized_topk(empty_emb).count() == 0
     assert similarity.centroid_outliers(empty_emb).count() == 0
     assert similarity.embedding_near_dup_ivf_sharded(empty_emb).count() == 0
+    assert similarity.pq_topk(empty_emb).count() == 0
+    assert dedup.shared_ngram_fraction(empty_docs).count() == 0
+    assert dedup.tfidf_ngram_cosine_pairs(empty_docs).count() == 0
+    # empty seen corpus: bloom has zero bits set, every batch doc is
+    # definitely new and passes through untouched
+    empty_seen = text.fingerprint(empty_docs)
+    batch = tables["documents"]
+    assert (
+        dedup.incremental_dedup_bloom(batch, empty_seen).count()
+        == batch.count()
+    )
+    assert dedup.incremental_dedup_bloom(empty_docs, empty_seen).count() == 0
     empty_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert (
         dedup.cluster_safe_split(empty_docs, empty_pairs).count() == 0
