@@ -3,6 +3,8 @@ from .io import (
     read_json,
     read_parquet,
     write_partitioned,
+    write_zordered,
+    zorder_value,
 )
 from .bucketing import bucketed_join_ready, write_bucketed
 
@@ -11,6 +13,8 @@ __all__ = [
     "read_csv",
     "read_json",
     "write_partitioned",
+    "write_zordered",
+    "zorder_value",
     "write_bucketed",
     "bucketed_join_ready",
 ]

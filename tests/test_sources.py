@@ -108,3 +108,58 @@ def test_csv_json_roundtrip_with_explicit_schema(spark, tables, tmp_path):
     assert {tuple(r) for r in got_csv.collect()} == src
     assert {tuple(r) for r in got_json.collect()} == src
     assert got_csv.schema == nation.schema
+
+
+def test_zorder_write_narrows_nonleading_dim_row_groups(
+    spark, tables, tmp_path
+):
+    """Z-order clustering is the multi-dimensional pruning lever: after
+    write_zordered on (user_id, value), every parquet row group's
+    min/max footer range on the NON-leading column is a fraction of the
+    global range (measured 0.28 vs 0.77 for a linear user_id sort at
+    sf0.001), so scans filtering on value skip row groups from footer
+    stats alone — a linear layout only ever prunes its leading column.
+    Integrity: the clustered copy contains exactly the original rows."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from dbt_schema_builder_spark.sources import write_zordered
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    zp = str(tmp_path / "z_ev")
+    lp = str(tmp_path / "l_ev")
+    write_zordered(ev, zp, ["user_id", "value"], bits=6, n_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+
+    def avg_frac_width(path, col):
+        glo = ev.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        span = float(glo.hi) - float(glo.lo)
+        widths = []
+        for f in globmod.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                widths.append((float(st.max) - float(st.min)) / span)
+        return sum(widths) / len(widths)
+
+    z_w = avg_frac_width(zp, "value")
+    l_w = avg_frac_width(lp, "value")
+    assert z_w < l_w * 0.6, (z_w, l_w)
+    back = spark.read.parquet(zp)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_zorder_value_rejects_too_many_bits(spark, tables):
+    from dbt_schema_builder_spark.sources import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(tables["events"], ["user_id", "value"], bits=32)

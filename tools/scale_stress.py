@@ -108,6 +108,25 @@ OPS = {
         d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64)
     ),
     "centroid_outliers": lambda d, e: similarity.centroid_outliers(e),
+    # round-4b: bloom prefilter (seen = src1 slice, batch = the rest;
+    # the dup-dense 10x corpus makes the verify-join sliver fat — the
+    # bloom's worst case)
+    "incremental_dedup_bloom": lambda d, e: dedup.incremental_dedup_bloom(
+        d.where(~F.col("source").rlike("^src1.*$")),
+        text.fingerprint(d.where(F.col("source").rlike("^src1.*$"))),
+    ),
+    # round-4b: positions explode + gram-count join; same Zipf-join
+    # shape as the LM scorers
+    "shared_ngram_fraction": lambda d, e: dedup.shared_ngram_fraction(d),
+    # round-4b: inverted-index self-join; the 10x replica multiplies
+    # every gram's df by 10 so candidate volume is the stress here
+    "tfidf_cosine_pairs": lambda d, e: dedup.tfidf_ngram_cosine_pairs(
+        d, n=3, threshold=0.3
+    ),
+    # round-4b: PQ ADC + rerank; corpus pass must stay map-only
+    "pq_topk(rerank=100)": lambda d, e: similarity.pq_topk(
+        e, n_queries=5, k=10, subspaces=16, codes=16, rerank=100
+    ),
 }
 
 table = {}
