@@ -920,9 +920,12 @@ def q_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by cosine over TF-IDF-weighted 3-gram vectors
-    (fixed-point milli-unit weights -> exact integer dot/norms)."""
+    (fixed-point milli-unit weights -> exact integer dot/norms).
+    max_df=64 is the always-on scale cap: a no-op on the organic corpus
+    (max gram df 25 at sf0.1) but it holds a dup-dense 10x replica at
+    1.7x instead of 10.3x (SCALE.md round-4b table)."""
     return dedup.tfidf_ngram_cosine_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3, max_df=64
     )
 
 
@@ -1885,7 +1888,8 @@ def oracle_sql() -> dict[str, str]:
             "nd AS (SELECT COUNT(*) AS n FROM documents), "
             "w AS (SELECT tf.doc_id, tf.gram, "
             "CAST(ROUND(tf.tf * LN(nd.n * 1.0 / dfs.df) * 1000.0) AS BIGINT) "
-            "AS wi FROM tf JOIN dfs ON tf.gram = dfs.gram, nd), "
+            "AS wi FROM tf JOIN dfs ON tf.gram = dfs.gram, nd "
+            "WHERE dfs.df <= 64), "  # mirrors the query's max_df cap
             "nrm AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS nrm "
             "FROM w GROUP BY doc_id), "
             "wn AS (SELECT w.doc_id, w.gram, w.wi, nrm.nrm FROM w "

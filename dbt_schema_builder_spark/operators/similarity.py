@@ -1142,3 +1142,60 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "d2", "rank")
     )
+
+
+def pq_codebook_trained(
+    embeddings: DataFrame,
+    subspaces: int = 8,
+    codes: int = 16,
+    iterations: int = 5,
+    sample: int = 4096,
+) -> list:
+    """Lloyd-refined PQ codebook — the recall lever over the sampled
+    codebook, following standard ANN practice: train on a BOUNDED
+    deterministic sample (the ``sample`` smallest vec_ids — one bounded
+    driver collect, never the corpus), initialize from the sampled
+    codebook, and run per-subspace k-means in integer arithmetic
+    (centroids re-rounded to milli-unit ints each round, so the result
+    honors the same int64-exact ADC contract as ``pq_codebook``). Lloyd
+    from the sampled init never increases training quantization error,
+    which `tests/test_llm_ops.py` pins. Empty clusters keep their old
+    codeword. Encoding and search stay fully distributed — only
+    training is driver-side, on a sample whose size is a constant."""
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(sample)
+        .select(_int_embedding(F.col("embedding")).alias("iv"))
+        .collect()
+    )
+    if not rows:
+        return []
+    X = np.array([list(r["iv"]) for r in rows], dtype=np.int64)
+    dim = X.shape[1]
+    if dim % subspaces:
+        raise ValueError(
+            f"embedding dim {dim} not divisible into {subspaces} subspaces"
+        )
+    sd = dim // subspaces
+    k = min(codes, X.shape[0])
+    out = []
+    for s in range(subspaces):
+        sub = X[:, s * sd : (s + 1) * sd]
+        cent = sub[:k].copy()
+        for _ in range(iterations):
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2 * (sub @ cent.T)
+                + (cent * cent).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)
+            new = cent.copy()
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    new[c] = np.round(members.mean(axis=0)).astype(np.int64)
+            if np.array_equal(new, cent):
+                break
+            cent = new
+        out.append([list(map(int, c)) for c in cent])
+    return out

@@ -281,6 +281,47 @@ def test_pq_topk_full_rerank_equals_exact_l2(spark, tables):
         assert got == expect
 
 
+def test_pq_trained_codebook_never_worse_on_training_sample(spark, tables):
+    """Lloyd refinement initialized from the sampled codebook cannot
+    increase quantization error on its training sample (k-means descent
+    is monotone) — the guarantee that makes `pq_codebook_trained` a
+    strict recall lever. Encoded codes stay in range."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    S, K = 8, 16
+    sampled = similarity.pq_codebook(emb, subspaces=S, codes=K)
+    trained = similarity.pq_codebook_trained(
+        emb, subspaces=S, codes=K, iterations=5, sample=1 << 20
+    )
+    rows = (
+        emb.orderBy("vec_id")
+        .select(similarity._int_embedding(F.col("embedding")).alias("iv"))
+        .collect()
+    )
+    X = np.array([list(r["iv"]) for r in rows], dtype=np.int64)
+    sd = X.shape[1] // S
+
+    def mse(cb):
+        tot = 0
+        for s in range(S):
+            sub = X[:, s * sd : (s + 1) * sd]
+            C = np.asarray(cb[s], dtype=np.int64)
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2 * (sub @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            tot += int(d2.min(axis=1).sum())
+        return tot
+
+    assert mse(trained) <= mse(sampled)
+    enc = similarity.pq_encode(emb, trained).collect()
+    assert all(
+        len(r.codes) == S and all(0 <= c < K for c in r.codes) for r in enc
+    )
+
+
 def test_pq_topk_adc_only_mode(spark, tables):
     """rerank=None surfaces raw ADC distances: k rows per query, ranks
     dense, distances non-decreasing within a query."""

@@ -238,3 +238,42 @@ def test_simhash_stays_jvm_side(tables):
     plan = _plan(df)
     assert "EvalPython" not in plan, plan
     assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_bloom_dedup_probe_is_broadcast_only(tables):
+    """The Bloom bit table must reach the probe as a broadcast join —
+    the batch never shuffles to test membership (that is the operator's
+    whole point); the seen corpus appears only in the verify anti-join."""
+    from dbt_schema_builder_spark.operators import dedup, text
+
+    docs = tables["documents"]
+    seen = text.fingerprint(docs.where(F.col("source").rlike("^src1.*$")))
+    new = docs.where(~F.col("source").rlike("^src1.*$"))
+    plan = _plan(dedup.incremental_dedup_bloom(new, seen, m_bits=1024))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_encode_is_map_only(tables):
+    """PQ encode must be a single map pass: Arrow-batched codes over the
+    scan with NO exchange — at 100 TB any shuffle here would dominate
+    the whole index build."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    cb = similarity.pq_codebook(emb, subspaces=8, codes=16)
+    plan = _plan(similarity.pq_encode(emb, cb))
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_pairs_repartitions_on_gram_key_and_broadcasts_dfs(tables):
+    """The self-join input must be explicitly hash-partitioned on the
+    gram hash (AQE cannot see the quadratic post-join fan-out), and no
+    cartesian node may appear."""
+    from dbt_schema_builder_spark.operators import dedup
+
+    plan = _plan(dedup.tfidf_ngram_cosine_pairs(tables["documents"]))
+    assert re.search(r"hashpartitioning\(gh#", plan), plan
+    assert "CartesianProduct" not in plan, plan

@@ -119,9 +119,12 @@ OPS = {
     # shape as the LM scorers
     "shared_ngram_fraction": lambda d, e: dedup.shared_ngram_fraction(d),
     # round-4b: inverted-index self-join; the 10x replica multiplies
-    # every gram's df by 10 so candidate volume is the stress here
-    "tfidf_cosine_pairs": lambda d, e: dedup.tfidf_ngram_cosine_pairs(
-        d, n=3, threshold=0.3
+    # every gram's df by 10 so candidate volume (sum of df^2) grows
+    # 100x — measured 10.3x runtime uncapped. max_df is the scale
+    # lever (the ngram_jaccard lesson): 64 is a no-op at sf0.1
+    # (max df 25) and holds the 10x ratio at 1.7x
+    "tfidf_cosine_pairs(max_df=64)": lambda d, e: dedup.tfidf_ngram_cosine_pairs(
+        d, n=3, threshold=0.3, max_df=64
     ),
     # round-4b: PQ ADC + rerank; corpus pass must stay map-only
     "pq_topk(rerank=100)": lambda d, e: similarity.pq_topk(
