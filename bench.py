@@ -82,6 +82,7 @@ HEADLINE = [
     "q_shared_ngram_fraction",
     "q_tfidf_cosine_pairs",
     "q_pq_topk",
+    "q_ivfpq_topk",
 ]
 
 

@@ -1199,3 +1199,157 @@ def pq_codebook_trained(
             cent = new
         out.append([list(map(int, c)) for c in cent])
     return out
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    cells: int = 8,
+    nprobe: int = 3,
+    subspaces: int = 16,
+    codes: int = 16,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ — the two-level billion-scale ANN composite: a coarse
+    quantizer (``cells`` sampled centroids) prunes the corpus to the
+    query's ``nprobe`` nearest cells, and PQ/ADC scores only the
+    survivors from their one-byte codes, followed by the exact
+    integer-L2 rerank of the shortlist. Per query the scan cost drops
+    to ~``nprobe/cells`` of the PQ-only path, and with the corpus
+    written partitioned by cell id (``sources.write_partitioned``) the
+    probe is partition-pruned I/O, not just compute.
+
+    Everything is milli-unit integer arithmetic end to end (cell
+    assignment, ADC table, rerank — ties broken by index/vec_id), so
+    the whole pipeline is bit-replayable by the SQL oracle. Codes are
+    raw-vector PQ (FAISS ``by_residual=False``): cell assignment prunes,
+    codes score — the residual-encoding variant trades oracle
+    replayability for accuracy and belongs behind trained codebooks.
+
+    One combined Arrow pass emits ``[cell, code_0..code_{S-1}]`` per
+    vector — the corpus is scanned once, map-only. Returns
+    (query_id, vec_id, d2, rank).
+    """
+    spark = embeddings.sparkSession
+    cb = pq_codebook(embeddings, subspaces=subspaces, codes=codes)
+    if not cb:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, d2 bigint, rank int"
+        )
+    crows = (
+        embeddings.orderBy("vec_id")
+        .limit(cells)
+        .select(_int_embedding(F.col("embedding")).alias("iv"))
+        .collect()
+    )
+    cents = np.array([list(r["iv"]) for r in crows], dtype=np.int64)
+    pq = [np.asarray(c, dtype=np.int64) for c in cb]
+    S = len(pq)
+    sd = pq[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _cell_and_codes(iv: pd.Series) -> pd.Series:
+        if len(iv) == 0:
+            return pd.Series([], dtype=object)
+        v = np.vstack(iv.to_numpy()).astype(np.int64)
+        d2c = (
+            (v * v).sum(axis=1, keepdims=True)
+            - 2 * (v @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        out = np.empty((v.shape[0], S + 1), dtype=np.int32)
+        out[:, 0] = np.argmin(d2c, axis=1)
+        for s in range(S):
+            sub = v[:, s * sd : (s + 1) * sd]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2 * (sub @ pq[s].T)
+                + (pq[s] * pq[s]).sum(axis=1)
+            )
+            out[:, s + 1] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    qrows = (
+        embeddings.orderBy("vec_id")
+        .limit(n_queries)
+        .select("vec_id", _int_embedding(F.col("embedding")).alias("iv"))
+        .collect()
+    )
+    probe_rows, table_rows = [], []
+    for qr in qrows:
+        qv = np.asarray(qr["iv"], dtype=np.int64)
+        dc = ((cents - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(dc, kind="stable")[:nprobe]:
+            probe_rows.append((int(qr["vec_id"]), int(cell)))
+        for s in range(S):
+            qs = qv[s * sd : (s + 1) * sd]
+            t = ((pq[s] - qs) ** 2).sum(axis=1)
+            for c in range(codes):
+                table_rows.append((int(qr["vec_id"]), s, c, int(t[c])))
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    table = spark.createDataFrame(
+        table_rows, "query_id bigint, s int, code int, d2 bigint"
+    )
+    enc = embeddings.select(
+        "vec_id",
+        _cell_and_codes(_int_embedding(F.col("embedding"))).alias("cc"),
+    ).select(
+        "vec_id",
+        F.element_at("cc", 1).alias("cell"),
+        F.posexplode(F.slice("cc", 2, S)).alias("s0", "code"),
+    )
+    table_r = table.select(
+        F.col("query_id").alias("t_qid"),
+        "s",
+        F.col("code").alias("t_code"),
+        "d2",
+    )
+    adc = (
+        enc.join(F.broadcast(probes), "cell")  # cell pruning assigns queries
+        .join(
+            F.broadcast(table_r),
+            # posexplode positions are 0-based, matching subspace ids
+            (F.col("s0") == F.col("s"))
+            & (F.col("code") == F.col("t_code"))
+            & (F.col("query_id") == F.col("t_qid")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["iv"])) for r in qrows],
+        "query_id bigint, qiv array<bigint>",
+    )
+    rescored = (
+        embeddings.select(
+            "vec_id", _int_embedding(F.col("embedding")).alias("iv")
+        )
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("iv", "qiv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "d2", "rank")
+    )

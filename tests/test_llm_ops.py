@@ -322,6 +322,68 @@ def test_pq_trained_codebook_never_worse_on_training_sample(spark, tables):
     )
 
 
+def test_ivfpq_full_probe_full_rerank_equals_exact_l2(spark, tables):
+    """Probing every cell with a corpus-covering shortlist degenerates
+    IVF-PQ to the exact integer-L2 top-k (pinned against numpy) — the
+    losses come ONLY from the two explicit knobs (nprobe, rerank)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    out = similarity.ivfpq_topk(
+        emb, n_queries=3, k=5, cells=4, nprobe=4, subspaces=8, rerank=n
+    ).collect()
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.round(
+        np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        * 1000.0
+    ).astype(np.int64)
+    for qi in range(3):
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        expect = [
+            (int(ids[qi]), int(ids[j]), int(d2[j]), r + 1)
+            for r, j in enumerate(order[:5])
+        ]
+        got = sorted(
+            [
+                (r.query_id, r.vec_id, r.d2, r.rank)
+                for r in out
+                if r.query_id == ids[qi]
+            ],
+            key=lambda t: t[3],
+        )
+        assert got == expect
+
+
+def test_ivfpq_narrow_probe_is_subset_of_probed_cells(spark, tables):
+    """With nprobe=1, every returned vector must live in the query's own
+    nearest cell — the pruning contract."""
+    emb = tables["embeddings"]
+    out = similarity.ivfpq_topk(
+        emb, n_queries=2, k=5, cells=4, nprobe=1, subspaces=8
+    ).collect()
+    cb_rows = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(similarity._int_embedding(F.col("embedding")).alias("iv"))
+        .collect()
+    )
+    import numpy as np
+
+    cents = np.array([list(r["iv"]) for r in cb_rows], dtype=np.int64)
+    all_rows = emb.orderBy("vec_id").select(
+        "vec_id", similarity._int_embedding(F.col("embedding")).alias("iv")
+    ).collect()
+    cell_of = {}
+    for r in all_rows:
+        v = np.asarray(list(r["iv"]), dtype=np.int64)
+        cell_of[r.vec_id] = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+    for r in out:
+        assert cell_of[r.vec_id] == cell_of[r.query_id], r
+
+
 def test_pq_topk_adc_only_mode(spark, tables):
     """rerank=None surfaces raw ADC distances: k rows per query, ranks
     dense, distances non-decreasing within a query."""

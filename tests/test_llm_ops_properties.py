@@ -206,3 +206,72 @@ def test_minhash_portable_agreement_bounds(spark, text_list):
             if r.doc_a == 0 and r.doc_b == dup_id
         ]
         assert full and full[0].n_agree == 32, cand
+
+
+@settings(max_examples=8, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=10))
+def test_bloom_incremental_dedup_always_equals_plain_anti_join(
+    spark, text_list
+):
+    """For ANY corpus split and even a deliberately saturated filter,
+    the Bloom-prefiltered path is pure work-pruning: its output doc set
+    is identical to the exact anti-join's."""
+    docs = _docs(spark, text_list)
+    seen_docs = docs.where("doc_id % 2 = 0")
+    new_docs = docs.where("doc_id % 2 = 1")
+    seen = text.fingerprint(seen_docs)
+    exact = {
+        r.doc_id for r in dedup.incremental_dedup(new_docs, seen).collect()
+    }
+    got = {
+        r.doc_id
+        for r in dedup.incremental_dedup_bloom(
+            new_docs, seen, m_bits=8, k=2
+        ).collect()
+    }
+    assert got == exact
+
+
+@settings(max_examples=8, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=10))
+def test_shared_ngram_fraction_invariants(spark, text_list):
+    """0 <= n_shared <= n_grams, ppm in [0, 1e6], one row per doc, and
+    an exact duplicate pair forces BOTH docs to 100% shared when they
+    have any grams at all."""
+    docs = _docs(spark, text_list)
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.shared_ngram_fraction(docs.unionByName(dup)).collect()
+    }
+    assert len(out) == len(text_list) + 1
+    for r in out.values():
+        assert 0 <= r.n_shared <= r.n_grams
+        assert 0 <= r.shared_ppm <= 1_000_000
+    twin_a, twin_b = out[0], out[1_000_000]
+    assert twin_a.n_grams == twin_b.n_grams
+    if twin_a.n_grams > 0:
+        assert twin_a.shared_ppm == twin_b.shared_ppm == 1_000_000
+
+
+@settings(max_examples=8, deadline=None)
+@given(text_list=st.lists(texts, min_size=2, max_size=10))
+def test_tfidf_cosine_pairs_bounded_and_symmetric_input_invariant(
+    spark, text_list
+):
+    """Every emitted similarity lies in [threshold, 1] (weights are
+    non-negative so cosine cannot be negative; fixed-point quantization
+    cannot push it above 1 because both sides use the same integers),
+    and pairs are strictly ordered doc_a < doc_b (no self/dup pairs)."""
+    out = dedup.tfidf_ngram_cosine_pairs(
+        _docs(spark, text_list), n=2, threshold=0.1
+    ).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert 0.1 <= r.cosine_tfidf <= 1.0 + 1e-9, r
