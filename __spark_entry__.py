@@ -953,6 +953,14 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16 overlap) — map-only
+    pass, chunk surfaced as a 16-byte md5 for downstream joins."""
+    return text.sliding_chunks(
+        _t(spark, sf_dir, "documents"), size=64, overlap=16
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by identity hash."""
     return text.hash_split(_t(spark, sf_dir, "documents"))
@@ -1240,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "q_pq_topk": q_pq_topk,
         "q_ivfpq_topk": q_ivfpq_topk,
+        "q_sliding_chunks": q_sliding_chunks,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1915,6 +1924,22 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4) "
             "+ 0.0 AS cosine_tfidf FROM pairs "
             "WHERE dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.3"
+        ),
+        "q_sliding_chunks": (
+            # stride = 64 - 16 = 48; n_chunks = max(ceil((n-16)/48), 1);
+            # final partial window kept; chunk surfaced as md5 of the
+            # space-joined token slice
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "c AS (SELECT doc_id, len(t) AS n, t, "
+            "unnest(generate_series(0, GREATEST("
+            "CAST(CEIL((len(t) - 16) * 1.0 / 48) AS BIGINT), 1) - 1)) "
+            "AS chunk_idx FROM toks) "
+            "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+            "CAST(chunk_idx * 48 AS BIGINT) AS start_tok, "
+            "CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS n_tok, "
+            "md5(array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], "
+            "' ')) AS chunk_md5 FROM c"
         ),
         "q_hash_split": (
             # same identity-hash arithmetic as text.hash_split: first 8

@@ -83,6 +83,7 @@ HEADLINE = [
     "q_tfidf_cosine_pairs",
     "q_pq_topk",
     "q_ivfpq_topk",
+    "q_sliding_chunks",
 ]
 
 

@@ -834,3 +834,60 @@ def curriculum_bins(documents: DataFrame, n_bins: int = 10) -> DataFrame:
         "n_chars",
         F.ntile(n_bins).over(w).alias("bin"),
     )
+
+
+def sliding_chunks(
+    documents: DataFrame, size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining prep step
+    between whole-document packing (``pack_sequences``) and span dedup
+    (``dedup.chunk_dedup``): split each document into token windows of
+    ``size`` with ``overlap`` tokens of context carried across window
+    boundaries (stride = size - overlap). The final partial window is
+    kept (it holds the document tail); a doc shorter than ``size``
+    yields exactly one chunk.
+
+    All map-side Catalyst: one sequence() over chunk starts per row,
+    explode, array_join of the token slice — no shuffle at all, which
+    is what a 100 TB chunking pass must be. Emits the chunk md5 rather
+    than the text so downstream dedup joins move 16-byte keys, plus
+    (start_tok, n_tok) so the caller can slice the original lazily.
+    Returns (doc_id, chunk_idx, start_tok, n_tok, chunk_md5).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.select("doc_id", tokens().alias("toks")).repartition(
+        parallelism
+    )
+    n = F.size("toks")
+    # number of chunks: ceil(max(n - overlap, 1) / stride), minimum 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        n.alias("n_toks"),
+        F.explode(
+            F.sequence(F.lit(0), n_chunks - 1)
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_tok"),
+        F.least(
+            F.lit(size), F.col("n_toks") - F.col("chunk_idx") * stride
+        ).alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "toks", F.col("chunk_idx") * stride + 1, F.lit(size)
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+    return chunks

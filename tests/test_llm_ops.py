@@ -1105,3 +1105,33 @@ def test_centroid_outliers_flags_anti_aligned_vector(spark, tables):
     for vid, (s, f) in out.items():
         if abs(s) > 0.001:
             assert f == (1 if s < 0 else 0), (vid, s, f)
+
+
+def test_sliding_chunks_coverage_and_overlap(spark, tables):
+    """Chunk arithmetic: stride = size - overlap, consecutive chunks
+    share exactly `overlap` token positions, every token is covered,
+    the tail partial chunk is kept, and a doc shorter than `size`
+    yields exactly one chunk of its own length."""
+    schema = tables["documents"].schema
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, long_text, "en", "s", len(long_text)), (2, "a b c", "en", "s", 5)],
+        schema=schema,
+    )
+    out = text.sliding_chunks(docs, size=10, overlap=2).collect()
+    one = sorted(
+        [r for r in out if r.doc_id == 1], key=lambda r: r.chunk_idx
+    )
+    # n_chunks = ceil((100 - 2) / 8) = 13
+    assert [r.chunk_idx for r in one] == list(range(13))
+    assert all(r.start_tok == i * 8 for i, r in enumerate(one))
+    assert all(r.n_tok == 10 for r in one[:-1])
+    assert one[-1].n_tok == 100 - 12 * 8  # tail partial = 4 tokens
+    # consecutive windows overlap by exactly 2 positions
+    for a, b in zip(one, one[1:]):
+        assert a.start_tok + a.n_tok - b.start_tok == 2
+    short = [r for r in out if r.doc_id == 2]
+    assert len(short) == 1
+    assert (short[0].start_tok, short[0].n_tok) == (0, 3)
+    with pytest.raises(ValueError):
+        text.sliding_chunks(docs, size=8, overlap=8)
