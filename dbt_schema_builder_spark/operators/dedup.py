@@ -221,6 +221,26 @@ def bloom_bits(
     )
 
 
+def bloom_bits_update(
+    bits: DataFrame,
+    ingested: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+    key: str = "content_md5",
+) -> DataFrame:
+    """Incremental maintenance of the Bloom bit relation: union the
+    newly ingested batch's positions into the existing bit table. The
+    set is monotone and bounded by ``m_bits``, so the artifact an
+    ingest pipeline persists is this table, re-written per batch at a
+    cost proportional to the BATCH (plus an m_bits-bounded distinct) —
+    the 100 TB history is never rescanned. ``m_bits``/``k`` must match
+    the values the table was built with."""
+    new_bits = ingested.select(
+        F.explode(_bloom_positions(F.col(key), m_bits, k)).alias("pos")
+    )
+    return bits.unionByName(new_bits).distinct()
+
+
 def incremental_dedup_bloom(
     new_docs: DataFrame,
     seen: DataFrame,

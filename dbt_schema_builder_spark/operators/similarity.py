@@ -981,7 +981,9 @@ def pq_codebook(
     ]
 
 
-def pq_encode(embeddings: DataFrame, codebook: list) -> DataFrame:
+def pq_encode(
+    embeddings: DataFrame, codebook: list, vectorized: bool = True
+) -> DataFrame:
     """PQ-encode the corpus: per subspace, the code of the nearest
     codeword by integer L2 (tie-break: smallest code). One map-only pass
     — no join, no shuffle; the codebook rides inside an Arrow-batched
@@ -990,7 +992,46 @@ def pq_encode(embeddings: DataFrame, codebook: list) -> DataFrame:
     and replayable). Returns (vec_id, codes array<int>) — 1 byte/code
     of information per subspace instead of 4*subdim bytes of float: the
     64x memory cut that makes billion-vector ANN fit a cluster's RAM.
+
+    ``vectorized=False`` is the pure-Catalyst form (repo convention for
+    every Arrow path): per subspace, an array of the K integer distances
+    via aggregate(zip_with(...)) HOFs over codeword literals, argmin as
+    array_position(min) — identical integers, zero Python, ~the usual
+    3x interpreted-HOF cost. Still map-only.
     """
+    if not vectorized:
+        # explode-let pins the integerization to ONE eval per row —
+        # inlined, CollapseProject would re-run the transform once per
+        # codeword distance (the round-3 quantize lesson)
+        base = embeddings.select(
+            "vec_id",
+            F.explode(
+                F.array(_int_embedding(F.col("embedding")))
+            ).alias("_iv"),
+        )
+        sd0 = len(codebook[0][0])
+        cols = []
+        for s, words in enumerate(codebook):
+            sub = F.slice(F.col("_iv"), s * sd0 + 1, sd0)
+            dists = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.lit([int(x) for x in w]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v,
+                    )
+                    for w in words
+                ]
+            )
+            # array_position returns the FIRST match: lowest-code tie-break
+            cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        return base.select("vec_id", F.array(*cols).alias("codes"))
     cb = [np.asarray(c, dtype=np.int64) for c in codebook]
     subspaces = len(cb)
     sd = cb[0].shape[1]

@@ -384,6 +384,47 @@ def test_ivfpq_narrow_probe_is_subset_of_probed_cells(spark, tables):
         assert cell_of[r.vec_id] == cell_of[r.query_id], r
 
 
+def test_pq_encode_catalyst_fallback_matches_arrow(spark, tables):
+    """The pure-Catalyst encode (no Python anywhere) must produce
+    bit-identical codes to the Arrow GEMM path — both are exact integer
+    argmins over the same codebook."""
+    emb = tables["embeddings"]
+    cb = similarity.pq_codebook(emb, subspaces=8, codes=16)
+    fast = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(emb, cb, vectorized=True).collect()
+    }
+    slow = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(emb, cb, vectorized=False).collect()
+    }
+    assert fast == slow
+
+
+def test_ivf_cell_layout_partition_prunes(spark, tables, tmp_path):
+    """The 100-TB probe story end to end: encode cells, write the code
+    table partitioned by cell, and a probe filter must appear as a
+    PartitionFilter on the scan — the ANN probe becomes pruned I/O."""
+    import re as re_
+
+    from dbt_schema_builder_spark.sources import write_partitioned
+
+    emb = tables["embeddings"]
+    cents = similarity.pq_codebook(emb, subspaces=1, codes=4)
+    cells = similarity.pq_encode(emb, cents).select(
+        "vec_id", F.element_at("codes", 1).alias("cell")
+    )
+    out = str(tmp_path / "by_cell")
+    write_partitioned(cells, out, ["cell"])
+    probe = spark.read.parquet(out).where(F.col("cell") == 1)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    m = re_.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    assert probe.count() == cells.where("cell = 1").count()
+
+
 def test_pq_topk_adc_only_mode(spark, tables):
     """rerank=None surfaces raw ADC distances: k rows per query, ranks
     dense, distances non-decreasing within a query."""
@@ -652,6 +693,28 @@ def test_bloom_bits_bounded_and_monotone(spark, tables):
     assert len(bits_full) <= m
     assert bits_half <= bits_full
     assert all(0 <= p < m for p in bits_full)
+
+
+def test_bloom_bits_update_matches_full_rebuild(spark, tables):
+    """Incremental maintenance: bits(half) updated with the other half
+    equals a full rebuild — the artifact never needs the history
+    rescanned."""
+    docs = tables["documents"]
+    a = text.fingerprint(docs.where("doc_id % 2 = 0"))
+    b = text.fingerprint(docs.where("doc_id % 2 = 1"))
+    full = {
+        r.pos
+        for r in dedup.bloom_bits(
+            text.fingerprint(docs), m_bits=256, k=3
+        ).collect()
+    }
+    incr = {
+        r.pos
+        for r in dedup.bloom_bits_update(
+            dedup.bloom_bits(a, m_bits=256, k=3), b, m_bits=256, k=3
+        ).collect()
+    }
+    assert incr == full
 
 
 def test_shared_ngram_fraction_planted(spark, tables):
