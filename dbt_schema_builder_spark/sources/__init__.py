@@ -1,6 +1,7 @@
 from .io import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     write_partitioned,
     write_zordered,
@@ -12,6 +13,7 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "read_json",
+    "read_orc",
     "write_partitioned",
     "write_zordered",
     "zorder_value",

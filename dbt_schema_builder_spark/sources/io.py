@@ -41,6 +41,12 @@ def read_json(
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — the other columnar format Spark ships natively; gets
+    the same predicate/projection pushdown as parquet from the v2 scan."""
+    return spark.read.orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

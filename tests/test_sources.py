@@ -163,3 +163,19 @@ def test_zorder_value_rejects_too_many_bits(spark, tables):
 
     with pytest.raises(ValueError):
         zorder_value(tables["events"], ["user_id", "value"], bits=32)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tables, tmp_path):
+    """ORC write/read roundtrip with filters reaching the scan — the
+    second columnar format gets the same pushdown contract as parquet."""
+    from dbt_schema_builder_spark.sources import read_orc
+
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    filtered = back.where(F.col("o_orderstatus") == "F")
+    plan = _plan(filtered)
+    assert re.search(r"PushedFilters: \[.*o_orderstatus", plan), plan
+    assert filtered.count() == src.where("o_orderstatus = 'F'").count()

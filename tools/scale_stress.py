@@ -130,6 +130,15 @@ OPS = {
     "pq_topk(rerank=100)": lambda d, e: similarity.pq_topk(
         e, n_queries=5, k=10, subspaces=16, codes=16, rerank=100
     ),
+    # round-4b: the two-level composite — cell pruning should keep the
+    # ADC join input at ~nprobe/cells of the corpus
+    "ivfpq_topk(3/8 probes)": lambda d, e: similarity.ivfpq_topk(
+        e, n_queries=5, k=10, cells=8, nprobe=3, subspaces=16, rerank=100
+    ),
+    # round-4b: map-only chunking — must scale linearly with zero shuffle
+    "sliding_chunks(64/16)": lambda d, e: text.sliding_chunks(
+        d, size=64, overlap=16
+    ),
 }
 
 table = {}
