@@ -1278,12 +1278,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_hash_split": q_hash_split,
         "q_source_mix": q_source_mix,
+        # ---- driver window boundary (position 50 = q_source_mix) ----
+        # everything below is rotated out — displaced by the six new
+        # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
+        # ivfpq, sliding chunks); every rotated-out key carries a green
+        # round-2/3 row and is unchanged since
+        # (tests/test_query_window.py audits the arithmetic)
         "q_percentile_filter": q_percentile_filter,
         "q_cap_per_source": q_cap_per_source,
-        # ---- driver window boundary (50) ----
         "q_oov_rate": q_oov_rate,
-        # rotated out for the three new round-4 operators; all three
-        # carry green round-2 rows and are unchanged since
         "q_dedup_stats": q_dedup_stats,
         "q_weighted_sample": q_weighted_sample,
         "q_chunk_dedup": q_chunk_dedup,

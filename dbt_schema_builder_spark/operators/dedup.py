@@ -44,23 +44,28 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingles_from(toks, n: int = 3):
-    """Word n-gram shingles as a distinct array from an existing token-
-    array column: slide with transform + slice. Documents shorter than n
-    tokens produce an empty set (guarded: sequence(1, 0) counts *down*).
+def _position_grams(toks, n: int = 3):
+    """Positional (non-distinct) word n-grams from a token-array column:
+    slide with transform + slice. Documents shorter than n tokens
+    produce an empty array (guarded: sequence(1, 0) counts *down*).
 
     Pass a MATERIALIZED column (one that crossed an exchange), not the
     raw ``tokens()`` expression: CollapseProject inlines expression
     aliases, so an inlined split() re-runs once per transform position —
     measured 3x slower on the shingle stage."""
     k = F.size(toks) - (n - 1)
-    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
-    return F.array_distinct(grams)
+
+
+def _shingles_from(toks, n: int = 3):
+    """Distinct n-gram shingle array (set semantics) — see
+    ``_position_grams`` for the construction and its caveats."""
+    return F.array_distinct(_position_grams(toks, n))
 
 
 def _shingles(n: int = 3):
@@ -275,7 +280,14 @@ def incremental_dedup_bloom(
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     # persist: the keyed batch feeds the probe AND both output branches
     keyed = new_docs.withColumn("content_md5", F.md5(norm)).persist()
-    bits = F.broadcast(bloom_bits(seen, m_bits=m_bits, k=k))
+    bits = bloom_bits(seen, m_bits=m_bits, k=k)
+    if m_bits <= (1 << 24):
+        # <=16M long rows broadcasts comfortably; beyond that (multi-
+        # billion-row histories) the probe becomes a pos-keyed shuffle
+        # join of k*|batch| probe rows against the m_bits-bounded table
+        # — still never rescans the history; a packed-bitmap broadcast
+        # (m_bits/64 longs) is the eventual form at that scale
+        bits = F.broadcast(bits)
     probe = keyed.select(
         "doc_id",
         F.explode(
@@ -314,19 +326,7 @@ def shared_ngram_fraction(
     parts-per-million fraction (no float rounding ties possible).
     """
     grams_arr = _tokenized(documents).select(
-        "doc_id",
-        F.when(
-            F.size("toks") - (n - 1) < 1, F.array().cast("array<string>")
-        )
-        .otherwise(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))
-                ),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-            )
-        )
-        .alias("grams"),
+        "doc_id", _position_grams(F.col("toks"), n).alias("grams")
     )
     # positions, NOT distinct grams — the fraction weights by occurrence.
     # persist: the explode pipeline has three consumers (gram frequency,
@@ -391,19 +391,7 @@ def tfidf_ngram_cosine_pairs(
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     grams = _tokenized(documents).select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") - (n - 1) < 1, F.array().cast("array<string>")
-            ).otherwise(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.size("toks") - (n - 1), F.lit(1)),
-                    ),
-                    lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-                )
-            )
-        ).alias("gram"),
+        F.explode(_position_grams(F.col("toks"), n)).alias("gram"),
     ).select("doc_id", F.xxhash64("gram").alias("gh"))
     # persist: the tf table feeds the df aggregation AND the weighted
     # index (two consumers of the tokenize+gram+count pipeline)

@@ -1116,8 +1116,9 @@ def pq_topk(
         qv = np.asarray(qr["iv"], dtype=np.int64)
         for s in range(subspaces):
             qs = qv[s * sd : (s + 1) * sd]
-            for c in range(codes):
-                d = qs - np.asarray(cb[s][c], dtype=np.int64)
+            # a corpus smaller than `codes` yields a shorter codebook
+            for c, word in enumerate(cb[s]):
+                d = qs - np.asarray(word, dtype=np.int64)
                 table_rows.append(
                     (int(qr["vec_id"]), s, c, int((d * d).sum()))
                 )
@@ -1151,12 +1152,22 @@ def pq_topk(
         .where(F.col("rn") <= rerank)
         .select("query_id", "vec_id")
     )
+    return _exact_rerank(embeddings, shortlist, qrows, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame, shortlist: DataFrame, qrows: list, k: int
+) -> DataFrame:
+    """Exact integer-L2 re-score of an ADC shortlist (shared tail of
+    ``pq_topk`` and ``ivfpq_topk``): broadcast the Q*rerank shortlist
+    rows and the query vectors, join the corpus once map-side, fold the
+    squared-diff integer distance, rank per query with vec_id
+    tie-break. Returns (query_id, vec_id, d2, rank)."""
+    spark = embeddings.sparkSession
     qdf = spark.createDataFrame(
         [(int(r["vec_id"]), list(r["iv"])) for r in qrows],
         "query_id bigint, qiv array<bigint>",
     )
-    # exact integer L2 on the shortlist only: broadcast Q*rerank rows,
-    # corpus joined once, map-side; distance is an integer HOF fold
     rescored = (
         embeddings.select(
             "vec_id", _int_embedding(F.col("embedding")).alias("iv")
@@ -1234,7 +1245,12 @@ def pq_codebook_trained(
             for c in range(k):
                 members = sub[assign == c]
                 if len(members):
-                    new[c] = np.round(members.mean(axis=0)).astype(np.int64)
+                    # half-AWAY rounding (np.round is banker's, which
+                    # would break the Spark/DuckDB half-away contract)
+                    m = members.mean(axis=0)
+                    new[c] = (
+                        np.sign(m) * np.floor(np.abs(m) + 0.5)
+                    ).astype(np.int64)
             if np.array_equal(new, cent):
                 break
             cent = new
@@ -1326,7 +1342,8 @@ def ivfpq_topk(
         for s in range(S):
             qs = qv[s * sd : (s + 1) * sd]
             t = ((pq[s] - qs) ** 2).sum(axis=1)
-            for c in range(codes):
+            # a corpus smaller than `codes` yields a shorter codebook
+            for c in range(len(t)):
                 table_rows.append((int(qr["vec_id"]), s, c, int(t[c])))
     probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
     table = spark.createDataFrame(
@@ -1366,31 +1383,4 @@ def ivfpq_topk(
         .where(F.col("rn") <= rerank)
         .select("query_id", "vec_id")
     )
-    qdf = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["iv"])) for r in qrows],
-        "query_id bigint, qiv array<bigint>",
-    )
-    rescored = (
-        embeddings.select(
-            "vec_id", _int_embedding(F.col("embedding")).alias("iv")
-        )
-        .join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.aggregate(
-                F.zip_with("iv", "qiv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("vec_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "d2", "rank")
-    )
+    return _exact_rerank(embeddings, shortlist, qrows, k)

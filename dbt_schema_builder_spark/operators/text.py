@@ -847,9 +847,11 @@ def sliding_chunks(
     kept (it holds the document tail); a doc shorter than ``size``
     yields exactly one chunk.
 
-    All map-side Catalyst: one sequence() over chunk starts per row,
-    explode, array_join of the token slice — no shuffle at all, which
-    is what a 100 TB chunking pass must be. Emits the chunk md5 rather
+    All Catalyst: one round-robin exchange for parallelism (the repo's
+    single-file-scan rule), then a map-only sequence() over chunk
+    starts, explode, array_join of the token slice — no data-dependent
+    shuffle, which is what a 100 TB chunking pass must be. Emits the
+    chunk md5 rather
     than the text so downstream dedup joins move 16-byte keys, plus
     (start_tok, n_tok) so the caller can slice the original lazily.
     Returns (doc_id, chunk_idx, start_tok, n_tok, chunk_md5).

@@ -81,24 +81,37 @@ def zorder_value(
     if k * bits > 63:
         raise ValueError(f"{k} cols x {bits} bits exceeds a long z-key")
     probs = [i / float(2**bits) for i in range(1, 2**bits)]
-    z = F.lit(0).cast("long")
+    # one job for ALL columns' boundaries, not one full scan per column
+    bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
+    keyed = df
     for idx, c in enumerate(cols):
-        bounds = df.stat.approxQuantile(c, probs, 0.001)
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        arr = F.array(*[F.lit(float(b)) for b in bounds[idx]])
         cell = F.aggregate(
             arr,
             F.lit(0),
             lambda acc, b: acc
             + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
         )
+        # explode-let pins the 2^bits-element boundary fold to ONE eval
+        # per row — inlined, the bit extraction below would re-run it
+        # `bits` times per row (CollapseProject)
+        keyed = keyed.withColumn(f"_zcell{idx}", F.explode(F.array(cell)))
+    z = F.lit(0).cast("long")
+    for idx in range(k):
+        cell_col = F.col(f"_zcell{idx}")
         for i in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(cell, i).bitwiseAND(F.lit(1)).cast("long"),
+                    F.shiftright(cell_col, i)
+                    .bitwiseAND(F.lit(1))
+                    .cast("long"),
                     i * k + idx,
                 )
             )
-    return df.withColumn("_zorder", z), "_zorder"
+    keyed = keyed.withColumn("_zorder", z).drop(
+        *[f"_zcell{idx}" for idx in range(k)]
+    )
+    return keyed, "_zorder"
 
 
 def write_zordered(

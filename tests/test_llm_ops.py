@@ -425,6 +425,21 @@ def test_ivf_cell_layout_partition_prunes(spark, tables, tmp_path):
     assert probe.count() == cells.where("cell = 1").count()
 
 
+def test_pq_and_ivfpq_survive_corpus_smaller_than_codebook(spark, tables):
+    """A corpus with fewer vectors than `codes` (or `cells`) yields a
+    shorter sampled codebook — both ANN paths must run on it, not
+    IndexError on the driver-side ADC table build."""
+    tiny = tables["embeddings"].orderBy("vec_id").limit(6)
+    out = similarity.pq_topk(
+        tiny, n_queries=2, k=3, subspaces=8, codes=16, rerank=10
+    ).collect()
+    assert {r.query_id for r in out} and all(r.rank <= 3 for r in out)
+    out2 = similarity.ivfpq_topk(
+        tiny, n_queries=2, k=3, cells=8, nprobe=3, subspaces=8, codes=16
+    ).collect()
+    assert {r.query_id for r in out2}
+
+
 def test_pq_topk_adc_only_mode(spark, tables):
     """rerank=None surfaces raw ADC distances: k rows per query, ranks
     dense, distances non-decreasing within a query."""
