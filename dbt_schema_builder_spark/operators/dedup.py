@@ -210,19 +210,36 @@ def _bloom_positions(key, m_bits: int, k: int):
     )
 
 
+def _bloom_word_rows(docs: DataFrame, m_bits: int, k: int, key: str):
+    """(word_idx, w) single-bit rows for every position of every key —
+    the pre-aggregation form shared by build and update."""
+    return docs.select(
+        F.explode(_bloom_positions(F.col(key), m_bits, k)).alias("pos")
+    ).select(
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+        ).alias("w"),
+    )
+
+
 def bloom_bits(
     seen: DataFrame, m_bits: int = 4096, k: int = 3, key: str = "content_md5"
 ) -> DataFrame:
-    """The Bloom filter as a RELATION: the distinct set bit positions of
-    every seen key. Bounded by ``m_bits`` rows no matter how large the
-    seen corpus is — this is the artifact a 100 TB ingest maintains
-    incrementally (the set is monotone: union new batches' positions in)
-    and broadcasts to probe new data, instead of shuffling every new
-    batch against the full fingerprint history."""
+    """The Bloom filter as a PACKED relation: (word_idx, word) rows
+    where ``word`` ORs the 64 bits of that index range — at most
+    ``m_bits / 64`` rows no matter how large the seen corpus is (a
+    billion-key history at 10 bits/key packs into ~2.6 GB of longs,
+    where the naive one-row-per-set-bit form would be 64x that and
+    unbroadcastable). This is the artifact a 100 TB ingest maintains
+    incrementally (monotone — see ``bloom_bits_update``) and broadcasts
+    to probe new data, instead of shuffling every new batch against the
+    full fingerprint history. Built with one bit_or aggregation —
+    map-side partial combine, shuffle bounded by the word count."""
     return (
-        seen.select(
-            F.explode(_bloom_positions(F.col(key), m_bits, k)).alias("pos")
-        ).distinct()
+        _bloom_word_rows(seen, m_bits, k, key)
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
     )
 
 
@@ -233,17 +250,17 @@ def bloom_bits_update(
     k: int = 3,
     key: str = "content_md5",
 ) -> DataFrame:
-    """Incremental maintenance of the Bloom bit relation: union the
-    newly ingested batch's positions into the existing bit table. The
-    set is monotone and bounded by ``m_bits``, so the artifact an
+    """Incremental maintenance of the packed Bloom relation: bit_or the
+    newly ingested batch's words into the existing table. The bit set
+    is monotone and bounded by ``m_bits / 64`` rows, so the artifact an
     ingest pipeline persists is this table, re-written per batch at a
-    cost proportional to the BATCH (plus an m_bits-bounded distinct) —
-    the 100 TB history is never rescanned. ``m_bits``/``k`` must match
-    the values the table was built with."""
-    new_bits = ingested.select(
-        F.explode(_bloom_positions(F.col(key), m_bits, k)).alias("pos")
+    cost proportional to the BATCH (plus a word-count-bounded
+    aggregation) — the 100 TB history is never rescanned. ``m_bits`` /
+    ``k`` must match the values the table was built with."""
+    new_words = _bloom_word_rows(ingested, m_bits, k, key).unionByName(
+        bits.select("word_idx", F.col("word").alias("w"))
     )
-    return bits.unionByName(new_bits).distinct()
+    return new_words.groupBy("word_idx").agg(F.bit_or("w").alias("word"))
 
 
 def incremental_dedup_bloom(
@@ -264,9 +281,10 @@ def incremental_dedup_bloom(
     ``bloom_bits`` build — one pass, reusable/monotone across ingests —
     and (b) the verify anti-join restricted to maybe-seen candidates.
     At steady state (most new docs genuinely new) the expensive join
-    processes dup_rate + FPR of the batch instead of all of it. The bit
-    table broadcasts (m_bits rows of longs), so the probe itself is
-    shuffle-free; the only batch-sized shuffle is the doc_id distinct.
+    processes dup_rate + FPR of the batch instead of all of it. The
+    packed word table broadcasts (m_bits/64 rows of longs), so the
+    probe itself is shuffle-free; the only batch-sized shuffle is the
+    doc_id distinct.
     FPR ~= (1 - exp(-k*n/m))^k — the default auto-sizes m_bits to ~10
     bits per seen key (FPR ~1% at k=3; one count() scalar to the
     driver), because an undersized filter saturates and every batch doc
@@ -280,24 +298,36 @@ def incremental_dedup_bloom(
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     # persist: the keyed batch feeds the probe AND both output branches
     keyed = new_docs.withColumn("content_md5", F.md5(norm)).persist()
-    bits = bloom_bits(seen, m_bits=m_bits, k=k)
-    if m_bits <= (1 << 24):
-        # <=16M long rows broadcasts comfortably; beyond that (multi-
-        # billion-row histories) the probe becomes a pos-keyed shuffle
-        # join of k*|batch| probe rows against the m_bits-bounded table
-        # — still never rescans the history; a packed-bitmap broadcast
-        # (m_bits/64 longs) is the eventual form at that scale
-        bits = F.broadcast(bits)
+    words = bloom_bits(seen, m_bits=m_bits, k=k)
+    if m_bits <= (1 << 30):
+        # packed words: <=16M long rows even at a 2^30-bit filter —
+        # broadcasts comfortably; beyond that the probe degrades to a
+        # word_idx-keyed shuffle join of k*|batch| probe rows against
+        # the word-bounded table, still never rescanning the history
+        words = F.broadcast(words)
     probe = keyed.select(
         "doc_id",
         F.explode(
             _bloom_positions(F.col("content_md5"), m_bits, k)
         ).alias("pos"),
+    ).select(
+        "doc_id",
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+        ).alias("mask"),
     )
-    # >=1 unset bit => definitely new; the anti-join against the
-    # broadcast bit table never shuffles the batch
+    # >=1 unset bit => definitely new; the left join against the
+    # broadcast word table never shuffles the batch
     definite_new = (
-        probe.join(bits, "pos", "left_anti").select("doc_id").distinct().persist()
+        probe.join(words, "word_idx", "left")
+        .where(
+            F.col("word").isNull()
+            | (F.col("word").bitwiseAND(F.col("mask")) == 0)
+        )
+        .select("doc_id")
+        .distinct()
+        .persist()
     )
     maybe_seen = keyed.join(definite_new, "doc_id", "left_anti")
     seen_keys = seen.select("content_md5").distinct()

@@ -696,18 +696,27 @@ def test_incremental_dedup_bloom_exact_under_forced_false_positives(
 
 
 def test_bloom_bits_bounded_and_monotone(spark, tables):
-    """The bit relation never exceeds m_bits rows no matter the corpus
-    size, and a superset corpus only ever ADDS bits (monotone — the
-    property that makes the artifact incrementally maintainable)."""
+    """The packed word relation never exceeds m_bits/64 rows no matter
+    the corpus size, and a superset corpus only ever ADDS bits (each
+    half-corpus word is a bitwise subset of the full-corpus word — the
+    monotonicity that makes the artifact incrementally maintainable)."""
     docs = tables["documents"]
     half = text.fingerprint(docs.where("doc_id % 2 = 0"))
     full = text.fingerprint(docs)
-    m = 64
-    bits_half = {r.pos for r in dedup.bloom_bits(half, m_bits=m, k=3).collect()}
-    bits_full = {r.pos for r in dedup.bloom_bits(full, m_bits=m, k=3).collect()}
-    assert len(bits_full) <= m
-    assert bits_half <= bits_full
-    assert all(0 <= p < m for p in bits_full)
+    m = 256
+    w_half = {
+        r.word_idx: r.word
+        for r in dedup.bloom_bits(half, m_bits=m, k=3).collect()
+    }
+    w_full = {
+        r.word_idx: r.word
+        for r in dedup.bloom_bits(full, m_bits=m, k=3).collect()
+    }
+    assert len(w_full) <= m // 64
+    assert set(w_half) <= set(w_full)
+    for idx, w in w_half.items():
+        assert w & ~w_full[idx] == 0  # half's bits all present in full
+    assert all(0 <= idx < m // 64 for idx in w_full)
 
 
 def test_bloom_bits_update_matches_full_rebuild(spark, tables):
@@ -718,13 +727,13 @@ def test_bloom_bits_update_matches_full_rebuild(spark, tables):
     a = text.fingerprint(docs.where("doc_id % 2 = 0"))
     b = text.fingerprint(docs.where("doc_id % 2 = 1"))
     full = {
-        r.pos
+        (r.word_idx, r.word)
         for r in dedup.bloom_bits(
             text.fingerprint(docs), m_bits=256, k=3
         ).collect()
     }
     incr = {
-        r.pos
+        (r.word_idx, r.word)
         for r in dedup.bloom_bits_update(
             dedup.bloom_bits(a, m_bits=256, k=3), b, m_bits=256, k=3
         ).collect()
