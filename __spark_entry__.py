@@ -1219,7 +1219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-verified in round 1 (environment drift broke old-greens once
     already — round-2 lesson); (d) keys in modules touched this round
     (ANN guard, dedup_clusters convergence, LM-scorer persists, bincount
-    entropy); then (e) round-2-verified keepers to refresh. Every query
+    entropy) plus the SIX new round-4 operators (bloom dedup,
+    shared-ngram fraction, tfidf pairs, pq, ivfpq, sliding chunks);
+    then (e) round-2-verified keepers to refresh. Every query
     past position 50 carries a green row from round 2 or 3
     (tests/test_query_window.py audits this)."""
     return {
