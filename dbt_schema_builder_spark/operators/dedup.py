@@ -282,9 +282,12 @@ def incremental_dedup_bloom(
     and (b) the verify anti-join restricted to maybe-seen candidates.
     At steady state (most new docs genuinely new) the expensive join
     processes dup_rate + FPR of the batch instead of all of it. The
-    packed word table broadcasts (m_bits/64 rows of longs), so the
-    probe itself is shuffle-free; the only batch-sized shuffle is the
-    doc_id distinct.
+    packed word table (m_bits/64 rows of longs) broadcasts while
+    m_bits <= 2^30 (~16M rows / ~130 MB — up to ~100M-key histories at
+    10 bits/key), making the probe shuffle-free; beyond that the probe
+    degrades to a word_idx-keyed join of k*|batch| probe rows against
+    the word-bounded table — still never rescanning the history. The
+    only batch-sized shuffle is the doc_id distinct.
     FPR ~= (1 - exp(-k*n/m))^k — the default auto-sizes m_bits to ~10
     bits per seen key (FPR ~1% at k=3; one count() scalar to the
     driver), because an undersized filter saturates and every batch doc

@@ -1245,12 +1245,16 @@ def pq_codebook_trained(
             for c in range(k):
                 members = sub[assign == c]
                 if len(members):
-                    # half-AWAY rounding (np.round is banker's, which
-                    # would break the Spark/DuckDB half-away contract)
-                    m = members.mean(axis=0)
-                    new[c] = (
-                        np.sign(m) * np.floor(np.abs(m) + 0.5)
-                    ).astype(np.int64)
+                    # half-AWAY rounding of sum/count done entirely in
+                    # integers: floor((2|sum| + n) / 2n) with the sign
+                    # restored. No float ever — np.round is banker's
+                    # and floor(x+0.5) mis-rounds doubles just below a
+                    # representable half, both of which would break the
+                    # Spark/DuckDB half-away contract
+                    ssum = members.sum(axis=0)
+                    cnt = len(members)
+                    mag = (2 * np.abs(ssum) + cnt) // (2 * cnt)
+                    new[c] = (np.sign(ssum) * mag).astype(np.int64)
             if np.array_equal(new, cent):
                 break
             cent = new
