@@ -76,21 +76,42 @@ def zorder_value(
     bit arithmetic (an aggregate-HOF scan over the literal boundary
     array, then shift/or folds) — no UDF, no shuffle.
 
+    Timestamp / date columns are supported by bucketing their epoch-
+    micros surface (the repo's NTZ-safe ``session.epoch_micros``), so
+    the natural event layout ``(user_id, ts)`` works out of the box.
+
     Returns (df_with_key, key_column_name)."""
+    from ..session import epoch_micros
+
     k = len(cols)
     if k * bits > 63:
         raise ValueError(f"{k} cols x {bits} bits exceeds a long z-key")
     probs = [i / float(2**bits) for i in range(1, 2**bits)]
-    # one job for ALL columns' boundaries, not one full scan per column
-    bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
-    keyed = df
+    # timestamps bucket on their epoch-micros surface (approxQuantile
+    # only accepts numeric columns); ordering — all z-order needs — is
+    # preserved exactly
+    numeric = {}
+    tmp = df
     for idx, c in enumerate(cols):
+        dt = dict(df.dtypes)[c]
+        if dt.startswith("timestamp") or dt == "date":
+            numeric[c] = f"_znum{idx}"
+            tmp = tmp.withColumn(numeric[c], epoch_micros(F.col(c)))
+        else:
+            numeric[c] = c
+    # one job for ALL columns' boundaries, not one full scan per column
+    bounds = tmp.stat.approxQuantile(
+        [numeric[c] for c in cols], probs, 0.001
+    )
+    keyed = tmp
+    for idx, c in enumerate(cols):
+        nc = numeric[c]
         arr = F.array(*[F.lit(float(b)) for b in bounds[idx]])
         cell = F.aggregate(
             arr,
             F.lit(0),
             lambda acc, b: acc
-            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            + F.when(F.col(nc).cast("double") >= b, 1).otherwise(0),
         )
         # explode-let pins the 2^bits-element boundary fold to ONE eval
         # per row — inlined, the bit extraction below would re-run it
@@ -109,6 +130,7 @@ def zorder_value(
                 )
             )
     keyed = keyed.withColumn("_zorder", z).drop(
+        *[numeric[c] for c in cols if numeric[c] != c],
         *[f"_zcell{idx}" for idx in range(k)]
     )
     return keyed, "_zorder"

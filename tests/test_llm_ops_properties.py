@@ -275,3 +275,39 @@ def test_tfidf_cosine_pairs_bounded_and_symmetric_input_invariant(
     for r in out:
         assert r.doc_a < r.doc_b
         assert 0.1 <= r.cosine_tfidf <= 1.0 + 1e-9, r
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    text_list=st.lists(texts, min_size=1, max_size=8),
+    size=st.integers(min_value=3, max_value=12),
+    overlap=st.integers(min_value=0, max_value=2),
+)
+def test_sliding_chunks_tile_exactly(spark, text_list, size, overlap):
+    """For ANY corpus and window geometry: chunk starts advance by
+    stride, windows cover every token position exactly once modulo the
+    designed overlap, the tail never exceeds the doc, and chunk counts
+    match the closed form max(ceil((n - overlap) / stride), 1)."""
+    import math
+
+    out = text.sliding_chunks(
+        _docs(spark, text_list), size=size, overlap=overlap
+    ).collect()
+    stride = size - overlap
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(text_list)))
+    for doc_id, rows in by_doc.items():
+        n = len(text_list[doc_id].split())
+        rows.sort(key=lambda r: r.chunk_idx)
+        expect = max(math.ceil(max(n - overlap, 1) / stride), 1)
+        assert len(rows) == expect, (n, size, overlap, rows)
+        for i, r in enumerate(rows):
+            assert r.chunk_idx == i
+            assert r.start_tok == i * stride
+            assert 1 <= r.n_tok <= size
+            assert r.start_tok + r.n_tok <= max(n, 1)
+        # full coverage: the last window reaches the end of the doc
+        last = rows[-1]
+        assert last.start_tok + last.n_tok == max(n, 1)

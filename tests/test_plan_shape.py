@@ -277,3 +277,16 @@ def test_tfidf_pairs_repartitions_on_gram_key_and_broadcasts_dfs(tables):
     plan = _plan(dedup.tfidf_ngram_cosine_pairs(tables["documents"]))
     assert re.search(r"hashpartitioning\(gh#", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_single_arrow_pass_no_sort_merge(tables):
+    """IVF-PQ's corpus contact: the Arrow encode pass emits
+    [cell, codes...] and every join (probes, ADC table, shortlist,
+    query vectors) broadcasts — no sort-merge join, no cartesian."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    plan = _plan(similarity.ivfpq_topk(tables["embeddings"], n_queries=2, k=3))
+    assert "ArrowEvalPython" in plan, plan  # the combined encode pass
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

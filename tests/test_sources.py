@@ -179,3 +179,47 @@ def test_orc_roundtrip_with_pushdown(spark, tables, tmp_path):
     plan = _plan(filtered)
     assert re.search(r"PushedFilters: \[.*o_orderstatus", plan), plan
     assert filtered.count() == src.where("o_orderstatus = 'F'").count()
+
+
+def test_zorder_supports_timestamp_columns(spark, tables, tmp_path):
+    """The natural event layout (user_id, ts): timestamp columns bucket
+    on their NTZ epoch-micros surface; the write round-trips exactly and
+    the ts row-group ranges narrow vs a linear user_id sort."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from dbt_schema_builder_spark.sources import write_zordered
+
+    ev = tables["events"].select("event_id", "user_id", "ts")
+    zp = str(tmp_path / "z_ts")
+    lp = str(tmp_path / "l_ts")
+    write_zordered(ev, zp, ["user_id", "ts"], bits=6, n_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+    back = spark.read.parquet(zp)
+    assert back.count() == ev.count()
+    assert set(back.columns) == {"event_id", "user_id", "ts"}
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+    def avg_ts_width(path):
+        widths = []
+        lo_hi = []
+        for f in globmod.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("ts")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                lo_hi.append((st.min, st.max))
+        glo = min(a for a, _ in lo_hi), max(b for _, b in lo_hi)
+        span = (glo[1] - glo[0]).total_seconds()
+        return sum(
+            (b - a).total_seconds() / span for a, b in lo_hi
+        ) / len(lo_hi)
+
+    assert avg_ts_width(zp) < avg_ts_width(lp) * 0.7
