@@ -961,6 +961,16 @@ def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin
+    family): lossless candidate pruning under a rarest-first global
+    shingle order — the same output as q_ngram_jaccard at the same
+    threshold, so it shares that key's oracle SQL verbatim."""
+    return dedup.jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by identity hash."""
     return text.hash_split(_t(spark, sf_dir, "documents"))
@@ -1251,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_sliding_chunks": q_sliding_chunks,
+        "q_ppjoin_jaccard": q_ppjoin_jaccard,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1279,13 +1290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_incremental_dedup": q_incremental_dedup,
         "q_hash_split": q_hash_split,
-        "q_source_mix": q_source_mix,
-        # ---- driver window boundary (position 50 = q_source_mix) ----
-        # everything below is rotated out — displaced by the six new
+        # ---- driver window boundary (position 50 = q_hash_split) ----
+        # everything below is rotated out — displaced by the seven new
         # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
-        # ivfpq, sliding chunks); every rotated-out key carries a green
-        # round-2/3 row and is unchanged since
+        # ivfpq, sliding chunks, ppjoin); every rotated-out key carries
+        # a green round-2/3 row and is unchanged since
         # (tests/test_query_window.py audits the arithmetic)
+        "q_source_mix": q_source_mix,
         "q_percentile_filter": q_percentile_filter,
         "q_cap_per_source": q_cap_per_source,
         "q_oov_rate": q_oov_rate,
@@ -1345,7 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _with_shared_oracles({
         "q_pii_view_projection": f"SELECT {_CUSTOMER_COLS} FROM customer",
         "q_safe_view_redaction": (
             "SELECT c_custkey, '<redacted>' AS c_name, c_nationkey, "
@@ -2362,7 +2373,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "1 AS within_5pct FROM events GROUP BY event_type"
         ),
-    }
+    })
+
+
+def _with_shared_oracles(d: dict) -> dict:
+    """Oracle aliases: queries contracted to produce IDENTICAL output to
+    another key share that key's SQL verbatim (q_ppjoin_jaccard is the
+    prefix-filtered exact-Jaccard twin of q_ngram_jaccard)."""
+    d["q_ppjoin_jaccard"] = d["q_ngram_jaccard"]
+    return d
 
 
 def _lsh_topk_oracle_sql(

@@ -167,6 +167,113 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def jaccard_prefix_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    PPJoin family) — the lossless alternative to ``max_df``: under a
+    global rarest-first shingle order, a pair with Jaccard >= t must
+    share a shingle within each side's first |x| - ceil(t*|x|) + 1
+    shingles (prefix-filter lemma with alpha = ceil(t*max(|x|,|y|))),
+    so only PREFIXES are indexed and joined. Hot stopword-like shingles
+    sort LAST and rarely enter any prefix, so the candidate fan-out
+    collapses without dropping a single true pair — where ``max_df``
+    trades recall for the same effect.
+
+    Shape: one df aggregation (rarest-first rank), one sorted-array
+    rebuild per doc, prefix explode + hash self-join on the explicit
+    repartition (the quadratic-fan-out rule), candidate pairs verified
+    by one array_intersect per pair against the full sorted sets joined
+    back by doc_id. Output is IDENTICAL to ``ngram_jaccard_pairs`` at
+    the same threshold — the driver oracle for both is the same SQL.
+
+    Measured regime (SCALE.md round-4b): the prefix keeps ~(1-t) of
+    each doc's shingles, so the win scales with the threshold AND with
+    index heat. On the dup-dense 10x corpus at t=0.8 it is 2.7x FASTER
+    than the full inverted index (9.0 s vs 24.4 s — candidates collapse
+    ~25x); at t=0.2 the prefix retains 80% of the index and the extra
+    stages (df rank, sorted rebuild, verify back-joins) make it slower.
+    Use it for high-threshold near-dup mining on duplication-heavy
+    corpora; use ``ngram_jaccard_pairs`` (optionally df-capped) for
+    weak-threshold sweeps on organic data.
+    """
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    # persist: the sized sets feed the prefix index AND both verify joins
+    sized = (
+        _tokenized(documents)
+        .select(
+            "doc_id",
+            F.transform(
+                _shingles_from(F.col("toks"), n), lambda s: F.xxhash64(s)
+            ).alias("sh_arr"),
+        )
+        .persist()
+    )
+    dfs = (
+        sized.select("doc_id", F.explode("sh_arr").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # global rarest-first order: sort each doc's set by (df, sh); the
+    # dfs join broadcasts (shingle-vocab bounded) under AQE
+    ordered = (
+        sized.select("doc_id", F.explode("sh_arr").alias("sh"))
+        .join(dfs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "sh"))),
+                lambda s: s["sh"],
+            ).alias("sorted_sh")
+        )
+    )
+    t = float(threshold)
+    prefix_len = (
+        F.size("sorted_sh")
+        - F.ceil(F.size("sorted_sh") * F.lit(t)).cast("int")
+        + 1
+    )
+    index = ordered.select(
+        "doc_id",
+        F.explode(
+            F.slice("sorted_sh", 1, F.greatest(prefix_len, F.lit(0)))
+        ).alias("sh"),
+    ).repartition(parallelism, "sh")
+    a, b = index.alias("a"), index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    arr = sized.select("doc_id", "sh_arr")
+    verified = (
+        cand.join(arr.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh_arr", "arr_a")
+        .join(arr.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh_arr", "arr_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_inter"),
+            F.size("arr_a").alias("size_a"),
+            F.size("arr_b").alias("size_b"),
+        )
+    )
+    jac = F.col("n_inter") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
 def incremental_dedup(
     new_docs: DataFrame, seen: DataFrame, broadcast_seen: bool = False
 ) -> DataFrame:

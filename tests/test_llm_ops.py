@@ -1222,3 +1222,29 @@ def test_sliding_chunks_coverage_and_overlap(spark, tables):
     assert (short[0].start_tok, short[0].n_tok) == (0, 3)
     with pytest.raises(ValueError):
         text.sliding_chunks(docs, size=8, overlap=8)
+
+
+def test_ppjoin_equals_inverted_index_jaccard(docs_with_dupes):
+    """Prefix filtering is LOSSLESS: on a corpus with planted exact and
+    near duplicates, the prefix-filtered join returns exactly the same
+    (pair, jaccard) set as the full inverted-index formulation, at
+    every threshold tried."""
+    for t in (0.2, 0.5, 0.8):
+        full = sorted(
+            map(
+                tuple,
+                dedup.ngram_jaccard_pairs(
+                    docs_with_dupes, n=3, threshold=t
+                ).collect(),
+            )
+        )
+        pref = sorted(
+            map(
+                tuple,
+                dedup.jaccard_prefix_pairs(
+                    docs_with_dupes, n=3, threshold=t
+                ).collect(),
+            )
+        )
+        assert pref == full, t
+        assert len(full) >= 1  # planted dupes guarantee pairs exist

@@ -64,6 +64,7 @@ def test_empty_input_through_operators(spark, tables):
     assert similarity.pq_topk(empty_emb).count() == 0
     assert similarity.ivfpq_topk(empty_emb).count() == 0
     assert dedup.shared_ngram_fraction(empty_docs).count() == 0
+    assert dedup.jaccard_prefix_pairs(empty_docs).count() == 0
     assert dedup.tfidf_ngram_cosine_pairs(empty_docs).count() == 0
     # empty seen corpus: bloom has zero bits set, every batch doc is
     # definitely new and passes through untouched
