@@ -600,6 +600,17 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_safe_split(docs, pairs)
 
 
+def q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup action list (new r4): the proven q_dedup_clusters
+    pair graph collapsed to one keep/drop decision per document, keyed
+    to the deterministic cluster representative."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=_JACCARD_MAX_DF
+    )
+    return dedup.keep_canonical(docs, pairs)
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated per-group percentiles (median + p90 of doc
     length per language)."""
@@ -1262,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_sliding_chunks": q_sliding_chunks,
         "q_ppjoin_jaccard": q_ppjoin_jaccard,
+        "q_keep_canonical": q_keep_canonical,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1289,13 +1301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_incremental_dedup": q_incremental_dedup,
-        "q_hash_split": q_hash_split,
-        # ---- driver window boundary (position 50 = q_hash_split) ----
-        # everything below is rotated out — displaced by the seven new
+        # ---- driver window boundary (position 50 = q_incremental_dedup)
+        # everything below is rotated out — displaced by the eight new
         # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
-        # ivfpq, sliding chunks, ppjoin); every rotated-out key carries
-        # a green round-2/3 row and is unchanged since
-        # (tests/test_query_window.py audits the arithmetic)
+        # ivfpq, sliding chunks, ppjoin, keep-canonical); every
+        # rotated-out key carries a green round-2/3 row and is unchanged
+        # since (tests/test_query_window.py audits the arithmetic)
+        "q_hash_split": q_hash_split,
         "q_source_mix": q_source_mix,
         "q_percentile_filter": q_percentile_filter,
         "q_cap_per_source": q_cap_per_source,
@@ -2303,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pq_topk": _pq_topk_oracle_sql(),
         "q_ivfpq_topk": _ivfpq_topk_oracle_sql(),
+        "q_keep_canonical": _keep_canonical_oracle_sql(),
         # integer-exact LSH ANN: quantize (proven), md5-integer
         # hyperplane sign buckets, quantized-cosine rerank (proven)
         "q_lsh_topk": _lsh_topk_oracle_sql(),
@@ -2770,4 +2783,20 @@ def _ivfpq_topk_oracle_sql(
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
         "ORDER BY d2, vec_id) AS INT) AS rank "
         f"FROM ex) WHERE rank <= {k}"
+    )
+
+
+def _keep_canonical_oracle_sql(threshold: float = 0.2) -> str:
+    """DuckDB replay of dedup.keep_canonical over the ngram pair graph:
+    cluster = min reachable doc_id (recursive CTE), keeper = the
+    representative itself, singletons keep themselves."""
+    return _pair_closure_ctes(threshold) + (
+        ", cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, "
+        "COALESCE(cl.cluster_id, d.doc_id) AS keep_doc_id, "
+        "CASE WHEN d.doc_id = COALESCE(cl.cluster_id, d.doc_id) "
+        "THEN 'keep' ELSE 'drop' END AS action "
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"
     )

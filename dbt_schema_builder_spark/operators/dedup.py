@@ -502,6 +502,36 @@ def shared_ngram_fraction(
     return out.withColumn("shared_ppm", ppm.cast("bigint"))
 
 
+def keep_canonical(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Turn a near-dup pair graph into the ACTION list a curation run
+    executes: every member of a transitive cluster maps to one
+    deterministic keeper (the minimum doc_id — the same representative
+    ``dedup_clusters`` and ``cluster_safe_split`` use), and each doc is
+    labeled keep/drop. Singletons keep themselves. This is the step
+    between pair MINING (Jaccard/MinHash/SimHash/embedding) and the
+    actual corpus rewrite; composing it with any miner gives end-to-end
+    fuzzy dedup with one join against the corpus.
+
+    Scale: label propagation on the (tiny) pair graph, then one
+    broadcast-or-hash join of the corpus against the cluster labels —
+    the corpus shuffles on nothing wider than doc_id. Returns
+    (doc_id, cluster_id, keep_doc_id, action)."""
+    labels = dedup_clusters(pairs)
+    keyed = documents.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        # the representative IS the min reachable doc_id by construction
+        F.col("cluster_id").alias("keep_doc_id"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("action"),
+    )
+
+
 def tfidf_ngram_cosine_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -1224,6 +1224,26 @@ def test_sliding_chunks_coverage_and_overlap(spark, tables):
         text.sliding_chunks(docs, size=8, overlap=8)
 
 
+def test_keep_canonical_actions(spark, tables):
+    """A chain cluster keeps exactly its minimum doc_id and drops the
+    rest, all pointing at the same keeper; docs outside any pair keep
+    themselves."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    docs = tables["documents"].limit(0).sparkSession.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in (1, 2, 3, 10, 11, 99)],
+        tables["documents"].schema,
+    )
+    out = {r.doc_id: r for r in dedup.keep_canonical(docs, pairs).collect()}
+    assert {d: out[d].action for d in (1, 2, 3)} == {
+        1: "keep", 2: "drop", 3: "drop"
+    }
+    assert all(out[d].keep_doc_id == 1 for d in (1, 2, 3))
+    assert (out[10].action, out[11].action) == ("keep", "drop")
+    assert out[99].action == "keep" and out[99].keep_doc_id == 99
+
+
 def test_ppjoin_equals_inverted_index_jaccard(docs_with_dupes):
     """Prefix filtering is LOSSLESS: on a corpus with planted exact and
     near duplicates, the prefix-filtered join returns exactly the same

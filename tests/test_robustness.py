@@ -79,6 +79,7 @@ def test_empty_input_through_operators(spark, tables):
     assert (
         dedup.cluster_safe_split(empty_docs, empty_pairs).count() == 0
     )
+    assert dedup.keep_canonical(empty_docs, empty_pairs).count() == 0
     # empty pair graph over a NON-empty corpus: everyone is a singleton
     # and the safe split degenerates to exactly hash_split
     full = dedup.cluster_safe_split(tables["documents"], empty_pairs)
