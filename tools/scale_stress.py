@@ -139,6 +139,17 @@ OPS = {
     "sliding_chunks(64/16)": lambda d, e: text.sliding_chunks(
         d, size=64, overlap=16
     ),
+    # round-4b: prefix filtering's winning regime — high threshold on
+    # the dup-dense index (measured 2.7x over the full inverted index;
+    # see SCALE.md for the full crossover table)
+    "ppjoin_jaccard(thr.8)": lambda d, e: dedup.jaccard_prefix_pairs(
+        d, n=3, threshold=0.8
+    ),
+    # round-4b: pair graph -> keep/drop action list (label propagation
+    # is the cost; the corpus join is doc_id-narrow)
+    "keep_canonical": lambda d, e: dedup.keep_canonical(
+        d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64)
+    ),
 }
 
 table = {}
