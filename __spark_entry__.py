@@ -1225,6 +1225,33 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup (new r4): streamed events anti-joined
+    against the already-ingested key history (stream-static broadcast,
+    stateless) — the streaming twin of q_incremental_dedup. History =
+    the event_id % 3 == 0 slice, so the oracle is a plain filter."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_dedup_against_history,
+    )
+
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    seen = (
+        _t(spark, sf_dir, "events")
+        .where("event_id % 3 = 0")
+        .select("event_id")
+        .distinct()
+    )
+    return run_stream_to_memory(
+        streaming_dedup_against_history(src, seen, on="event_id"),
+        "q_stream_dedup_history_sink",
+        "append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1274,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_chunks": q_sliding_chunks,
         "q_ppjoin_jaccard": q_ppjoin_jaccard,
         "q_keep_canonical": q_keep_canonical,
+        "q_stream_dedup_history": q_stream_dedup_history,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1300,13 +1328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
-        "q_incremental_dedup": q_incremental_dedup,
-        # ---- driver window boundary (position 50 = q_incremental_dedup)
-        # everything below is rotated out — displaced by the eight new
+        # ---- driver window boundary (position 50 = q_pack_sequences)
+        # everything below is rotated out — displaced by the nine new
         # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
-        # ivfpq, sliding chunks, ppjoin, keep-canonical); every
-        # rotated-out key carries a green round-2/3 row and is unchanged
-        # since (tests/test_query_window.py audits the arithmetic)
+        # ivfpq, sliding chunks, ppjoin, keep-canonical, stream-dedup-
+        # history); every rotated-out key carries a green round-2/3 row
+        # and is unchanged since (tests/test_query_window.py audits it)
+        "q_incremental_dedup": q_incremental_dedup,
         "q_hash_split": q_hash_split,
         "q_source_mix": q_source_mix,
         "q_percentile_filter": q_percentile_filter,
@@ -1880,6 +1908,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE NOT regexp_matches(source, '^src1.*$')) "
             "SELECT doc_id, lang, source FROM newd "
             "WHERE k NOT IN (SELECT k FROM seen)"
+        ),
+        "q_stream_dedup_history": (
+            # the stream-static anti-join is stateless and deterministic
+            # (same rows as the batch anti-join), so the oracle is the
+            # plain complement filter of the ingested slice
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE event_id % 3 != 0"
         ),
         "q_incremental_dedup_bloom": (
             # the Bloom prefilter is work-pruning only (no false

@@ -5,6 +5,7 @@ from .windows import (
     streaming_click_purchase_join,
     streaming_dedup,
     streaming_session_window,
+    streaming_dedup_against_history,
     streaming_static_enrich,
     streaming_tumbling_counts,
     streaming_user_state,
@@ -19,5 +20,6 @@ __all__ = [
     "run_stream_to_memory",
     "run_stream_to_files",
     "streaming_click_purchase_join",
+    "streaming_dedup_against_history",
     "streaming_static_enrich",
 ]

@@ -291,3 +291,19 @@ def streaming_static_enrich(
     map. Deterministic output (same rows as the batch join), so this is
     the one streaming operator with a full value-hash oracle."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def streaming_dedup_against_history(
+    events: DataFrame, seen_keys: DataFrame, on: str = "event_id"
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_dedup``: drop streamed rows
+    whose key already exists in the ingested history, via a stream-
+    static LEFT ANTI join against the (broadcast) key table. Like
+    ``streaming_static_enrich`` this is STATELESS — no watermark, no
+    state store; the static side is re-read per micro-batch, so a
+    history append between batches is picked up automatically. At scale
+    the static side is the bounded fingerprint/key table (or its Bloom
+    prefilter — compose ``dedup.bloom_bits`` upstream), never the raw
+    history. Deterministic (same rows as the batch anti-join), so it
+    carries a full value-hash oracle."""
+    return events.join(F.broadcast(seen_keys), on, "left_anti")

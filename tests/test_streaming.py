@@ -186,6 +186,41 @@ def test_stream_static_enrich_matches_batch_join(spark, tables, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_dedup_against_history_matches_batch_anti(
+    spark, tables, events_dir
+):
+    """The streaming incremental dedup (stream-static left_anti) emits
+    exactly the batch anti-join's rows — stateless, no watermark."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_dedup_against_history,
+    )
+
+    seen = (
+        tables["events"]
+        .where("event_id % 3 = 0")
+        .select("event_id")
+        .distinct()
+    )
+    src = stream_events(spark, events_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    streamed = run_stream_to_memory(
+        streaming_dedup_against_history(src, seen, on="event_id"),
+        "t_dedup_hist_sink",
+        "append",
+    )
+    batch = (
+        tables["events"]
+        .select("event_id", "user_id", "event_type")
+        .join(F.broadcast(seen), "event_id", "left_anti")
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 @pytest.fixture(scope="module")
 def events_dir_multifile(sf_dir, tmp_path_factory, spark):
     """Four ts-range files so a maxFilesPerTrigger drain is genuinely
