@@ -1069,6 +1069,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset duplicate frames (new r4): fixed-stride payload
+    frames hashed to md5 and grouped; frames in >= 2 assets surface.
+    Safe as a value oracle because the corpus is ASCII-pinned (the
+    byte/character-semantics test in test_robustness), so DuckDB's
+    string md5 equals Spark's binary md5."""
+    from dbt_schema_builder_spark.multimodal import frame_dedup
+
+    media = attach_fake_image_bytes(_t(spark, sf_dir, "documents"))
+    return frame_dedup(media, every=256)
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chunk RMS/peak over binary payloads. Integer squared sums and
     a single final sqrt/round make the chunk features engine-exact, so
@@ -1302,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppjoin_jaccard": q_ppjoin_jaccard,
         "q_keep_canonical": q_keep_canonical,
         "q_stream_dedup_history": q_stream_dedup_history,
+        "q_frame_dedup": q_frame_dedup,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1327,13 +1340,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        # ---- driver window boundary (position 50 = q_pack_sequences)
-        # everything below is rotated out — displaced by the nine new
+        # ---- driver window boundary (position 50 = q_decontaminate) --
+        # everything below is rotated out — displaced by the ten new
         # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
         # ivfpq, sliding chunks, ppjoin, keep-canonical, stream-dedup-
-        # history); every rotated-out key carries a green round-2/3 row
-        # and is unchanged since (tests/test_query_window.py audits it)
+        # history, frame-dedup); every rotated-out key carries a green
+        # round-2/3 row and is unchanged since
+        # (tests/test_query_window.py audits the arithmetic)
+        "q_pack_sequences": q_pack_sequences,
         "q_incremental_dedup": q_incremental_dedup,
         "q_hash_split": q_hash_split,
         "q_source_mix": q_source_mix,
@@ -1915,6 +1929,21 @@ def oracle_sql() -> dict[str, str]:
             # plain complement filter of the ingested slice
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE event_id % 3 != 0"
+        ),
+        "q_frame_dedup": (
+            # payload = 'FAKEIMG1' || text; 256-byte frames; DuckDB's
+            # string md5 == Spark's binary md5 because the corpus is
+            # ASCII-pinned (1 char == 1 byte)
+            "WITH p AS (SELECT doc_id, 'FAKEIMG1' || text AS payload "
+            "FROM documents), "
+            "fr AS (SELECT doc_id, md5(substr(payload, s, 256)) AS frame_md5 "
+            "FROM p, LATERAL unnest(generate_series(1, "
+            "greatest(len(payload), 1), 256)) AS u(s)) "
+            "SELECT frame_md5, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_frames "
+            "FROM fr GROUP BY frame_md5 "
+            "HAVING COUNT(DISTINCT doc_id) >= 2"
         ),
         "q_incremental_dedup_bloom": (
             # the Bloom prefilter is work-pruning only (no false

@@ -2,6 +2,7 @@ from .binary_ops import (
     attach_fake_image_bytes,
     audio_features,
     decode_image_stub,
+    frame_dedup,
     image_features,
     resize_images,
     sample_frames,
@@ -11,6 +12,7 @@ __all__ = [
     "attach_fake_image_bytes",
     "audio_features",
     "decode_image_stub",
+    "frame_dedup",
     "image_features",
     "resize_images",
     "sample_frames",

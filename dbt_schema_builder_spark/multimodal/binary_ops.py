@@ -229,3 +229,28 @@ def sample_frames(media: DataFrame, every: int = 64) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(chunk, FRAMES_SCHEMA)
+
+
+def frame_dedup(media: DataFrame, every: int = 256) -> DataFrame:
+    """Cross-asset duplicate-frame detection — the multimodal analogue
+    of chunk-level text dedup: frames (fixed-stride payload chunks via
+    ``sample_frames``) are reduced to 16-byte md5 keys and grouped;
+    a frame appearing in >= 2 distinct assets flags shared/duplicated
+    media content (re-uploads, watermark boilerplate, still intros).
+    With a real decoder the chunker swaps for keyframe extraction and
+    the hash for a perceptual hash — the Spark shape (Arrow explode ->
+    16-byte-key hash aggregation, map-side combined, never raw bytes
+    past the hash) is the part that matters at 100 TB.
+
+    Returns (frame_md5, n_docs, n_frames) for frames shared across
+    assets."""
+    frames = sample_frames(media, every=every)
+    return (
+        frames.select("doc_id", F.md5(F.col("frame_bytes")).alias("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

