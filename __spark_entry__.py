@@ -36,6 +36,7 @@ from dbt_schema_builder_spark.multimodal import (  # noqa: E402
 )
 from dbt_schema_builder_spark.operators import (  # noqa: E402
     dedup,
+    graph,
     json_ops,
     profiling,
     relational,
@@ -462,6 +463,36 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap-fill + LOCF over 15-minute buckets (the
+    TimescaleDB time_bucket_gapfill/locf shape). Sums surface as integer
+    micro-units; the dense bucket axis is span/width rows per series."""
+    return timeseries.gapfill_locf(
+        _t(spark, sf_dir, "events"), bucket_minutes=15
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: strictly-after
+    chaining on each user's earliest qualifying timestamp."""
+    return timeseries.funnel(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-week x offset-week retention counts; epoch-week integer
+    arithmetic keeps both engines calendar-free."""
+    return timeseries.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier gate: |value - median| > 3 * MAD. Exact
+    interpolated medians on both engines; integer outlier counts are the
+    hashed surface."""
+    return profiling.mad_outliers(_t(spark, sf_dir, "events"))
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_ops.props_stats_by_type(_t(spark, sf_dir, "events"))
 
@@ -816,6 +847,36 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, damping 0.85) on the
+    customer<->supplier order graph; integer micro-unit arithmetic makes
+    the unrolled-CTE DuckDB oracle bit-exact."""
+    return graph.pagerank_topk(
+        graph.bipartite_edges(
+            _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+        ),
+        iterations=3,
+        k=50,
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a 3-term query mixing the corpus's one rare token
+    ('dup', df 25/500 at sf0.01 — idf ~2.98) with two common ones; the
+    integer micro-unit score sum is the hashed surface, rank assigned
+    after the distributed top-k limit."""
+    return text.bm25_search(
+        _t(spark, sf_dir, "documents"), ("dup", "join", "vector")
+    )
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations with the top-1000-vocab population
+    cap (a no-op on the 31-token synthetic corpus; the scale lever is
+    what's under test in the plan)."""
+    return text.pmi_pairs(_t(spark, sf_dir, "documents"), min_count=5)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keep_canonical": q_keep_canonical,
         "q_stream_dedup_history": q_stream_dedup_history,
         "q_frame_dedup": q_frame_dedup,
+        "q_gapfill_locf": q_gapfill_locf,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
+        "q_mad_outliers": q_mad_outliers,
+        "q_bm25_search": q_bm25_search,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_pagerank": q_pagerank,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1332,15 +1400,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_pandas_udf": q_pandas_udf,
         "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_frame_sample": q_frame_sample,
         "q_prep_pipeline": q_prep_pipeline,
-        "q_pivot": q_pivot,
-        "q_unpivot": q_unpivot,
+        # ---- driver window boundary (position 50 = q_prep_pipeline) --
+        # q_pivot / q_unpivot / q_repetition_stats / q_decontaminate /
+        # q_profile / q_pii_scrub / q_frame_sample rotated below the
+        # boundary (green r2 rows) to make room for the seven new
+        # analytics queries above
+        "q_frame_sample": q_frame_sample,
         "q_profile": q_profile,
         "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
-        # ---- driver window boundary (position 50 = q_decontaminate) --
         # everything below is rotated out — displaced by the ten new
         # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
         # ivfpq, sliding chunks, ppjoin, keep-canonical, stream-dedup-
@@ -1624,6 +1696,124 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS sum_value, "
             "COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "q_bm25_search": (
+            # mirrors text.bm25_search term for term: Lucene idf,
+            # micro-unit integer score sums, (score, doc_id) tie-break,
+            # rank assigned after the limit. Float expression order
+            # matches the Spark build exactly (left-assoc * and /).
+            "WITH d AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS dl "
+            "FROM documents), "
+            "st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS n "
+            "FROM d), "
+            "toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents), "
+            "q AS (SELECT doc_id, token FROM toks "
+            "WHERE token IN ('dup', 'join', 'vector')), "
+            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df "
+            "FROM q GROUP BY 1), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf "
+            "FROM q GROUP BY 1, 2), "
+            "agg AS (SELECT tf.doc_id, "
+            "CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) "
+            "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl "
+            "/ (tot / CAST(n AS DOUBLE)))) * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS score_micro, COUNT(*) AS n_hit_terms "
+            "FROM tf JOIN df USING (token) JOIN d ON tf.doc_id = d.doc_id "
+            "CROSS JOIN st GROUP BY 1) "
+            "SELECT * FROM (SELECT CAST(row_number() OVER ("
+            "ORDER BY score_micro DESC, doc_id) AS INT) AS rnk, "
+            "doc_id, score_micro, n_hit_terms FROM agg) WHERE rnk <= 20"
+        ),
+        "q_pmi_pairs": (
+            "WITH d AS (SELECT DISTINCT doc_id, token FROM ("
+            "SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents)), "
+            "df AS (SELECT token, COUNT(*) AS dfc FROM d GROUP BY 1), "
+            "v AS (SELECT token, dfc FROM (SELECT token, dfc, "
+            "row_number() OVER (ORDER BY dfc DESC, token) AS r FROM df) "
+            "WHERE r <= 1000), "
+            "dv AS (SELECT d.doc_id, d.token, v.dfc FROM d "
+            "JOIN v USING (token)), "
+            "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "p AS (SELECT x.token AS w1, y.token AS w2, "
+            "CAST(COUNT(*) AS BIGINT) AS c_ab, "
+            "ANY_VALUE(x.dfc) AS c_a, ANY_VALUE(y.dfc) AS c_b "
+            "FROM dv x JOIN dv y ON x.doc_id = y.doc_id "
+            "AND x.token < y.token GROUP BY 1, 2) "
+            "SELECT w1, w2, c_ab, "
+            "ROUND(ln((c_ab * n_docs) / CAST(c_a * c_b AS DOUBLE)), 4) "
+            "+ 0.0 AS pmi_r4 FROM p CROSS JOIN nd WHERE c_ab >= 5"
+        ),
+        "q_gapfill_locf": (
+            # mirrors timeseries.gapfill_locf: 15-min integer buckets,
+            # micro-unit sums, dense per-series axis, LOCF window
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(epoch_ms(ts) / 900000) AS BIGINT) AS bucket, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx "
+            "FROM b GROUP BY 1), "
+            "g AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS bucket "
+            "FROM r), "
+            "j AS (SELECT g.event_type, g.bucket, b.n_events, b.s "
+            "FROM g LEFT JOIN b USING (event_type, bucket)) "
+            "SELECT event_type, bucket * 900000 AS bucket_ms, "
+            "CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events, "
+            "CAST(COALESCE(LAST_VALUE(s IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) "
+            "AS locf_sum_micro, "
+            "CASE WHEN s IS NULL THEN 1 ELSE 0 END AS is_gap FROM j"
+        ),
+        "q_funnel": (
+            "WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms "
+            "FROM events), "
+            "s1 AS (SELECT user_id, MIN(ms) AS t FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.ms > s1.t GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e "
+            "JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ms > s2.t GROUP BY 1) "
+            "SELECT 1 AS stage, 'view' AS step, "
+            "(SELECT COUNT(*) FROM s1) AS n_users "
+            "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)"
+        ),
+        "q_cohort_retention": (
+            "WITH ev AS (SELECT user_id, "
+            "CAST(FLOOR(epoch_ms(ts) / 604800000) AS BIGINT) AS week "
+            "FROM events), "
+            "c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, week FROM ev) "
+            "SELECT cohort_week, week - cohort_week AS offset_weeks, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM a JOIN c USING (user_id) GROUP BY 1, 2"
+        ),
+        "q_mad_outliers": (
+            # exact interpolated medians on both sides; integer outlier
+            # counts are the robust hashed surface, rounded medians ride
+            # along (2-decimal source data -> no 5th-decimal round ties)
+            "WITH med AS (SELECT event_type, MEDIAN(value) AS med "
+            "FROM events GROUP BY 1), "
+            "dev AS (SELECT e.event_type, e.value, "
+            "ABS(e.value - m.med) AS adev FROM events e "
+            "JOIN med m USING (event_type)), "
+            "mad AS (SELECT d.event_type, MEDIAN(d.adev) AS mad "
+            "FROM dev d GROUP BY 1) "
+            "SELECT d.event_type, COUNT(*) AS n, "
+            "CAST(SUM(CASE WHEN d.adev > 3.0 * x.mad THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers, "
+            "ROUND(ANY_VALUE(m.med), 4) + 0.0 AS med_r4, "
+            "ROUND(ANY_VALUE(x.mad), 4) + 0.0 AS mad_r4 "
+            "FROM dev d JOIN mad x USING (event_type) "
+            "JOIN med m USING (event_type) GROUP BY 1"
         ),
         "q_session_window": (
             "WITH flagged AS ("
@@ -2377,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         # assignment + fixed-point centroid means (both idioms proven on
         # q_ivf_topk / q_centroid_by_label)
         "q_kmeans": _kmeans_oracle_sql(),
+        "q_pagerank": _pagerank_oracle_sql(),
         "q_pq_topk": _pq_topk_oracle_sql(),
         "q_ivfpq_topk": _ivfpq_topk_oracle_sql(),
         "q_keep_canonical": _keep_canonical_oracle_sql(),
@@ -2503,6 +2694,39 @@ def _lsh_topk_oracle_sql(
         "ROW_NUMBER() OVER (PARTITION BY query_id "
         f"ORDER BY raw DESC, vec_id) AS rank FROM scored QUALIFY rank <= {k}"
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 3, k: int = 50) -> str:
+    """Unrolled-CTE replay of graph.pagerank_topk: one CTE per
+    iteration, floor-integer arithmetic (`//` == Spark's `div` on
+    non-negative operands), (rank, node) tie-break, rank assigned after
+    the limit."""
+    sql = (
+        "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, "
+        "l_suppkey * 2 + 1 AS dst FROM orders "
+        "JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1), "
+        "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg), "
+    )
+    for i in range(iterations):
+        sql += (
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"CAST(150000 + (850000 * SUM(r{i}.r // d.deg)) // 1000000 "
+            f"AS BIGINT) AS r "
+            f"FROM edges e JOIN r{i} ON e.src = r{i}.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY 1), "
+        )
+    sql += (
+        f"fin AS (SELECT node, r FROM r{iterations}) "
+        "SELECT * FROM (SELECT CAST(row_number() OVER ("
+        "ORDER BY r DESC, node) AS INT) AS rnk, node, "
+        "CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END "
+        "AS entity, node // 2 AS entity_key, r AS rank_micro FROM fin) "
+        f"WHERE rnk <= {k}"
+    )
+    return sql
 
 
 def _kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:

@@ -1,0 +1,106 @@
+"""Iterative graph operators: fixed-point PageRank over a relation-derived
+graph.
+
+The engine's iterative-algorithm conventions (established by k-means and
+dedup_clusters) applied to link analysis: driver loop over a bounded
+iteration count, `localCheckpoint` per round so lineage never nests, only
+node-sized frames ever re-derived, and EVERY arithmetic step in integer
+micro-units so an unrolled-CTE SQL oracle replays the result bit for bit
+— floats would make the per-node contribution sums partial-aggregation-
+order dependent and unverifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_MASS = 1_000_000  # one unit of rank, in micro-units
+
+
+def bipartite_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Customer<->supplier interaction graph from order lines: an edge per
+    distinct (customer, supplier) pair that shares an order, both
+    directions. Node ids pack entity + key into one BIGINT (customer =
+    key*2, supplier = key*2+1) so the rank loop joins on a single long
+    key, never a string. The even/odd namespaces are disjoint, so the
+    reversal union is UNION ALL (no dedup shuffle)."""
+    e = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.unionByName(rev)
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-point PageRank, damping 0.85, a fixed iteration count.
+
+    r_0 = 1.0 (one million micro-units) per node;
+    r_{i+1}(v) = 0.15 + 0.85 * sum_{u->v} floor(r_i(u) / deg(u)),
+    every step floor-integer arithmetic — deterministic under any
+    partitioning and replayable in ANSI SQL (``//``/``div`` agree on
+    non-negative operands). Bidirected edges mean no dangling nodes and
+    every node receives mass, so the per-iteration groupBy(dst) covers
+    the full node set with no outer-join patch-up.
+
+    Scale shape: the per-iteration work is one join of the node-sized
+    rank frame to the edge list (AQE broadcasts ranks while it fits; at
+    web scale pre-partition BOTH edges and ranks by src so the join and
+    the groupBy(dst) shuffle are the only data movement) and one
+    map-side-combined contribution sum. `localCheckpoint` per round keeps
+    the plan flat (the kmeans/dedup_clusters lesson: without it analysis
+    goes exponential in the iteration count). Headroom: 0.85e6 * total
+    mass must fit int64 — fine to ~1e10 nodes; beyond that switch the
+    multiply order to (inc div 1e6) * 850000 and accept 1-unit error,
+    or widen to decimal.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_MASS).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(150_000)
+                    + F.expr("(850000 * inc) div 1000000")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_topk(edges: DataFrame, iterations: int = 3, k: int = 50) -> DataFrame:
+    """Top-k nodes by fixed-point PageRank, unpacked back to entity +
+    key. Distributed TakeOrdered with a (rank, node) tie-break; the rank
+    position is assigned AFTER the limit so the row_number window never
+    sees more than k rows."""
+    ranks = pagerank(edges, iterations)
+    top = ranks.orderBy(F.col("r").desc(), F.col("node")).limit(k)
+    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "node",
+        F.when(F.col("node") % 2 == 1, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("entity"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("r").alias("rank_micro"),
+    )

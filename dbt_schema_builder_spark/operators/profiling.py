@@ -91,3 +91,49 @@ def approx_quantiles(
         list(zip(probabilities, [float(v) for v in row])),
         "probability double, value double",
     )
+
+def mad_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Robust outlier gate per group: flag rows whose absolute deviation
+    from the group median exceeds ``n_mads`` times the group's median
+    absolute deviation. The MAD gate is the standard robust alternative to
+    z-scores (mean/stddev are themselves dragged by the outliers they are
+    supposed to catch) — data-quality pipelines use it to quarantine
+    corrupt numeric feeds before training-set aggregation.
+
+    Shape: two exact-median passes (percentile(0.5) per group, one
+    shuffle each — the deviation pass reuses the first join) and a final
+    count rollup. Exact group medians sort within each group partition;
+    the group key here is low-cardinality, so at 100 TB prefer
+    ``profile_numeric``'s approx_percentile sketch for the medians and
+    reserve this exact form for oracle-checked gates — the operator's
+    contract (interpolated exact median, both engines average the two
+    middle doubles) is what makes it hash-verifiable.
+    """
+    med = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), group_col).withColumn(
+        "adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(n_mads) * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            (F.round(F.first("med"), 4) + F.lit(0.0)).alias("med_r4"),
+            (F.round(F.first("mad"), 4) + F.lit(0.0)).alias("mad_r4"),
+        )
+    )

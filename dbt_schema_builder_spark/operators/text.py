@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny high-frequency stopword set used for quality scoring and the
 # stopword-ratio feature of language ID.
@@ -893,3 +894,124 @@ def sliding_chunks(
         ).alias("chunk_md5"),
     )
     return chunks
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval (the Okapi/Lucene scoring function): top-k
+    documents for a bag of query terms, idf * tf*(k1+1) / (tf + k1*(1-b
+    + b*|d|/avgdl)) summed over matched terms, with Lucene's
+    non-negative idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Shape: the term filter lands BEFORE any shuffle (predicate on the
+    exploded token stream — at 100 TB only postings for the query terms
+    ever move), tf is one (doc, term) aggregate over that sliver, df and
+    the corpus stats (N, total length) are tiny broadcast sides. Scores
+    are summed as integer micro-units per doc (the `_det_avg`
+    convention; term scores are non-negative so HALF_UP == half-away),
+    the global top-k runs as a distributed TakeOrdered with a (score,
+    doc_id) tie-break, and rank is assigned AFTER the limit so no
+    single-partition window ever sees more than `topk` rows.
+    """
+    d = documents.select("doc_id", F.size(tokens()).alias("dl"))
+    stats = d.agg(
+        F.sum("dl").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    q = documents.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    ).where(F.col("token").isin(*query_terms))
+    dfreq = q.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = q.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("tot") / F.col("n")
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    score = idf * (F.col("tf") * F.lit(k1 + 1)) / den * F.lit(1e6)
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(score).cast("long")).alias("score_micro"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    ).limit(topk)
+    rk = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(rk).alias("rnk"),
+        "doc_id",
+        "score_micro",
+        "n_hit_terms",
+    )
+
+
+def pmi_pairs(
+    documents: DataFrame, min_count: int = 5, max_vocab: int = 1000
+) -> DataFrame:
+    """Document-level co-occurrence PMI: for token pairs appearing in at
+    least ``min_count`` common documents, ln(c_ab * N / (c_a * c_b)) over
+    document frequencies — the collocation / embedding-preprocessing
+    signal (word2vec's SGNS is implicit shifted-PMI factorization).
+
+    Shape: distinct tokens per doc (array_distinct, map-side), document
+    frequencies carried THROUGH the pair join rather than re-joined
+    after (repo convention for per-group scalars), and the quadratic
+    per-doc pair fan-out bounded by a top-``max_vocab``-by-df vocabulary
+    cap — the same population-cap lever as ngram max_df / simhash
+    max_bucket: pairs per doc <= C(min(doclen, max_vocab), 2) and the
+    long Zipf tail never enters the self-join. The vocab ranking window
+    runs over the (bounded) vocabulary table, not the corpus. PMI is a
+    per-row float from exact integers (no order-dependent sums); the
+    rounded surface rides on integer counts.
+    """
+    d = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
+    ).persist()
+    dfreq = d.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    vr = Window.orderBy(F.col("dfc").desc(), F.col("token"))
+    vocab = (
+        dfreq.select("token", "dfc", F.row_number().over(vr).alias("r"))
+        .where(F.col("r") <= max_vocab)
+        .drop("r")
+    )
+    dv = d.join(F.broadcast(vocab), "token")
+    left = dv.select(
+        "doc_id", F.col("token").alias("w1"), F.col("dfc").alias("c_a")
+    )
+    right = dv.select(
+        "doc_id", F.col("token").alias("w2"), F.col("dfc").alias("c_b")
+    )
+    nd = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = (
+        left.join(right, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.first("c_a").alias("c_a"),
+            F.first("c_b").alias("c_b"),
+        )
+        .where(F.col("c_ab") >= min_count)
+    )
+    pmi = F.log(
+        (F.col("c_ab") * F.col("n_docs")) / (F.col("c_a") * F.col("c_b"))
+    )
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "w1",
+        "w2",
+        "c_ab",
+        (F.round(pmi, 4) + F.lit(0.0)).alias("pmi_r4"),
+    )

@@ -84,3 +84,129 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def gapfill_locf(events: DataFrame, bucket_minutes: int = 15) -> DataFrame:
+    """Time-bucket gap-fill with last-observation-carried-forward: the
+    hypertable/timeseries staple (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``). Buckets each event_type's stream into fixed intervals,
+    materializes EVERY bucket between the series' first and last
+    observation, and carries the last seen aggregate forward across empty
+    buckets.
+
+    Shape: one (event_type, bucket) aggregate shuffle with map-side
+    combine; per-series min/max is a tiny rollup of that table;
+    ``sequence`` + explode generates the dense bucket axis (rows bounded
+    by time-range / bucket width, NOT by event count — at 100 TB the
+    dense axis is still only span/width rows per series); the LOCF window
+    runs over the aggregated bucket table, so the per-partition sort is
+    over the bounded bucket axis, never the raw events. Sums are integer
+    micro-units (repo convention) so the fill is hash-reproducible.
+    Low series cardinality makes the final window partition-skewed only
+    in bucket count, which is time-bounded — safe.
+    """
+    bucket_ms = bucket_minutes * 60 * 1000
+    b = (
+        events.groupBy(
+            "event_type",
+            (epoch_millis(F.col("ts")) / F.lit(bucket_ms))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("s"),
+        )
+    )
+    # dense bucket axis per series: span/width rows, independent of |events|
+    axis = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("bucket"),
+        )
+    )
+    locf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        axis.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            (F.col("bucket") * F.lit(bucket_ms)).alias("bucket_ms"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                F.last("s", ignorenulls=True).over(locf), F.lit(0)
+            ).cast("bigint").alias("locf_sum_micro"),
+            F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered event funnel: users who performed step 1, then step 2
+    strictly after their earliest step 1, then step 3 strictly after that
+    earliest qualifying step 2 — the product-analytics conversion query.
+
+    Shape: one groupBy(user_id) min-aggregate per step, each joined to the
+    previous stage's (user_id, t_prev) frame — len(steps) shuffles on a
+    high-cardinality key with map-side partial mins, no windows over raw
+    history and no per-user state beyond one timestamp. The stage frames
+    shrink monotonically, and AQE broadcasts them once they fit. Counts
+    are the stage frames' row counts (one row per qualifying user).
+    """
+    ev = events.select(
+        "user_id", "event_type", epoch_millis(F.col("ts")).alias("ms")
+    )
+    stages = []
+    prev = None
+    for i, step in enumerate(steps):
+        cur = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(F.col("ms") > F.col("t"))
+        cur = cur.groupBy("user_id").agg(F.min("ms").alias("t"))
+        stages.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by the epoch-week of their
+    first event (cohort), counted once per subsequent active week at each
+    week offset — the growth-analytics staple.
+
+    Shape: one groupBy(user_id) min for the cohort assignment, one
+    distinct over (user_id, week) to collapse within-week activity before
+    the join (shrinks the fact side to at most users x weeks), then a
+    user-keyed join and a tiny (cohort, offset) count-distinct. All keys
+    high-cardinality except the final rollup, which is bounded by
+    weeks^2 rows. Epoch-week = epoch_ms // (7 * 86400000) — deterministic
+    integer arithmetic, no calendar/timezone dependence.
+    """
+    week_ms = 7 * 86400000
+    ev = events.select(
+        "user_id", (epoch_millis(F.col("ts")) / F.lit(week_ms)).cast("long").alias("week")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1,0 +1,123 @@
+"""Behavioral tests for the event-analytics operators (gap-fill/LOCF,
+funnel, cohort retention, MAD outliers) on tiny hand-built frames — the
+oracle-parity suite pins sf0.01 equivalence; these pin the SEMANTICS the
+oracle shares (strictly-after chaining, dense axis, leading-gap zeroes,
+robust-gate arithmetic) on inputs where the expected answer is derivable
+by hand."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.operators import profiling, timeseries
+
+_EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_gapfill_locf_dense_axis_and_carry(spark):
+    # type 'a': observations in 15-min buckets 0 and 2 -> bucket 1 is a
+    # gap and must carry bucket 0's sum; axis is exactly buckets 0..2
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a", 2.0),
+            (2, _ts(5), 1, "a", 3.0),
+            (3, _ts(40), 1, "a", 7.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = {
+        r["bucket_ms"]: r
+        for r in timeseries.gapfill_locf(ev, bucket_minutes=15).collect()
+    }
+    base = 1704067200000  # 2024-01-01T00:00:00Z epoch ms
+    assert set(rows) == {base, base + 900000, base + 1800000}
+    assert rows[base]["locf_sum_micro"] == 5_000_000
+    assert rows[base]["is_gap"] == 0 and rows[base]["n_events"] == 2
+    # the gap bucket carries forward and is flagged
+    assert rows[base + 900000]["locf_sum_micro"] == 5_000_000
+    assert rows[base + 900000]["is_gap"] == 1
+    assert rows[base + 900000]["n_events"] == 0
+    assert rows[base + 1800000]["locf_sum_micro"] == 7_000_000
+
+
+def test_gapfill_locf_series_are_independent(spark):
+    # type 'b' spans only bucket 1 -> its axis must NOT inherit type a's
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a", 1.0),
+            (2, _ts(40), 1, "a", 1.0),
+            (3, _ts(20), 1, "b", 9.0),
+        ],
+        _EV_SCHEMA,
+    )
+    out = timeseries.gapfill_locf(ev, bucket_minutes=15)
+    assert out.where(F.col("event_type") == "b").count() == 1
+
+
+def test_funnel_requires_strict_order(spark):
+    # u1 converts fully; u2 clicked BEFORE viewing (click must not count);
+    # u3 views only
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1), 1, "view", 0.0),
+            (2, _ts(2), 1, "click", 0.0),
+            (3, _ts(3), 1, "purchase", 0.0),
+            (4, _ts(2), 2, "view", 0.0),
+            (5, _ts(1), 2, "click", 0.0),
+            (6, _ts(5), 3, "view", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in timeseries.funnel(ev, ("view", "click", "purchase")).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_equal_timestamp_does_not_advance(spark):
+    # strictly-after: a click at EXACTLY the view timestamp is not "then"
+    ev = spark.createDataFrame(
+        [(1, _ts(1), 1, "view", 0.0), (2, _ts(1), 1, "click", 0.0)],
+        _EV_SCHEMA,
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in timeseries.funnel(ev, ("view", "click")).collect()
+    }
+    assert out == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    # u1 first active week W, active again W+2; u2 first active W+2 only
+    wk = 7 * 86400000
+    d0 = datetime.datetime(2024, 1, 4)  # inside some epoch week W
+    d2 = d0 + datetime.timedelta(days=14)
+    ev = spark.createDataFrame(
+        [
+            (1, d0, 1, "view", 0.0),
+            (2, d2, 1, "view", 0.0),
+            (3, d2, 2, "view", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = timeseries.cohort_retention(ev).collect()
+    w0 = int(d0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) // wk
+    got = {(r["cohort_week"], r["offset_weeks"]): r["n_users"] for r in rows}
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 2, 0): 1}
+
+
+def test_mad_outliers_flags_the_planted_point(spark):
+    # group 'a': values 1..7 plus a wild 1000 -> median 4.5, MAD ~2.5,
+    # only 1000 exceeds 3 MADs; group 'b' is clean
+    rows = [(i, _ts(i), 1, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])]
+    rows += [(100 + i, _ts(i), 1, "b", 5.0) for i in range(4)]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in profiling.mad_outliers(ev).collect()}
+    assert out["a"]["n_outliers"] == 1 and out["a"]["n"] == 8
+    assert out["b"]["n_outliers"] == 0
+    assert out["b"]["mad_r4"] == 0.0

@@ -1,0 +1,109 @@
+"""Behavioral tests for BM25 retrieval, PMI collocations, and fixed-point
+PageRank on tiny hand-built inputs (oracle parity at sf0.01 is pinned by
+the differential suite; these pin the semantics)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.operators import graph, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 'needle' appears once, in doc 0; 'common' is everywhere. The
+    # needle doc must rank first for the query (needle, common).
+    docs = _docs(
+        spark,
+        ["needle common word", "common word word", "common word", "common"],
+    )
+    out = text.bm25_search(docs, ("needle", "common"), topk=4).collect()
+    assert out[0]["rnk"] == 1 and out[0]["doc_id"] == 0
+    assert out[0]["n_hit_terms"] == 2
+    # every other doc matched only 'common'
+    assert all(r["n_hit_terms"] == 1 for r in out[1:])
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for 'x', shorter doc scores higher (b=0.75 length penalty)
+    docs = _docs(spark, ["x pad", "x pad pad pad pad pad pad pad"])
+    out = text.bm25_search(docs, ("x",), topk=2).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]
+    assert out[0]["score_micro"] > out[1]["score_micro"]
+
+
+def test_bm25_topk_cuts_deterministically(spark):
+    # ties on score broken by doc_id ascending at the k boundary
+    docs = _docs(spark, ["t", "t", "t"])
+    out = text.bm25_search(docs, ("t",), topk=2).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]
+
+
+def test_pmi_positive_for_correlated_negative_for_anticorrelated(spark):
+    # a & b always co-occur (4 docs of 8); a & c never do but both are
+    # frequent enough alone -> no (a,c) row at min_count 2; (a,b) PMI =
+    # ln(4*8/(4*4)) = ln 2 > 0
+    docs = _docs(
+        spark,
+        ["a b", "a b", "a b", "a b", "c d", "c d", "c d", "c d"],
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in text.pmi_pairs(docs, min_count=2).collect()
+    }
+    assert set(rows) == {("a", "b"), ("c", "d")}
+    assert abs(rows[("a", "b")]["pmi_r4"] - round(math.log(2), 4)) < 1e-9
+    assert rows[("a", "b")]["c_ab"] == 4
+
+
+def test_pmi_vocab_cap_excludes_tail(spark):
+    # max_vocab=2 keeps only the two most frequent tokens; pairs with
+    # the tail token never form
+    docs = _docs(spark, ["a b z", "a b", "a b", "a z"])
+    rows = text.pmi_pairs(docs, min_count=1, max_vocab=2).collect()
+    assert {(r["w1"], r["w2"]) for r in rows} == {("a", "b")}
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    rev = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return df.unionByName(rev)
+
+
+def test_pagerank_hub_ranks_first(spark):
+    # star graph: node 0 connected to 1..4 -> 0 must rank first
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    out = graph.pagerank(e, iterations=3).collect()
+    ranks = {r["node"]: r["r"] for r in out}
+    assert max(ranks, key=ranks.get) == 0
+    # leaves are symmetric -> identical ranks
+    assert len({ranks[i] for i in range(1, 5)}) == 1
+
+
+def test_pagerank_mass_is_integer_and_stable(spark):
+    # two disconnected symmetric pairs: every node keeps rank exactly
+    # 150000 + 850000 = 1000000 micro-units at every iteration
+    e = _edges(spark, [(0, 1), (2, 3)])
+    out = {r["node"]: r["r"] for r in graph.pagerank(e, iterations=3).collect()}
+    assert out == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+def test_pagerank_topk_entity_unpack(spark, sf_dir):
+    from dbt_schema_builder_spark.session import read_table
+
+    spark_edges = graph.bipartite_edges(
+        read_table(spark, f"{sf_dir}/orders.parquet"),
+        read_table(spark, f"{sf_dir}/lineitem.parquet"),
+    )
+    top = graph.pagerank_topk(spark_edges, iterations=1, k=5).collect()
+    assert len(top) == 5
+    assert [r["rnk"] for r in top] == [1, 2, 3, 4, 5]
+    for r in top:
+        assert r["entity"] in ("customer", "supplier")
+        assert r["node"] == r["entity_key"] * 2 + (r["entity"] == "supplier")
