@@ -849,6 +849,52 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill (the continuous-signal companion to
+    q_gapfill_locf); integer micro-unit arithmetic, floor via double
+    division on both engines (DuckDB's integer // truncates, FLOOR of
+    the double ratio floors — exact while the bucket span ≪ 2^26)."""
+    return timeseries.gapfill_interpolate(
+        _t(spark, sf_dir, "events"), bucket_minutes=15
+    )
+
+
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day via bounded
+    contribution-day expansion (fan-out = window width, no per-day
+    self-join)."""
+    return timeseries.rolling_active_users(
+        _t(spark, sf_dir, "events"), window_days=7
+    )
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (5-minute event intervals): running-max
+    island detection in one sorted window pass, all epoch-ms integers."""
+    return temporal.interval_coverage(
+        _t(spark, sf_dir, "events"), duration_minutes=5
+    )
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution; one
+    tokenize+count pass, micro-unit integer term sums."""
+    return text.source_kl(_t(spark, sf_dir, "documents"))
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (|A∩B|/min(|A|,|B|) ≥ 0.5):
+    sub-document quote/plagiarism mining, exact integer threshold
+    arithmetic. max_df is the scale lever (a no-op on the organic
+    corpus, max shingle df 25 — the q_ngram_jaccard precedent)."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold_milli=500,
+        max_df=_JACCARD_MAX_DF,
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 iterations, damping 0.85) on the
     customer<->supplier order graph; integer micro-unit arithmetic makes
@@ -1383,6 +1429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_pmi_pairs": q_pmi_pairs,
         "q_pagerank": q_pagerank,
+        "q_gapfill_interp": q_gapfill_interp,
+        "q_rolling_active": q_rolling_active,
+        "q_interval_coverage": q_interval_coverage,
+        "q_source_kl": q_source_kl,
+        "q_containment": q_containment,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1395,17 +1446,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_tfidf_terms": q_tfidf_terms,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        # ---- driver window boundary (position 50 = q_doc_fingerprint) --
+        # q_pivot / q_unpivot / q_repetition_stats / q_decontaminate /
+        # q_profile / q_pii_scrub / q_frame_sample / q_quality_score /
+        # q_text_stats / q_pandas_udf / q_lang_stats_pandas /
+        # q_prep_pipeline rotated below the boundary (green r2 rows) to
+        # make room for the twelve new analytics queries above
         "q_quality_score": q_quality_score,
         "q_text_stats": q_text_stats,
-        "q_doc_fingerprint": q_doc_fingerprint,
         "q_pandas_udf": q_pandas_udf,
         "q_lang_stats_pandas": q_lang_stats_pandas,
         "q_prep_pipeline": q_prep_pipeline,
-        # ---- driver window boundary (position 50 = q_prep_pipeline) --
-        # q_pivot / q_unpivot / q_repetition_stats / q_decontaminate /
-        # q_profile / q_pii_scrub / q_frame_sample rotated below the
-        # boundary (green r2 rows) to make room for the seven new
-        # analytics queries above
         "q_frame_sample": q_frame_sample,
         "q_profile": q_profile,
         "q_pii_scrub": q_pii_scrub,
@@ -1696,6 +1748,118 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS sum_value, "
             "COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "q_gapfill_interp": (
+            # floor through DOUBLE division on BOTH engines: DuckDB's
+            # integer // truncates toward zero while Spark F.floor
+            # floors — the double ratio is exact while the bucket span
+            # is far below the 2^53/ulp boundary
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(epoch_ms(ts) / 900000) AS BIGINT) AS bucket, "
+            "CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx "
+            "FROM b GROUP BY 1), "
+            "g AS (SELECT event_type, UNNEST(generate_series(mn, mx)) "
+            "AS bucket FROM r), "
+            "j AS (SELECT g.event_type, g.bucket, b.s FROM g "
+            "LEFT JOIN b USING (event_type, bucket)), "
+            "w AS (SELECT event_type, bucket, s, "
+            "LAST_VALUE(s IGNORE NULLS) OVER pw AS pv, "
+            "LAST_VALUE(CASE WHEN s IS NOT NULL THEN bucket END "
+            "IGNORE NULLS) OVER pw AS pb, "
+            "FIRST_VALUE(s IGNORE NULLS) OVER nw AS nv, "
+            "FIRST_VALUE(CASE WHEN s IS NOT NULL THEN bucket END "
+            "IGNORE NULLS) OVER nw AS nb FROM j "
+            "WINDOW pw AS (PARTITION BY event_type ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "nw AS (PARTITION BY event_type ORDER BY bucket "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+            "SELECT event_type, bucket * 900000 AS bucket_ms, "
+            "CAST(CASE WHEN s IS NOT NULL THEN s "
+            "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+            "ELSE pv + CAST(FLOOR(((nv - pv) * (bucket - pb)) "
+            "/ CAST(nb - pb AS DOUBLE)) AS BIGINT) END AS BIGINT) "
+            "AS interp_sum_micro, "
+            "CASE WHEN s IS NULL THEN 1 ELSE 0 END AS is_gap FROM w"
+        ),
+        "q_rolling_active": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day "
+            "FROM events), "
+            "bounds AS (SELECT MAX(day) AS mxd FROM ud), "
+            "contrib AS (SELECT DISTINCT user_id, day + o AS cday "
+            "FROM ud, LATERAL UNNEST(generate_series(0, 6)) AS t(o)), "
+            "cl AS (SELECT user_id, cday FROM contrib, bounds "
+            "WHERE cday <= mxd), "
+            "wnd AS (SELECT cday, COUNT(DISTINCT user_id) "
+            "AS n_active_window FROM cl GROUP BY 1), "
+            "dly AS (SELECT day AS cday, COUNT(DISTINCT user_id) "
+            "AS n_active_day FROM ud GROUP BY 1) "
+            "SELECT w.cday AS day, n_active_window, "
+            "CAST(COALESCE(n_active_day, 0) AS BIGINT) AS n_active_day "
+            "FROM wnd w LEFT JOIN dly USING (cday)"
+        ),
+        "q_interval_coverage": (
+            "WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS i_start, "
+            "epoch_ms(ts) + 300000 AS i_end FROM events), "
+            "w AS (SELECT user_id, event_id, i_start, i_end, "
+            "CASE WHEN MAX(i_end) OVER pw IS NULL "
+            "OR i_start > MAX(i_end) OVER pw THEN 1 ELSE 0 END AS is_new "
+            "FROM iv WINDOW pw AS (PARTITION BY user_id "
+            "ORDER BY i_start, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+            "isl AS (SELECT user_id, i_start, i_end, "
+            "SUM(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY i_start, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+            "FROM w), "
+            "m AS (SELECT user_id, island, MIN(i_start) AS m_start, "
+            "MAX(i_end) AS m_end, COUNT(*) AS n_iv FROM isl GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals, "
+            "COUNT(*) AS n_islands, "
+            "CAST(SUM(m_end - m_start) AS BIGINT) AS covered_ms "
+            "FROM m GROUP BY 1"
+        ),
+        "q_source_kl": (
+            "WITH st AS (SELECT source, token, COUNT(*) AS c_st FROM ("
+            "SELECT source, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents) GROUP BY 1, 2), "
+            "s_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s "
+            "FROM st GROUP BY 1), "
+            "g_tot AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t "
+            "FROM st GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st) "
+            "SELECT source, "
+            "CAST(SUM(CAST(round((c_st / CAST(n_s AS DOUBLE)) "
+            "* ln((c_st * n) / CAST(n_s * c_t AS DOUBLE)) * 1e6) "
+            "AS BIGINT)) AS BIGINT) AS kl_micro, "
+            "ANY_VALUE(n_s) AS n_tokens, COUNT(*) AS vocab_used "
+            "FROM st JOIN s_tot USING (source) JOIN g_tot USING (token) "
+            "CROSS JOIN tot GROUP BY source"
+        ),
+        "q_containment": (
+            # same shingle construction as q_ngram_jaccard's oracle;
+            # containment threshold + milli value are pure integer
+            # arithmetic (no float anywhere). max_df omitted like the
+            # jaccard oracle: a no-op on the organic corpus (max df 25)
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+2], ' ') AS shingle "
+            "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
+            "AS u(i)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "COUNT(*) AS n_inter FROM sh a JOIN sh b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT doc_a, doc_b, n_inter, sa.sz AS size_a, sb.sz AS size_b, "
+            "(n_inter * 1000) // least(sa.sz, sb.sz) AS containment_milli "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE n_inter * 1000 >= 500 * least(sa.sz, sb.sz)"
         ),
         "q_bm25_search": (
             # mirrors text.bm25_search term for term: Lucene idf,

@@ -1140,3 +1140,78 @@ def cluster_safe_split(
     return hash_split(
         keyed, weights=weights, salt=salt, key="cluster_id", keep=("doc_id",)
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_milli: int = 800,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment |A∩B| / |A| —
+    catches what Jaccard misses: a short document wholly quoted inside a
+    much longer one has low Jaccard (the union is large) but containment
+    ~1 from the short side. The standard signal for sub-document
+    plagiarism / quote mining (Broder's containment, the other half of
+    the resemblance paper that gave us MinHash).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (shared
+    machinery: set-semantic shingles, sizes carried through the explode,
+    explicit hash partitioning on the 8-byte shingle key, optional
+    ``max_df`` population cap). The threshold filter is EXACT INTEGER
+    arithmetic — ``n_inter * 1000 >= threshold_milli * size_small`` —
+    so there is no float rounding anywhere in the operator and the
+    oracle replays it verbatim. Emits the containment of the SMALLER set
+    (the max of the two directed containments) plus the raw integers.
+    """
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    sized = _tokenized(documents).select(
+        "doc_id", _shingles_from(F.col("toks"), n).alias("sh_arr")
+    )
+    index = sized.select(
+        "doc_id",
+        F.size("sh_arr").alias("set_size"),
+        F.explode(F.transform("sh_arr", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    capped = index.repartition(parallelism, "sh")
+    if max_df is not None:
+        from pyspark.sql.window import Window
+
+        capped = (
+            capped.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min(F.col("a.set_size")).alias("size_a"),
+            F.min(F.col("b.set_size")).alias("size_b"),
+        )
+    )
+    size_small = F.least("size_a", "size_b")
+    return inter.where(
+        F.col("n_inter") * 1000 >= F.lit(threshold_milli) * size_small
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "size_a",
+        "size_b",
+        # milli-containment of the smaller side, floored — integer output
+        F.expr("(n_inter * 1000) div least(size_a, size_b)").alias(
+            "containment_milli"
+        ),
+    )

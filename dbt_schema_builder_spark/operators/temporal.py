@@ -138,3 +138,59 @@ def merge_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def interval_coverage(
+    events, duration_minutes: int = 5, group_col: str = "user_id"
+):
+    """Merge overlapping per-key intervals and report coverage — the
+    interval-union staple (machine utilization, session stitching,
+    on-air time). Each event opens [ts, ts + duration); intervals whose
+    start exceeds the running max end of all EARLIER intervals begin a
+    new island; islands are numbered by a cumulative sum over the same
+    sorted window, then collapsed to (n_islands, covered_ms).
+
+    One shuffle on the high-cardinality group key; both windows share
+    one (start, event_id) sort. All arithmetic is epoch-ms integers —
+    no floats anywhere, deterministic on any engine. The per-key state
+    during the window pass is a single running max, so a 100 TB key
+    partition streams through in one sorted scan (no pairwise interval
+    join, which would be quadratic in bursty keys).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..session import epoch_millis
+
+    dur_ms = duration_minutes * 60 * 1000
+    iv = events.select(
+        F.col(group_col),
+        "event_id",
+        epoch_millis(F.col("ts")).alias("start"),
+        (epoch_millis(F.col("ts")) + F.lit(dur_ms)).alias("end"),
+    )
+    w = Window.partitionBy(group_col).orderBy("start", "event_id")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+    ).otherwise(0)
+    islands = iv.select(
+        group_col,
+        "start",
+        "end",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    merged = islands.groupBy(group_col, "island").agg(
+        F.min("start").alias("i_start"),
+        F.max("end").alias("i_end"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return merged.groupBy(group_col).agg(
+        F.sum("n_iv").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_ms"),
+    )

@@ -1015,3 +1015,45 @@ def pmi_pairs(
         "c_ab",
         (F.round(pmi, 4) + F.lit(0.0)).alias("pmi_r4"),
     )
+
+
+def source_kl(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution —
+    the domain-shift / contamination dashboard number: KL(P_source ||
+    P_corpus) = sum_t p_st * ln(p_st / p_ct). A source whose unigram
+    mix diverges from the corpus (different language register, spam,
+    template boilerplate) scores high and gets a human look before the
+    next training mix.
+
+    Shape: ONE tokenize+count pass — the (source, token) count table is
+    the root, and per-source totals, corpus totals, and the corpus
+    vocabulary all roll up from it (no second corpus scan); the rollups
+    are vocab-x-sources bounded, broadcast back. Per-token terms are
+    deterministic floats from exact integers, summed in micro-units
+    (the `_det_avg` convention) so the per-source sum is
+    partition-order independent. Integer products c_st * n must fit
+    int64 — fine to ~3e9 tokens per cell; beyond that pre-divide into
+    doubles and accept last-bit drift.
+    """
+    st = (
+        documents.select("source", F.explode(tokens()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    g_tot = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    n = st.agg(F.sum("c_st").alias("n"))
+    term = (F.col("c_st") / F.col("n_s")) * F.log(
+        (F.col("c_st") * F.col("n")) / (F.col("n_s") * F.col("c_t"))
+    )
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(g_tot), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.sum(F.round(term * F.lit(1e6)).cast("long")).alias("kl_micro"),
+            F.first("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_used"),
+        )
+    )

@@ -210,3 +210,125 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def gapfill_interpolate(events: DataFrame, bucket_minutes: int = 15) -> DataFrame:
+    """Gap-fill with LINEAR interpolation between the surrounding
+    observations — the companion to ``gapfill_locf`` for continuous
+    signals (LOCF for state, interpolation for measurements; the
+    TimescaleDB `interpolate()` shape).
+
+    Same dense-axis construction as LOCF; each gap bucket then needs the
+    PREVIOUS and NEXT observed (bucket, sum) pair, both obtained from one
+    sorted window pass (last/first over ignorenulls frames — no
+    self-join). The interpolated value is computed exactly in integer
+    micro-units: prev + floor(dnum / dden) where dnum = (next - prev) *
+    (bucket - prev_bucket) and dden = next_bucket - prev_bucket. The
+    floor runs through double division on the Spark side and integer
+    ``//`` in the oracle — identical because dden is bounded by the
+    bucket-axis length (≪ 2^26), so the true ratio is never within one
+    double ulp of an integer it doesn't equal. Buckets before the first
+    / after the last observation have no bracketing pair and fall back
+    to the nearest observed value.
+    """
+    bucket_ms = bucket_minutes * 60 * 1000
+    b = (
+        events.groupBy(
+            "event_type",
+            (epoch_millis(F.col("ts")) / F.lit(bucket_ms))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("s"))
+    )
+    axis = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type", F.explode(F.sequence("mn", "mx")).alias("bucket")
+        )
+    )
+    j = axis.join(b, ["event_type", "bucket"], "left")
+    prev_w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    next_w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("s").isNotNull(), F.col("bucket"))
+    with_ends = j.select(
+        "event_type",
+        "bucket",
+        "s",
+        F.last("s", ignorenulls=True).over(prev_w).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(prev_w).alias("pb"),
+        F.first("s", ignorenulls=True).over(next_w).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(next_w).alias("nb"),
+    )
+    interp = F.col("pv") + F.floor(
+        (
+            (F.col("nv") - F.col("pv")) * (F.col("bucket") - F.col("pb"))
+        ).cast("double")
+        / (F.col("nb") - F.col("pb"))
+    ).cast("long")
+    filled = (
+        F.when(F.col("s").isNotNull(), F.col("s"))
+        .when(F.col("pv").isNull(), F.col("nv"))  # before first obs
+        .when(F.col("nv").isNull(), F.col("pv"))  # after last obs
+        .otherwise(interp)
+    )
+    return with_ends.select(
+        "event_type",
+        (F.col("bucket") * F.lit(bucket_ms)).alias("bucket_ms"),
+        filled.cast("bigint").alias("interp_sum_micro"),
+        F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling N-day distinct active users per day (DAU/WAU/MAU family).
+
+    Exact distinct over a sliding window cannot merge like a sum, so the
+    scale-shaped formulation EXPANDS each distinct (user, day) into the
+    ``window_days`` days it contributes to (bounded fan-out = window
+    width) and counts distincts per contribution day — one distinct
+    shuffle + one count shuffle, no per-day self-join over the raw
+    events. At extreme scale swap the exact count for mergeable HLL
+    sketches per day (union over the window); this exact form is the
+    oracle-checkable gate. Trailing days beyond the last observed day
+    are clipped via the max-day scalar (broadcast join of a 1-row
+    aggregate).
+    """
+    day = (epoch_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    bounds = ud.agg(F.max("day").alias("mxd"), F.min("day").alias("mnd"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence("day", F.col("day") + F.lit(window_days - 1))
+            ).alias("cday"),
+        )
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("cday") <= F.col("mxd")))
+    )
+    daily = events.select("user_id", day.alias("cday")).distinct()
+    return (
+        contrib.groupBy("cday")
+        .agg(F.countDistinct("user_id").alias("n_active_window"))
+        .join(
+            daily.groupBy("cday").agg(
+                F.countDistinct("user_id").alias("n_active_day")
+            ),
+            "cday",
+            "left",
+        )
+        .select(
+            F.col("cday").alias("day"),
+            "n_active_window",
+            F.coalesce("n_active_day", F.lit(0)).cast("bigint").alias(
+                "n_active_day"
+            ),
+        )
+    )

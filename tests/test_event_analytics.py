@@ -121,3 +121,93 @@ def test_mad_outliers_flags_the_planted_point(spark):
     assert out["a"]["n_outliers"] == 1 and out["a"]["n"] == 8
     assert out["b"]["n_outliers"] == 0
     assert out["b"]["mad_r4"] == 0.0
+
+
+def test_gapfill_interpolate_linear_midpoint(spark):
+    # observations at buckets 0 (s=2e6) and 3 (s=8e6): buckets 1 and 2
+    # interpolate to 4e6 and 6e6 exactly
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1, "a", 2.0), (2, _ts(50), 1, "a", 8.0)],
+        _EV_SCHEMA,
+    )
+    rows = {
+        r["bucket_ms"]: r["interp_sum_micro"]
+        for r in timeseries.gapfill_interpolate(ev, bucket_minutes=15).collect()
+    }
+    base = 1704067200000
+    assert rows[base] == 2_000_000
+    assert rows[base + 900000] == 4_000_000
+    assert rows[base + 1800000] == 6_000_000
+    assert rows[base + 2700000] == 8_000_000
+
+
+def test_gapfill_interpolate_descending_floor(spark):
+    # descending series with a non-divisible step: 7 -> 2 over 3 buckets
+    # = floor(-5e6/3) per step (floor, not truncate: -1666667)
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1, "a", 7.0), (2, _ts(50), 1, "a", 2.0)],
+        _EV_SCHEMA,
+    )
+    rows = {
+        r["bucket_ms"]: r["interp_sum_micro"]
+        for r in timeseries.gapfill_interpolate(ev, bucket_minutes=15).collect()
+    }
+    base = 1704067200000
+    assert rows[base + 900000] == 7_000_000 + (-5_000_000 * 1) // 3
+    assert rows[base + 1800000] == 7_000_000 + (-5_000_000 * 2) // 3
+
+
+def test_rolling_active_users_window(spark):
+    # u1 active day 0; u2 active day 3: day-3 7-day window sees both,
+    # day-0 window sees only u1; u1's contribution stops after day 6
+    # but the axis clips at the max observed day (3)
+    d0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, d0, 1, "view", 0.0),
+            (2, d0 + datetime.timedelta(days=3), 2, "view", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = {
+        r["day"]: (r["n_active_window"], r["n_active_day"])
+        for r in timeseries.rolling_active_users(ev, window_days=7).collect()
+    }
+    day0 = 1704067200000 // 86400000
+    assert rows[day0] == (1, 1)
+    assert rows[day0 + 1] == (1, 0)
+    assert rows[day0 + 3] == (2, 1)
+    assert max(rows) == day0 + 3  # clipped at last observed day
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    from dbt_schema_builder_spark.operators import temporal
+
+    # u1: events at 0 and 3 min (5-min intervals overlap -> one island,
+    # covered 0..8 min); second burst at 20 min (separate island)
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(3), 1, "a", 0.0),
+            (3, _ts(20), 1, "a", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    row = temporal.interval_coverage(ev, duration_minutes=5).collect()[0]
+    assert row["n_intervals"] == 3
+    assert row["n_islands"] == 2
+    assert row["covered_ms"] == 8 * 60000 + 5 * 60000
+
+
+def test_interval_coverage_touching_endpoints_merge(spark):
+    from dbt_schema_builder_spark.operators import temporal
+
+    # interval end is exclusive-equal start: start == prev end does NOT
+    # open a new island (strict > in the flag)
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1, "a", 0.0), (2, _ts(5), 1, "a", 0.0)],
+        _EV_SCHEMA,
+    )
+    row = temporal.interval_coverage(ev, duration_minutes=5).collect()[0]
+    assert row["n_islands"] == 1
+    assert row["covered_ms"] == 10 * 60000

@@ -107,3 +107,74 @@ def test_pagerank_topk_entity_unpack(spark, sf_dir):
     for r in top:
         assert r["entity"] in ("customer", "supplier")
         assert r["node"] == r["entity_key"] * 2 + (r["entity"] == "supplier")
+
+
+def test_source_kl_identical_sources_are_zero(spark):
+    # two sources with identical token distributions -> KL exactly 0
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b", "en", "s1", 5),
+            (1, "a a b", "en", "s2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from dbt_schema_builder_spark.operators.text import source_kl
+
+    rows = {r["source"]: r for r in source_kl(docs).collect()}
+    assert rows["s1"]["kl_micro"] == 0 and rows["s2"]["kl_micro"] == 0
+    assert rows["s1"]["n_tokens"] == 3 and rows["s1"]["vocab_used"] == 2
+
+
+def test_source_kl_divergent_source_positive(spark):
+    # s2 is all-'z' while the corpus is mostly a/b -> s2's KL > s1's
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "en", "s1", 7),
+            (1, "a b a b", "en", "s1", 7),
+            (2, "z z z z", "en", "s2", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from dbt_schema_builder_spark.operators.text import source_kl
+
+    rows = {r["source"]: r["kl_micro"] for r in source_kl(docs).collect()}
+    assert rows["s2"] > rows["s1"] >= 0
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from dbt_schema_builder_spark.operators import dedup
+
+    # short doc fully quoted in a much longer one: containment of the
+    # small side = 1000 milli even though Jaccard is low
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, quote, "en", "s", len(quote)),
+            (1, filler + " " + quote + " " + filler, "en", "s", 99),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.containment_pairs(docs, n=3, threshold_milli=900).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["containment_milli"] == 1000
+    # and Jaccard would have rejected this pair at any usual threshold
+    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_threshold_is_integer_exact(spark):
+    from dbt_schema_builder_spark.operators import dedup
+
+    # overlap of exactly half the smaller set: passes at 500, not 501
+    a = "x1 x2 x3 x4 x5 x6"          # 4 shingles
+    b = "x3 x4 x5 x6 y1 y2 y3 y4 y5"  # shares shingles (x3 x4 x5), (x4 x5 x6)
+    docs = spark.createDataFrame(
+        [(0, a, "en", "s", 1), (1, b, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    hit = dedup.containment_pairs(docs, n=3, threshold_milli=500).collect()
+    assert len(hit) == 1 and hit[0]["containment_milli"] == 500
+    assert dedup.containment_pairs(docs, n=3, threshold_milli=501).collect() == []
