@@ -551,6 +551,38 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape through the spark.sql surface: 6-way join
+    (customer x orders x lineitem x supplier x nation x region) with the
+    local-supplier correlation (c_nationkey = s_nationkey) — the join-
+    reordering workout; Catalyst broadcasts the three dimension tables
+    and plans the fact joins by size. Revenue in integer cents (the
+    micro-unit convention) so the grouped sum is order-independent."""
+    _register(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_lineitems
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
 def q_sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS subquery — Catalyst decorrelates to a join."""
     _register(spark, sf_dir, "customer", "orders")
@@ -893,6 +925,36 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_milli=500,
         max_df=_JACCARD_MAX_DF,
     )
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session Markov transitions between event types; integer
+    milli-unit probabilities (floor), no float anywhere."""
+    return timeseries.transition_matrix(
+        _t(spark, sf_dir, "events"), gap_minutes=30
+    )
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end funnel conversion latency: exact p50/p90/p99 +
+    fixed-point mean over converting users."""
+    return timeseries.conversion_latency(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: first-active-day rollup + running sum over the
+    bounded day axis — exact cumulative distinct with no running-distinct
+    state."""
+    return timeseries.cumulative_users(_t(spark, sf_dir, "events"))
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type stream: versioned
+    [valid_from, valid_to) rows, consecutive duplicates collapsed,
+    open-ended current row."""
+    return temporal.scd2_history(_t(spark, sf_dir, "events"))
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1434,6 +1496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_coverage": q_interval_coverage,
         "q_source_kl": q_source_kl,
         "q_containment": q_containment,
+        "q_transition_matrix": q_transition_matrix,
+        "q_conversion_latency": q_conversion_latency,
+        "q_cumulative_users": q_cumulative_users,
+        "q_scd2": q_scd2,
+        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -1442,17 +1509,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (e) round-2 keepers rotated in for a fresh row
         "q_winnowing": q_winnowing,
         "q_stratified_sample": q_stratified_sample,
+        # ---- driver window boundary (position 50 = q_stratified_sample)
+        # q_pivot / q_unpivot / q_repetition_stats / q_decontaminate /
+        # q_profile / q_pii_scrub / q_frame_sample / q_quality_score /
+        # q_text_stats / q_pandas_udf / q_lang_stats_pandas /
+        # q_prep_pipeline / q_centroid_by_label / q_token_count /
+        # q_tfidf_terms / q_bpe_tokens / q_doc_fingerprint rotated below
+        # the boundary (green r2 rows) to make room for the seventeen
+        # new analytics queries above
         "q_centroid_by_label": q_centroid_by_label,
         "q_token_count": q_token_count,
         "q_tfidf_terms": q_tfidf_terms,
         "q_bpe_tokens": q_bpe_tokens,
         "q_doc_fingerprint": q_doc_fingerprint,
-        # ---- driver window boundary (position 50 = q_doc_fingerprint) --
-        # q_pivot / q_unpivot / q_repetition_stats / q_decontaminate /
-        # q_profile / q_pii_scrub / q_frame_sample / q_quality_score /
-        # q_text_stats / q_pandas_udf / q_lang_stats_pandas /
-        # q_prep_pipeline rotated below the boundary (green r2 rows) to
-        # make room for the twelve new analytics queries above
         "q_quality_score": q_quality_score,
         "q_text_stats": q_text_stats,
         "q_pandas_udf": q_pandas_udf,
@@ -1748,6 +1817,103 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6 AS sum_value, "
             "COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "q_transition_matrix": (
+            # session numbering mirrors q_session_window's oracle; the
+            # lead must not cross a session boundary
+            "WITH f AS (SELECT user_id, event_id, ts, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 "
+            "THEN 1 ELSE 0 END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, event_id, ts, event_type, "
+            "SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_id FROM f), "
+            "st AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER w AS to_type, "
+            "lead(session_id) OVER w = session_id AS same_sess FROM s "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT from_type, to_type, COUNT(*) AS n FROM st "
+            "WHERE same_sess AND to_type IS NOT NULL GROUP BY 1, 2), "
+            "rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total "
+            "FROM c GROUP BY 1) "
+            "SELECT from_type, to_type, n, "
+            "(1000 * n) // row_total AS prob_milli "
+            "FROM c JOIN rt USING (from_type)"
+        ),
+        "q_conversion_latency": (
+            # funnel chaining as in q_funnel; mean via the _det_avg
+            # micro-unit pattern, exact interpolated quantiles
+            "WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms "
+            "FROM events), "
+            "s1 AS (SELECT user_id, MIN(ms) AS t1 FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.ms > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e "
+            "JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ms > s2.t GROUP BY 1), "
+            "lat AS (SELECT s3.user_id, s3.t - s1.t1 AS latency_ms "
+            "FROM s3 JOIN s1 ON s3.user_id = s1.user_id) "
+            "SELECT COUNT(*) AS n_converted, "
+            "ROUND(CAST(SUM(CAST(ROUND(latency_ms * 1e6) AS BIGINT)) "
+            "AS DOUBLE) / (COUNT(*) * 1000000.0), 4) + 0.0 AS mean_ms, "
+            "ROUND(quantile_cont(latency_ms, 0.5), 4) + 0.0 AS p50_ms, "
+            "ROUND(quantile_cont(latency_ms, 0.9), 4) + 0.0 AS p90_ms, "
+            "ROUND(quantile_cont(latency_ms, 0.99), 4) + 0.0 AS p99_ms "
+            "FROM lat"
+        ),
+        "q_cumulative_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day "
+            "FROM events), "
+            "fst AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1), "
+            "nb AS (SELECT day, COUNT(*) AS n_new FROM fst GROUP BY 1), "
+            "ab AS (SELECT day, COUNT(DISTINCT user_id) AS n_active "
+            "FROM ud GROUP BY 1) "
+            "SELECT ab.day, CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new, "
+            "n_active, CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY ab.day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cumulative_users FROM ab LEFT JOIN nb USING (day)"
+        ),
+        "q_scd2": (
+            "WITH f AS (SELECT user_id, event_type, ts, event_id, "
+            "epoch_ms(ts) AS ms, "
+            "CASE WHEN lag(event_type) OVER w IS NULL "
+            "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END "
+            "AS changed FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "v AS (SELECT user_id, event_type, ms, "
+            "CAST(SUM(changed) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS version FROM f), "
+            "sp AS (SELECT user_id, version, "
+            "ANY_VALUE(event_type) AS state, MIN(ms) AS valid_from_ms, "
+            "COUNT(*) AS n_events FROM v GROUP BY 1, 2) "
+            "SELECT user_id, version, state, valid_from_ms, "
+            "lead(valid_from_ms) OVER pw AS valid_to_ms, "
+            "CASE WHEN lead(valid_from_ms) OVER pw IS NULL THEN 1 ELSE 0 "
+            "END AS is_current, n_events FROM sp "
+            "WINDOW pw AS (PARTITION BY user_id ORDER BY version)"
+        ),
+        "q_sql_local_supplier_volume": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_lineitems "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "q_gapfill_interp": (
             # floor through DOUBLE division on BOTH engines: DuckDB's

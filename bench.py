@@ -84,6 +84,22 @@ HEADLINE = [
     "q_pq_topk",
     "q_ivfpq_topk",
     "q_sliding_chunks",
+    "q_ppjoin_jaccard",
+    "q_keep_canonical",
+    "q_frame_dedup",
+    # round 4 continued: event analytics / retrieval / graph batch
+    "q_gapfill_locf",
+    "q_gapfill_interp",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_rolling_active",
+    "q_interval_coverage",
+    "q_mad_outliers",
+    "q_bm25_search",
+    "q_pmi_pairs",
+    "q_source_kl",
+    "q_containment",
+    "q_pagerank",
 ]
 
 

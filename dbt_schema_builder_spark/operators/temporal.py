@@ -194,3 +194,60 @@ def interval_coverage(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("i_end") - F.col("i_start")).alias("covered_ms"),
     )
+
+
+def scd2_history(
+    events,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: tuple = ("ts", "event_id"),
+):
+    """Type-2 slowly-changing-dimension builder: collapse a change
+    stream into versioned rows [valid_from, valid_to) per key, one row
+    per CHANGE of the tracked state (consecutive duplicates collapse
+    into the earlier version), latest row open-ended with an
+    ``is_current`` flag — the dimension-table shape every warehouse
+    keeps for as-of joins (compose with ``asof_join`` to resolve facts
+    against it; cf. reference builder.py's latest-wins merge, which is
+    the SCD-1 degenerate case of this).
+
+    One (key, order) sort serves the change detection (lag), the version
+    numbering (running sum of change flags), and the interval close
+    (lead over the COLLAPSED versions) — two window stages on the same
+    high-cardinality partitioning, no self-join. Epoch-ms integers
+    throughout.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..session import epoch_millis
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev_state = F.lag(state_col).over(w)
+    changed = F.when(
+        prev_state.isNull() | (prev_state != F.col(state_col)), 1
+    ).otherwise(0)
+    versioned = events.select(
+        key_col,
+        state_col,
+        epoch_millis(F.col("ts")).alias("ms"),
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    spans = versioned.groupBy(key_col, "version").agg(
+        F.first(state_col).alias("state"),
+        F.min("ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vw = Window.partitionBy(key_col).orderBy("version")
+    nxt = F.lead("valid_from_ms").over(vw)
+    return spans.select(
+        key_col,
+        "version",
+        "state",
+        "valid_from_ms",
+        F.coalesce(nxt, F.lit(None).cast("long")).alias("valid_to_ms"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )

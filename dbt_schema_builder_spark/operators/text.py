@@ -925,8 +925,10 @@ def bm25_search(
     q = documents.select(
         "doc_id", F.explode(tokens()).alias("token")
     ).where(F.col("token").isin(*query_terms))
-    dfreq = q.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tf = q.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df rolls up from the tf table (tf rows are distinct (doc, term)) —
+    # one corpus tokenize pass serves both, instead of two scans
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1)
         + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -1035,10 +1037,15 @@ def source_kl(documents: DataFrame) -> DataFrame:
     int64 — fine to ~3e9 tokens per cell; beyond that pre-divide into
     doubles and accept last-bit drift.
     """
+    # persist: the count table is sources x vocab bounded (tiny relative
+    # to the corpus) and has FOUR consumers (itself, both rollups, the
+    # grand total) — without it each re-runs the tokenize+count scan
+    # (the multi-evaluation trap; measured 8 corpus scans in the plan)
     st = (
         documents.select("source", F.explode(tokens()).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
     )
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     g_tot = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))

@@ -332,3 +332,137 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
             ),
         )
     )
+
+
+def transition_matrix(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Markov transition matrix over event types WITHIN sessions: counts
+    of consecutive (from_type -> to_type) steps, plus milli-unit
+    transition probabilities — the product-analytics path model (what do
+    users do after an error?).
+
+    Builds on the sessionization lag/cumsum machinery: one (user_id, ts)
+    sort serves the session-break flag, the session numbering, and the
+    next-event lead; transitions never cross a session boundary. One
+    shuffle on the high-cardinality user key, then a tiny
+    (from, to)-bounded count rollup. Probabilities are exact integer
+    milli-units — floor((1000 * n) / row_total) — so the surface is
+    hash-stable with no float rounding anywhere.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = gap_minutes * 60 * 1000
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((epoch_millis(F.col("ts")) - epoch_millis(prev_ts)) > gap_ms),
+        1,
+    ).otherwise(0)
+    with_sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_new)
+        .over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    nxt_type = F.lead("event_type").over(by_user)
+    nxt_sess = F.lead("session_id").over(by_user)
+    steps = with_sess.select(
+        F.col("event_type").alias("from_type"),
+        nxt_type.alias("to_type"),
+        (nxt_sess == F.col("session_id")).alias("same_sess"),
+    ).where(F.col("same_sess") & F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(row_tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(1000 * n) div row_total").alias("prob_milli"),
+        )
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Latency distribution of full funnel conversion: for each user who
+    completes the ``funnel`` chain, the end-to-end milliseconds from the
+    earliest first-step to their qualifying final-step timestamp;
+    reported as exact quantiles + fixed-point mean. The "how long does
+    conversion take" number product teams track next to the funnel
+    counts.
+
+    Reuses the funnel's per-stage min-aggregate joins (high-cardinality
+    user key, monotonically shrinking frames), then one
+    ``percentile(array(...))`` aggregate over the converting-user set —
+    exact interpolated quantiles, same contract both engines.
+    """
+    ev = events.select(
+        "user_id", "event_type", epoch_millis(F.col("ts")).alias("ms")
+    )
+    first = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_first"))
+    )
+    cur = first.select("user_id", F.col("t_first").alias("t"))
+    for step in steps[1:]:
+        cur = (
+            ev.where(F.col("event_type") == step)
+            .join(cur, "user_id")
+            .where(F.col("ms") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ms").alias("t"))
+        )
+    lat = cur.join(first, "user_id").select(
+        "user_id", (F.col("t") - F.col("t_first")).alias("latency_ms")
+    )
+    from .similarity import _det_avg
+
+    q = F.expr("percentile(latency_ms, array(0.5, 0.9, 0.99))")
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.round(_det_avg(F.col("latency_ms")), 4) + F.lit(0.0)).alias(
+            "mean_ms"
+        ),
+        (F.round(q[0], 4) + F.lit(0.0)).alias("p50_ms"),
+        (F.round(q[1], 4) + F.lit(0.0)).alias("p90_ms"),
+        (F.round(q[2], 4) + F.lit(0.0)).alias("p99_ms"),
+    )
+
+
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. Exact
+    cumulative distinct without any running-distinct state: each user
+    contributes 1 on their FIRST active day (a groupBy-min, one shuffle
+    on the high-cardinality key), daily new-user counts roll up from
+    that, and the running total is a window over the day axis (bounded
+    by the time range, not the data). Emits new + cumulative + that
+    day's actives."""
+    day = (epoch_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_by_day = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    active_by_day = ud.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active_by_day.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            "n_active",
+        )
+        .withColumn("cumulative_users", F.sum("n_new").over(run))
+    )

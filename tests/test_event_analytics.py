@@ -211,3 +211,110 @@ def test_interval_coverage_touching_endpoints_merge(spark):
     row = temporal.interval_coverage(ev, duration_minutes=5).collect()[0]
     assert row["n_islands"] == 1
     assert row["covered_ms"] == 10 * 60000
+
+
+def test_transition_matrix_respects_session_boundary(spark):
+    # u1: a->b within session, then a 31-min gap, then b->a in a NEW
+    # session: the cross-gap (a->b ... b) transition must not count
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(5), 1, "b", 0.0),
+            (3, _ts(40), 1, "b", 0.0),
+            (4, _ts(45), 1, "a", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = {
+        (r["from_type"], r["to_type"]): r
+        for r in timeseries.transition_matrix(ev, gap_minutes=30).collect()
+    }
+    assert set(rows) == {("a", "b"), ("b", "a")}
+    assert rows[("a", "b")]["n"] == 1
+    assert rows[("a", "b")]["prob_milli"] == 1000
+
+
+def test_transition_matrix_prob_is_floored_integer(spark):
+    # from 'a': 2 transitions to b, 1 to c -> 666 and 333 milli (floor)
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(1), 1, "b", 0.0),
+            (3, _ts(2), 1, "a", 0.0),
+            (4, _ts(3), 1, "b", 0.0),
+            (5, _ts(4), 1, "a", 0.0),
+            (6, _ts(5), 1, "c", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = {
+        (r["from_type"], r["to_type"]): r["prob_milli"]
+        for r in timeseries.transition_matrix(ev).collect()
+    }
+    assert rows[("a", "b")] == 666
+    assert rows[("a", "c")] == 333
+
+
+def test_conversion_latency_only_counts_completers(spark):
+    # u1 completes in 2 min; u2 never purchases
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(1), 1, "click", 0.0),
+            (3, _ts(2), 1, "purchase", 0.0),
+            (4, _ts(0), 2, "view", 0.0),
+            (5, _ts(1), 2, "click", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    row = timeseries.conversion_latency(ev).collect()[0]
+    assert row["n_converted"] == 1
+    assert row["mean_ms"] == 120000.0
+    assert row["p50_ms"] == 120000.0
+
+
+def test_cumulative_users_counts_first_day_once(spark):
+    # u1 active days 0 and 2 -> new on day 0 only; u2 new on day 2
+    d0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, d0, 1, "view", 0.0),
+            (2, d0 + datetime.timedelta(days=2), 1, "view", 0.0),
+            (3, d0 + datetime.timedelta(days=2), 2, "view", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = {
+        r["day"]: r for r in timeseries.cumulative_users(ev).collect()
+    }
+    day0 = 1704067200000 // 86400000
+    assert rows[day0]["n_new"] == 1 and rows[day0]["cumulative_users"] == 1
+    assert rows[day0 + 2]["n_new"] == 1
+    assert rows[day0 + 2]["n_active"] == 2
+    assert rows[day0 + 2]["cumulative_users"] == 2
+    assert day0 + 1 not in rows  # no activity, no row
+
+
+def test_scd2_collapses_duplicates_and_closes_intervals(spark):
+    from dbt_schema_builder_spark.operators import temporal
+
+    # u1: a a b a -> versions a(2 events), b, a; only last is current
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(1), 1, "a", 0.0),
+            (3, _ts(2), 1, "b", 0.0),
+            (4, _ts(3), 1, "a", 0.0),
+        ],
+        _EV_SCHEMA,
+    )
+    rows = sorted(
+        temporal.scd2_history(ev).collect(), key=lambda r: r["version"]
+    )
+    assert [r["state"] for r in rows] == ["a", "b", "a"]
+    assert rows[0]["n_events"] == 2
+    # intervals chain: each valid_to equals the next valid_from
+    assert rows[0]["valid_to_ms"] == rows[1]["valid_from_ms"]
+    assert rows[1]["valid_to_ms"] == rows[2]["valid_from_ms"]
+    assert [r["is_current"] for r in rows] == [0, 0, 1]
+    assert rows[2]["valid_to_ms"] is None

@@ -64,6 +64,30 @@ def stage_10x():
     )
 
 
+def stage_events_10x():
+    ev = read_table(spark, f"{SF_DIR}/events.parquet")
+    if not os.path.exists(f"{STAGE}/events.parquet/_SUCCESS"):
+        rep = spark.range(10).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(rep)
+            .select(
+                (F.col("event_id") * 10 + F.col("rep")).alias("event_id"),
+                "ts",
+                # distinct user namespaces per replica: 10x the key
+                # cardinality, same per-user event volume — the shape a
+                # bigger deployment actually has
+                (F.col("user_id") * 10 + F.col("rep")).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{STAGE}/events.parquet")
+        )
+    return read_table(spark, f"{STAGE}/events.parquet")
+
+
 def timed(df):
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -150,6 +174,20 @@ OPS = {
     "keep_canonical": lambda d, e: dedup.keep_canonical(
         d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64)
     ),
+    # round-4c: containment shares the jaccard index; the dup-dense
+    # replica is its worst case too (same sum-of-df^2 candidate growth)
+    "containment(max_df=64)": lambda d, e: dedup.containment_pairs(
+        d, n=3, threshold_milli=500, max_df=64
+    ),
+    # round-4c: doc-level pair mining — per-doc fan-out is C(vocab,2)
+    # bounded, so 10x docs should be ~linear (pairs/doc constant)
+    "pmi_pairs": lambda d, e: text.pmi_pairs(d, min_count=5),
+    # round-4c: one count-table pass + broadcast rollups — must be linear
+    "source_kl": lambda d, e: text.source_kl(d),
+    # round-4c: term-filtered postings; only query-term rows shuffle
+    "bm25_search": lambda d, e: text.bm25_search(
+        d, ("dup", "join", "vector")
+    ),
 }
 
 table = {}
@@ -159,4 +197,67 @@ for name, fn in OPS.items():
     table[name] = {"sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)}
     print(f"{name}: {t1}s -> {t10}s ({table[name]['ratio']}x)", file=sys.stderr)
 
+
+def _run_events_ops():
+    """Event-table ops: 10x replica multiplies the user-key cardinality,
+    not per-user volume — funnel/interval/rolling must scale ~linearly
+    (shuffles on high-cardinality keys, no quadratic fan-out)."""
+    from dbt_schema_builder_spark.operators import temporal, timeseries
+
+    ev1 = read_table(spark, f"{SF_DIR}/events.parquet")
+    ev10 = stage_events_10x()
+    ev_ops = {
+        "funnel": lambda ev: timeseries.funnel(ev),
+        "interval_coverage": lambda ev: temporal.interval_coverage(ev),
+        "rolling_active_users": lambda ev: timeseries.rolling_active_users(ev),
+        "gapfill_interpolate": lambda ev: timeseries.gapfill_interpolate(ev),
+        "pagerank_topk(it=3)": None,  # graph op, handled below
+    }
+    for name, fn in ev_ops.items():
+        if fn is None:
+            continue
+        t1 = timed(fn(ev1))
+        t10 = timed(fn(ev10))
+        table[name] = {
+            "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
+        }
+        print(f"{name}: {t1}s -> {t10}s ({table[name]['ratio']}x)", file=sys.stderr)
+
+    # pagerank: replicate the edge list into 10 disjoint copies (same
+    # topology per copy, 10x nodes+edges — per-iteration joins must be
+    # linear; rebuild the whole pipeline inside the timer, driver-looped
+    # operators execute jobs during plan construction)
+    from dbt_schema_builder_spark.operators import graph as graph_ops
+
+    orders = read_table(spark, f"{SF_DIR}/orders.parquet")
+    li = read_table(spark, f"{SF_DIR}/lineitem.parquet")
+    e1 = graph_ops.bipartite_edges(orders, li).persist()
+    e1.count()
+    rep = spark.range(10).select(F.col("id").alias("rep"))
+    e10 = (
+        e1.crossJoin(rep)
+        .select(
+            (F.col("src") * 16 + F.col("rep")).alias("src"),
+            (F.col("dst") * 16 + F.col("rep")).alias("dst"),
+        )
+        .persist()
+    )
+    e10.count()
+
+    def pr(edges):
+        t0 = time.perf_counter()
+        graph_ops.pagerank_topk(edges, iterations=3, k=50).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    pr(e1)  # warm
+    t1, t10 = pr(e1), pr(e10)
+    table["pagerank_topk(it=3)"] = {
+        "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
+    }
+    print(f"pagerank_topk(it=3): {t1}s -> {t10}s ({table['pagerank_topk(it=3)']['ratio']}x)", file=sys.stderr)
+
+
+_run_events_ops()
 print(json.dumps(table))
