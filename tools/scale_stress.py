@@ -106,8 +106,12 @@ print(
 )
 
 OPS = {
-    "simhash_near_dup(h<=8)": lambda d, e: dedup.simhash_near_dup(
-        d, max_hamming=8, token_hash="portable"
+    # max_bucket=200 mirrors q_simhash_near_dup (the production skew
+    # cap); the uncapped form re-measured 56.7 s at 10x (32x total, the
+    # quadratic mega-bucket blow-up SCALE.md records) — keep tracking
+    # the path queries actually run
+    "simhash_near_dup(h<=8,cap200)": lambda d, e: dedup.simhash_near_dup(
+        d, max_hamming=8, token_hash="portable", max_bucket=200
     ),
     "lsh_quantized_topk": lambda d, e: similarity.lsh_quantized_topk(e),
     "source_overlap_matrix": lambda d, e: dedup.source_overlap_matrix(d),
