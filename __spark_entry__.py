@@ -927,6 +927,37 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise probe: exact integer-L2 kNN agreement for 32 sampled
+    query vectors, self excluded — integers end to end."""
+    return similarity.knn_label_agreement(
+        _t(spark, sf_dir, "embeddings"), n_queries=32, k=10
+    )
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS slope of the daily value sum; exact integer S-sums
+    emitted beside the rounded slope."""
+    return profiling.trend_slope(_t(spark, sf_dir, "events"))
+
+
+def q_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical column triage (distinct / entropy / modal share) for
+    event_type and user_id; micro-unit entropy terms summed exactly."""
+    return profiling.categorical_profile(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"]
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy name matching over part names, signature-first:
+    distinct names matched within the last-token block, Levenshtein
+    1..2, record multiplicities carried as n_pairs."""
+    return relational.fuzzy_match_names(
+        _t(spark, sf_dir, "part"), name_col="p_name", max_distance=2
+    )
+
+
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-session Markov transitions between event types; integer
     milli-unit probabilities (floor), no float anywhere."""
@@ -1501,6 +1532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cumulative_users": q_cumulative_users,
         "q_scd2": q_scd2,
         "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
+        "q_knn_label_agreement": q_knn_label_agreement,
+        "q_trend_slope": q_trend_slope,
+        "q_categorical_profile": q_categorical_profile,
+        "q_fuzzy_match": q_fuzzy_match,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
@@ -2898,6 +2933,67 @@ def oracle_sql() -> dict[str, str]:
         # q_ivf_topk / q_centroid_by_label)
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pagerank": _pagerank_oracle_sql(),
+        "q_knn_label_agreement": _knn_label_agreement_oracle_sql(),
+        "q_trend_slope": (
+            "WITH daily AS (SELECT event_type, "
+            "CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day, "
+            "CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS y "
+            "FROM events GROUP BY 1, 2), "
+            "rb AS (SELECT event_type, "
+            "day - MIN(day) OVER (PARTITION BY event_type) AS x, y "
+            "FROM daily), "
+            "a AS (SELECT event_type, COUNT(*) AS n_days, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx FROM rb GROUP BY 1) "
+            "SELECT event_type, n_days, "
+            "n_days * sxy - sx * sy AS slope_num, "
+            "n_days * sxx - sx * sx AS slope_den, "
+            "CASE WHEN n_days * sxx - sx * sx = 0 THEN 0.0 "
+            "ELSE ROUND((n_days * sxy - sx * sy) "
+            "/ CAST(n_days * sxx - sx * sx AS DOUBLE), 4) + 0.0 END "
+            "AS slope_micro_per_day FROM a"
+        ),
+        "q_categorical_profile": (
+            # term order mirrors profiling.categorical_profile exactly:
+            # (n / tot) * ln(tot / n) * 1e6, rounded per value, integer sum
+            "WITH c1 AS (SELECT CAST(event_type AS VARCHAR) AS val, "
+            "COUNT(*) AS n FROM events GROUP BY 1), "
+            "t1 AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, "
+            "COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_n "
+            "FROM c1), "
+            "e1 AS (SELECT 'event_type' AS column_name, "
+            "ANY_VALUE(n_distinct) AS n_distinct, "
+            "CAST(SUM(CAST(round((n / CAST(tot AS DOUBLE)) "
+            "* ln(tot / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS entropy_micro, "
+            "ANY_VALUE((1000 * top_n) // tot) AS top_fraction_milli "
+            "FROM c1 CROSS JOIN t1), "
+            "c2 AS (SELECT CAST(user_id AS VARCHAR) AS val, COUNT(*) AS n "
+            "FROM events GROUP BY 1), "
+            "t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, "
+            "COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_n "
+            "FROM c2), "
+            "e2 AS (SELECT 'user_id' AS column_name, "
+            "ANY_VALUE(n_distinct) AS n_distinct, "
+            "CAST(SUM(CAST(round((n / CAST(tot AS DOUBLE)) "
+            "* ln(tot / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS entropy_micro, "
+            "ANY_VALUE((1000 * top_n) // tot) AS top_fraction_milli "
+            "FROM c2 CROSS JOIN t2) "
+            "SELECT * FROM e1 UNION ALL SELECT * FROM e2"
+        ),
+        "q_fuzzy_match": (
+            "WITH names AS (SELECT p_name AS name, COUNT(*) AS cnt, "
+            "regexp_split_to_array(p_name, ' ')[-1] AS blk "
+            "FROM part GROUP BY 1) "
+            "SELECT a.name AS name_a, b.name AS name_b, "
+            "levenshtein(a.name, b.name) AS edit_distance, "
+            "a.cnt * b.cnt AS n_pairs "
+            "FROM names a JOIN names b ON a.blk = b.blk "
+            "AND a.name < b.name "
+            "WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2"
+        ),
         "q_pq_topk": _pq_topk_oracle_sql(),
         "q_ivfpq_topk": _ivfpq_topk_oracle_sql(),
         "q_keep_canonical": _keep_canonical_oracle_sql(),
@@ -3023,6 +3119,30 @@ def _lsh_topk_oracle_sql(
         "SELECT query_id, vec_id, round(raw, 4) + 0.0 AS sim, "
         "ROW_NUMBER() OVER (PARTITION BY query_id "
         f"ORDER BY raw DESC, vec_id) AS rank FROM scored QUALIFY rank <= {k}"
+    )
+
+
+def _knn_label_agreement_oracle_sql(n_queries: int = 32, k: int = 10) -> str:
+    """DuckDB replay of similarity.knn_label_agreement: milli-unit
+    integer vectors, exact integer squared-L2, (d2, vec_id) tie-break,
+    integer agreement counts — bit-identical, not approximate."""
+    return (
+        "WITH iv AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> "
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv "
+        f"FROM iv ORDER BY vec_id LIMIT {n_queries}), "
+        "d AS (SELECT q.query_id, q.qlabel, iv.vec_id, iv.label, "
+        "CAST(list_sum(list_transform(list_zip(iv.v, q.qv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+        "FROM iv CROSS JOIN q WHERE iv.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, qlabel, label, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) "
+        "AS rn FROM d) "
+        "SELECT query_id, qlabel, COUNT(*) AS n_neighbors, "
+        "CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_agree FROM r WHERE rn <= {k} GROUP BY 1, 2"
     )
 
 

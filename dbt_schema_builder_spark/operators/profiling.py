@@ -137,3 +137,97 @@ def mad_outliers(
             (F.round(F.first("mad"), 4) + F.lit(0.0)).alias("mad_r4"),
         )
     )
+
+
+
+def trend_slope(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-group least-squares trend of the daily aggregate — the
+    monitoring question "is this metric drifting?" answered with the
+    closed-form OLS slope over (day index, daily micro-unit sum):
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+
+    Every S is an EXACT integer aggregate: day indices are rebased per
+    group (a window min over the bounded per-group day axis) so x stays
+    small, y is the micro-unit daily sum. Numerator and denominator are
+    emitted as integers beside the rounded slope, so the hashed surface
+    is exact integers plus one deterministic division. One (group, day)
+    aggregate shuffle + one tiny per-group rollup. Int64 headroom:
+    |Sxy| <= days^2 * max daily |sum| in micro-units — drop to
+    milli-units beyond ~1e12 micro-units/day.
+    """
+    from pyspark.sql.window import Window
+
+    from ..session import epoch_millis
+
+    day = (epoch_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+    daily = events.groupBy(group_col, day.alias("day")).agg(
+        F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("y")
+    )
+    rebased = daily.withColumn(
+        "x", F.col("day") - F.min("day").over(Window.partitionBy(group_col))
+    )
+    agg = rebased.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        group_col,
+        "n_days",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.round(num / den, 4) + F.lit(0.0))
+        .alias("slope_micro_per_day"),
+    )
+
+
+def categorical_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column categorical profile: distinct count, Shannon entropy
+    (micro-unit fixed point), and the modal value's share in integer
+    milli — the "is this column degenerate / an id / skewed?" triage
+    that drives join-strategy and partitioning decisions.
+
+    One count aggregate per column (map-side combined), rollups from the
+    count table (never a second scan), entropy terms -p*ln(p) rounded to
+    integer micro-units per value and summed exactly (the `_det_avg`
+    convention — a float entropy sum is partial-aggregation-order
+    dependent). Column results union into one frame.
+    """
+    outs = []
+    for c in columns:
+        counts = df.groupBy(
+            F.col(c).cast("string").alias("val")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        tot = counts.agg(
+            F.sum("n").alias("tot"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_n"),
+        )
+        term = (F.col("n") / F.col("tot")) * F.log(
+            F.col("tot") / F.col("n")
+        )
+        outs.append(
+            counts.crossJoin(F.broadcast(tot)).agg(
+                F.lit(c).alias("column_name"),
+                F.first("n_distinct").alias("n_distinct"),
+                F.sum(F.round(term * F.lit(1e6)).cast("long")).alias(
+                    "entropy_micro"
+                ),
+                F.first(F.expr("(1000 * top_n) div tot")).alias(
+                    "top_fraction_milli"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

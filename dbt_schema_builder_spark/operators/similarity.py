@@ -1388,3 +1388,76 @@ def ivfpq_topk(
         .select("query_id", "vec_id")
     )
     return _exact_rerank(embeddings, shortlist, qrows, k)
+
+
+def knn_label_agreement(
+    embeddings: DataFrame, n_queries: int = 32, k: int = 10
+) -> DataFrame:
+    """Label-noise probe: for each of ``n_queries`` sampled vectors, the
+    number of its k nearest neighbors (exact integer L2, self excluded)
+    sharing its label — the standard kNN-agreement signal for finding
+    mislabeled examples in a curated set (low agreement = candidate
+    noise; cf. Confident Learning / deep-kNN filtering practice).
+
+    Exact and integer end to end: milli-unit vectors, squared-L2 as
+    bigint folds, (distance, vec_id) tie-break, integer agreement
+    counts — fully SQL-replayable. The sampled queries broadcast and
+    the corpus is scanned ONCE map-side; the per-query top-k window
+    sorts a corpus-sized partition, which is the honest cost of exact
+    kNN — at billion-row scale swap the scorer for ``ivfpq_topk``'s
+    shortlist (same output columns) and keep the agreement rollup; this
+    exact form is the oracle-checkable gate (the rerank-equality
+    pattern: with nprobe = cells and shortlist >= corpus the swap MUST
+    equal this).
+    """
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.orderBy("vec_id")
+        .limit(n_queries)
+        .select(
+            "vec_id",
+            _int_embedding(F.col("embedding")).alias("iv"),
+            "label",
+        )
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, qlabel int, n_neighbors bigint, n_agree bigint"
+        )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["iv"]), int(r["label"])) for r in qrows],
+        "query_id bigint, qiv array<bigint>, qlabel int",
+    )
+    scored = (
+        embeddings.select(
+            "vec_id", "label", _int_embedding(F.col("embedding")).alias("iv")
+        )
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with("iv", "qiv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+    )

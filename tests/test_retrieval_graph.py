@@ -178,3 +178,115 @@ def test_containment_threshold_is_integer_exact(spark):
     hit = dedup.containment_pairs(docs, n=3, threshold_milli=500).collect()
     assert len(hit) == 1 and hit[0]["containment_milli"] == 500
     assert dedup.containment_pairs(docs, n=3, threshold_milli=501).collect() == []
+
+
+def test_knn_label_agreement_planted_clusters(spark):
+    from dbt_schema_builder_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    # two tight clusters with distinct labels + one mislabeled point
+    # inside cluster 0 -> its agreement is 0, everyone else's is k
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0 + i * 0.001, 0.0], 0))
+        rows.append((10 + i, [0.0, 1.0 + i * 0.001], 1))
+    rows.append((99, [1.0005, 0.0005], 1))  # mislabeled intruder
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["query_id"]: r
+        for r in knn_label_agreement(emb, n_queries=11, k=3).collect()
+    }
+    assert out[99]["n_agree"] == 0  # all its neighbors are label 0
+    assert out[0]["n_neighbors"] == 3
+    # cluster-1 members agree fully (the intruder is far from them)
+    assert all(out[10 + i]["n_agree"] == 3 for i in range(5))
+
+
+def test_trend_slope_exact_line(spark):
+    import datetime
+
+    from dbt_schema_builder_spark.operators.profiling import trend_slope
+
+    # daily sums 1, 2, 3 -> slope exactly 1e6 micro-units/day
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, d0 + datetime.timedelta(days=i), 1, "a", float(i + 1))
+        for i in range(3)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = trend_slope(ev).collect()[0]
+    assert r["n_days"] == 3
+    assert r["slope_micro_per_day"] == 1_000_000.0
+    assert r["slope_num"] == r["slope_den"] * 1_000_000
+
+
+def test_trend_slope_single_day_guard(spark):
+    import datetime
+
+    from dbt_schema_builder_spark.operators.profiling import trend_slope
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "a", 5.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = trend_slope(ev).collect()[0]
+    assert r["slope_den"] == 0 and r["slope_micro_per_day"] == 0.0
+
+
+def test_categorical_profile_uniform_vs_degenerate(spark):
+    import datetime
+    import math
+
+    from dbt_schema_builder_spark.operators.profiling import (
+        categorical_profile,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, d0, i % 4, "t", 0.0) for i in range(8)]  # user uniform-4
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {
+        r["column_name"]: r
+        for r in categorical_profile(ev, ["event_type", "user_id"]).collect()
+    }
+    # constant column: zero entropy, modal share 1000 milli
+    assert out["event_type"]["n_distinct"] == 1
+    assert out["event_type"]["entropy_micro"] == 0
+    assert out["event_type"]["top_fraction_milli"] == 1000
+    # uniform over 4: entropy = ln 4, modal share 250
+    assert out["user_id"]["n_distinct"] == 4
+    assert out["user_id"]["entropy_micro"] == 4 * round(
+        0.25 * math.log(4) * 1e6
+    )
+    assert out["user_id"]["top_fraction_milli"] == 250
+
+
+def test_fuzzy_match_names_blocks_and_multiplicity(spark):
+    from dbt_schema_builder_spark.operators.relational import (
+        fuzzy_match_names,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "old gear"),
+            (2, "old gear"),
+            (3, "cold gear"),   # distance 1 from 'old gear'
+            (4, "old ring"),    # different block, never compared
+            (5, "brass gear"),  # distance > 2 from both
+        ],
+        "p_partkey long, p_name string",
+    )
+    rows = fuzzy_match_names(df, max_distance=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r["name_a"], r["name_b"]} == {"old gear", "cold gear"}
+    assert r["edit_distance"] == 1
+    assert r["n_pairs"] == 2  # 2 'old gear' records x 1 'cold gear'
