@@ -100,6 +100,15 @@ HEADLINE = [
     "q_source_kl",
     "q_containment",
     "q_pagerank",
+    "q_transition_matrix",
+    "q_conversion_latency",
+    "q_cumulative_users",
+    "q_scd2",
+    "q_sql_local_supplier_volume",
+    "q_knn_label_agreement",
+    "q_trend_slope",
+    "q_categorical_profile",
+    "q_fuzzy_match",
 ]
 
 

@@ -45,6 +45,27 @@ NOTES = {
     "q_tfidf_cosine_pairs": "explicit hashpartitioning on gram hash before the self-join; norms via one doc_id window",
     "q_pq_topk": "map-only ArrowEvalPython encode; broadcast ADC table; map-side-combined sums before one top-k window",
     "q_ivfpq_topk": "one combined [cell, codes] Arrow pass; broadcast probes prune before the ADC join",
+    "q_gapfill_locf": "dense axis via sequence+explode; LOCF window over the aggregated bucket table",
+    "q_gapfill_interp": "ONE Window operator hosts all four bracketing frames on one sort",
+    "q_funnel": "per-step min-aggregates; stage frames shrink and broadcast",
+    "q_cohort_retention": "distinct (user, week) collapse before the cohort join",
+    "q_rolling_active": "bounded 7x explode; two distinct shuffles, no per-day self-join",
+    "q_interval_coverage": "one sort serves both windows; single user_id exchange",
+    "q_mad_outliers": "two broadcast median joins; final count rollup",
+    "q_bm25_search": "term filter before any shuffle; df rolled up from tf; rank after limit",
+    "q_pmi_pairs": "persisted distinct-token frame; df carried through the pair join; broadcast vocab cap",
+    "q_source_kl": "persisted (source, token) count table; all rollups from it, one corpus scan",
+    "q_containment": "hashed-key inverted-index self-join (shared with jaccard); integer threshold",
+    "q_pagerank": "localCheckpoint flattens the per-iteration lineage; rank joins node-sized",
+    "q_transition_matrix": "one (user, ts) sort serves session flag + numbering + lead",
+    "q_conversion_latency": "funnel joins + single 1-row percentile aggregate",
+    "q_cumulative_users": "first-day rollup; running sum over bounded day axis",
+    "q_scd2": "two window stages on one user partitioning; no self-join",
+    "q_sql_local_supplier_volume": "Catalyst join reordering: dims broadcast, fact joins by size",
+    "q_knn_label_agreement": "broadcast queries; one corpus scan; per-query top-k window",
+    "q_trend_slope": "one (group, day) agg; rebase window over bounded day axis",
+    "q_categorical_profile": "one count agg per column; rollups from the count table",
+    "q_fuzzy_match": "signature-first: distinct names before the block join",
 }
 
 
