@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the round-4c analytics
+operators: invariants that must hold for arbitrary event streams and
+graphs, not just the fixtures. Examples are batched — one DataFrame per
+example, one job per assertion set."""
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from dbt_schema_builder_spark.operators import graph, temporal, timeseries
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # user
+        st.integers(min_value=0, max_value=3000),       # minutes offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, _BASE + datetime.timedelta(minutes=m), u, t, v)
+            for i, (u, m, t, v) in enumerate(rows)
+        ],
+        EV_SCHEMA,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_funnel_stages_are_monotone(spark, rows):
+    """Stage counts never increase down the funnel, and stage 1 equals
+    the distinct users with that event type."""
+    ev = _events(spark, rows)
+    out = sorted(
+        timeseries.funnel(ev).collect(), key=lambda r: r["stage"]
+    )
+    counts = [r["n_users"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    viewers = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert counts[0] == viewers
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_interval_coverage_bounds(spark, rows):
+    """Covered time is at most n_intervals * duration and at least one
+    duration; islands never exceed intervals."""
+    ev = _events(spark, rows)
+    dur = 5 * 60000
+    for r in temporal.interval_coverage(ev, duration_minutes=5).collect():
+        assert 1 <= r["n_islands"] <= r["n_intervals"]
+        assert dur <= r["covered_ms"] <= r["n_intervals"] * dur
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_gapfill_axis_is_dense_and_anchored(spark, rows):
+    """Per series: buckets form a contiguous range, first/last buckets
+    are observations (never gaps), and LOCF never emits a gap with a
+    different sum than its predecessor."""
+    ev = _events(spark, rows)
+    out = timeseries.gapfill_locf(ev, bucket_minutes=15).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["bucket_ms"])
+        buckets = [r["bucket_ms"] for r in rs]
+        assert buckets == list(
+            range(buckets[0], buckets[-1] + 900000, 900000)
+        )
+        assert rs[0]["is_gap"] == 0 and rs[-1]["is_gap"] == 0
+        for prev, cur in zip(rs, rs[1:]):
+            if cur["is_gap"]:
+                assert cur["locf_sum_micro"] == prev["locf_sum_micro"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_transition_matrix_rows_sum_consistently(spark, rows):
+    """Per from_type: counts sum to the row total implied by the milli
+    probabilities (sum of prob_milli within [1000 - n_outgoing, 1000]
+    because each floor loses < 1 milli), and every probability is
+    positive."""
+    ev = _events(spark, rows)
+    out = timeseries.transition_matrix(ev).collect()
+    by_from = {}
+    for r in out:
+        assert 0 < r["prob_milli"] <= 1000
+        by_from.setdefault(r["from_type"], []).append(r["prob_milli"])
+    for probs in by_from.values():
+        assert 1000 - len(probs) < sum(probs) <= 1000
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_mass_is_conserved_up_to_floor_loss(spark, edges):
+    """On a bidirected graph, total rank stays within n * floor-loss of
+    the initial mass (0.15 + 0.85 = 1 exactly; each node's update can
+    lose < 1 micro-unit per contributing edge to the two floors), and
+    every rank is at least the teleport floor 150000."""
+    df = spark.createDataFrame(list(set(edges)), "src long, dst long")
+    bidir = df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n_nodes = bidir.select("src").distinct().count()
+    n_edges = bidir.count()
+    out = graph.pagerank(bidir, iterations=3).collect()
+    assert len(out) == n_nodes
+    total = sum(r["r"] for r in out)
+    assert total <= n_nodes * 1_000_000
+    # floors lose < 1 unit per edge contribution + 1 per node per round
+    assert total >= n_nodes * 1_000_000 - 3 * (n_edges + n_nodes)
+    assert all(r["r"] >= 150_000 for r in out)

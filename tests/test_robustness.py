@@ -181,3 +181,59 @@ def test_documents_text_is_pure_ascii_across_sfs(spark):
             "no longer replay the byte-level Spark results; rebuild those "
             "oracles over encode(s, 'utf-8') bytes"
         )
+
+
+def test_empty_input_through_round4c_operators(spark, tables):
+    """Empty-input robustness for the round-4c analytics batch: every
+    operator returns an empty (or correctly degenerate) frame, never
+    raises."""
+    from dbt_schema_builder_spark.operators import (
+        graph,
+        profiling,
+        relational,
+        temporal,
+    )
+
+    empty_events = tables["events"].where("event_id < 0")
+    assert timeseries.gapfill_locf(empty_events).count() == 0
+    assert timeseries.gapfill_interpolate(empty_events).count() == 0
+    assert timeseries.funnel(empty_events).count() == 3  # 3 zero stages
+    assert (
+        timeseries.funnel(empty_events)
+        .agg({"n_users": "sum"})
+        .collect()[0][0]
+        == 0
+    )
+    assert timeseries.cohort_retention(empty_events).count() == 0
+    assert timeseries.rolling_active_users(empty_events).count() == 0
+    assert timeseries.transition_matrix(empty_events).count() == 0
+    assert timeseries.conversion_latency(empty_events).collect()[0][
+        "n_converted"
+    ] == 0
+    assert timeseries.cumulative_users(empty_events).count() == 0
+    assert temporal.interval_coverage(empty_events).count() == 0
+    assert temporal.scd2_history(empty_events).count() == 0
+    assert profiling.mad_outliers(empty_events).count() == 0
+    assert profiling.trend_slope(empty_events).count() == 0
+    # categorical_profile emits one row per requested column even when
+    # the frame is empty (zero distinct, zero entropy)
+    prof = profiling.categorical_profile(empty_events, ["event_type"])
+    assert prof.count() == 1
+
+    empty_docs = tables["documents"].where("doc_id < 0")
+    from dbt_schema_builder_spark.operators import dedup, text
+
+    assert text.bm25_search(empty_docs, ("dup",)).count() == 0
+    assert text.pmi_pairs(empty_docs).count() == 0
+    assert text.source_kl(empty_docs).count() == 0
+    assert dedup.containment_pairs(empty_docs).count() == 0
+
+    empty_emb = tables["embeddings"].where("vec_id < 0")
+    assert similarity.knn_label_agreement(empty_emb).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty_edges).count() == 0
+    assert graph.pagerank_topk(empty_edges).count() == 0
+
+    empty_parts = tables["part"].where("p_partkey < 0")
+    assert relational.fuzzy_match_names(empty_parts).count() == 0
