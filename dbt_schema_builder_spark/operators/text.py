@@ -925,7 +925,15 @@ def bm25_search(
     q = documents.select(
         "doc_id", F.explode(tokens()).alias("token")
     ).where(F.col("token").isin(*query_terms))
-    tf = q.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf is bounded by matched-docs x |query terms| and has two
+    # consumers (the scoring join and the df rollup) — without it Spark
+    # re-evaluates the tokenize+explode pipeline for each (plan showed
+    # two Generate operators)
+    tf = (
+        q.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     # df rolls up from the tf table (tf rows are distinct (doc, term)) —
     # one corpus tokenize pass serves both, instead of two scans
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

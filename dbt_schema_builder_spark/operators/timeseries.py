@@ -375,15 +375,22 @@ def transition_matrix(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     counts = steps.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    row_tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
-    return (
-        counts.join(F.broadcast(row_tot), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n",
-            F.expr("(1000 * n) div row_total").alias("prob_milli"),
-        )
+    # row totals as a window over the (from, to)-bounded count table:
+    # a groupBy+join formulation gives the rollup a second consumer of
+    # the whole session pipeline and Spark re-evaluates it (measured:
+    # two user_id exchanges in the plan); the window keeps one lineage
+    row_tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("1000 * n").cast("long").alias("_num"),
+        row_tot.alias("_rt"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("_num div _rt").alias("prob_milli"),
     )
 
 

@@ -290,3 +290,70 @@ def test_ivfpq_single_arrow_pass_no_sort_merge(tables):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_single_tokenize_and_no_corpus_window(tables):
+    """The posting branches (tf + df) share one tokenize subtree (df is
+    a rollup of tf, not a second explode), and the only Window in the
+    plan runs AFTER the top-k limit (GlobalLimit above it in the tree,
+    never a corpus-sized window partition)."""
+    from dbt_schema_builder_spark.operators.text import bm25_search
+
+    df = bm25_search(tables["documents"], ("dup", "join"))
+    plan = _plan(df)
+    # one Generate (explode) for the posting stream — df derived from tf
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1, plan
+    # the global top-k compiles to TakeOrderedAndProject (distributed
+    # partial top-k), never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"\(\d+\) Sort\b.*global=true", plan), plan
+
+
+def test_gapfill_interp_single_window_operator(tables):
+    """Both bracketing frame directions (preceding LOCF + following
+    next-obs) evaluate in ONE Window operator over one sort — the
+    bracket needs no self-join and no second exchange."""
+    from dbt_schema_builder_spark.operators.timeseries import (
+        gapfill_interpolate,
+    )
+
+    plan = _plan(gapfill_interpolate(tables["events"]))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Join Inner" not in plan.replace("Join LeftOuter", ""), plan
+
+
+def test_fuzzy_match_joins_signatures_not_records(tables):
+    """The levenshtein join input is the distinct-name aggregate (a
+    HashAggregate below the join), never the raw part table — the
+    signature-first contract."""
+    from dbt_schema_builder_spark.operators.relational import (
+        fuzzy_match_names,
+    )
+
+    plan = _plan(fuzzy_match_names(tables["part"]))
+    join_pos = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
+    assert "HashAggregate" in plan[:join_pos] or plan.count("HashAggregate") >= 2, plan
+
+
+def test_knn_broadcasts_queries_not_corpus(tables):
+    """The sampled query frame broadcasts; the corpus is never on the
+    broadcast side (one corpus scan, BroadcastNestedLoopJoin over the
+    tiny query list)."""
+    from dbt_schema_builder_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    plan = _plan(knn_label_agreement(tables["embeddings"], n_queries=4, k=3))
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan  # corpus read once (+0 for local rel)
+
+
+def test_transition_matrix_single_user_exchange(tables):
+    """Session flag, numbering, and lead all ride one (user_id) hash
+    exchange — adding the lead must not re-shuffle."""
+    from dbt_schema_builder_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    plan = _plan(transition_matrix(tables["events"]))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
