@@ -290,3 +290,49 @@ def test_fuzzy_match_names_blocks_and_multiplicity(spark):
     assert {r["name_a"], r["name_b"]} == {"old gear", "cold gear"}
     assert r["edit_distance"] == 1
     assert r["n_pairs"] == 2  # 2 'old gear' records x 1 'cold gear'
+
+
+def test_knn_agreement_equals_ivfpq_shortlist_swap(spark, sf_dir):
+    """The documented billion-row path for knn_label_agreement — score
+    with ivfpq_topk's shortlist instead of the brute-force scan — must
+    produce the IDENTICAL agreement table when the ANN is run lossless
+    (nprobe = cells, rerank >= corpus): the free exactness pin, no
+    recall threshold needed. ivfpq ranks include the query itself at
+    d2=0, so the swap takes k+1 and drops self."""
+    from dbt_schema_builder_spark.operators.similarity import (
+        ivfpq_topk,
+        knn_label_agreement,
+    )
+    from dbt_schema_builder_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    n_q, k = 8, 5
+    exact = {
+        (r["query_id"], r["qlabel"]): r["n_agree"]
+        for r in knn_label_agreement(emb, n_queries=n_q, k=k).collect()
+    }
+    corpus_n = emb.count()
+    ann = ivfpq_topk(
+        emb, n_queries=n_q, k=k + 1, cells=4, nprobe=4, rerank=corpus_n
+    )
+    labels = emb.select("vec_id", "label")
+    qlabels = {
+        r["vec_id"]: r["label"]
+        for r in emb.orderBy("vec_id").limit(n_q).collect()
+    }
+    got = {}
+    rows = (
+        ann.where(F.col("vec_id") != F.col("query_id"))
+        .join(labels, "vec_id")
+        .collect()
+    )
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        top = rs[:k]
+        got[(qid, qlabels[qid])] = sum(
+            1 for r in top if r["label"] == qlabels[qid]
+        )
+    assert got == exact
