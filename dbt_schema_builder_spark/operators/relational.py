@@ -272,3 +272,42 @@ def fuzzy_match_names(
             (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
         )
     )
+
+
+def merge_partial_aggregates(
+    state,
+    batch,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+):
+    """Incremental materialized-aggregate maintenance: fold a new raw
+    batch into a per-key (sums..., count) state table WITHOUT
+    re-scanning history — the mechanism behind every incrementally
+    maintained rollup (and the batch mirror of the streaming state
+    store). Sums and counts are commutative monoids, so
+    aggregate-the-batch + union + re-aggregate is EXACTLY equivalent to
+    recomputing over all raw data ever seen — provided the summed
+    columns are integers (micro-unit convention); float sums would
+    drift from the recompute by summation order.
+
+    Cost per increment: one aggregate shuffle over the BATCH plus one
+    over (state ∪ batch-partials) — state is keys-sized, never raw
+    history. Bucket both sides by the key (``sources.bucketing``) and
+    the merge is shuffle-free. Derived means stay exact: mean =
+    sum / n computed at read time, never stored.
+    """
+    from pyspark.sql import functions as F
+
+    partial = batch.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    return (
+        state.unionByName(partial)
+        .groupBy(*key_cols)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).alias(count_col),
+        )
+    )

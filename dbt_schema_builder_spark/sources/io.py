@@ -10,7 +10,7 @@ inference, and partitioned writes give partition-pruned scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -163,4 +163,94 @@ def write_zordered(
         .drop(zcol)
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` — the table-maintenance chore every long-lived 100 TB
+    deployment runs (streaming sinks and over-parallel writers leave
+    thousands of KB-scale files; each costs a task + a footer read +
+    an open per scan, and the NameNode/object-store metadata grows
+    unbounded).
+
+    File count derives from the directory's actual byte size (one
+    listing, no data read), rows stay identical, and
+    ``sort_within_by`` optionally re-sorts within output files so
+    min/max footer stats stay tight after compaction (compacting UNDOES
+    clustering otherwise — pair with ``write_zordered`` for the full
+    layout story). Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import os as _os
+
+    parts = [
+        p
+        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(p)
+    ]
+    total_bytes = sum(_os.path.getsize(p) for p in parts)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        out = df.repartition(int(n_out)).sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.coalesce(int(n_out))
+    out.write.mode("overwrite").parquet(out_path)
+    after = [
+        p
+        for p in _glob.glob(
+            _os.path.join(out_path, "**", "*.parquet"), recursive=True
+        )
+        if _os.path.isfile(p)
+    ]
+    return {
+        "files_before": len(parts),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Keyed table diff — the reconciliation operator behind CDC
+    backfills and migration sign-offs: one row per key present in
+    either snapshot, classified ``added`` / ``removed`` / ``changed`` /
+    (unchanged keys are dropped — at 100 TB the interesting set is the
+    delta, not the match). Change detection hashes the full row
+    (md5 of the concatenated non-key columns, null-tagged so NULL vs
+    'null' can't collide) so wide tables compare with one 16-byte
+    value per side instead of N column equalities carried through the
+    join.
+
+    One full-outer join on the key — co-partitioned if both sides are
+    bucketed by it (``sources.bucketing``), else one shuffle per side.
+    """
+    non_key = [c for c in old.columns if c not in key_cols]
+
+    def _sig(df: DataFrame) -> Column:
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in non_key
+        ]
+        return F.md5(F.concat_ws("\x01", *tagged))
+
+    o = old.select(*key_cols, _sig(old).alias("_sig_old"))
+    n = new.select(*key_cols, _sig(new).alias("_sig_new"))
+    j = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_sig_old").isNull(), F.lit("added"))
+        .when(F.col("_sig_new").isNull(), F.lit("removed"))
+        .when(F.col("_sig_old") != F.col("_sig_new"), F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, status.alias("status"))
+        .where(F.col("status").isNotNull())
     )
