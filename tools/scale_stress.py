@@ -92,7 +92,12 @@ def timed(df):
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 2)
+    dt = round(time.perf_counter() - t0, 2)
+    # the bench.py lesson applies here too: operators persist() subtrees
+    # and never unpersist, and accumulated blocks tax later ops —
+    # measured pagerank 23.4 s polluted vs 9.0 s isolated at 10x
+    spark.catalog.clearCache()
+    return dt
 
 
 docs1 = read_table(spark, f"{SF_DIR}/documents.parquet")
@@ -192,10 +197,24 @@ OPS = {
     "bm25_search": lambda d, e: text.bm25_search(
         d, ("dup", "join", "vector")
     ),
+    # round-4c: exact kNN is brute-force by contract — 10x corpus should
+    # be ~linear (broadcast queries, one scan, per-query top-k)
+    "knn_label_agreement": lambda d, e: similarity.knn_label_agreement(
+        e, n_queries=32, k=10
+    ),
 }
+
+_only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
+
+
+def _want(name: str) -> bool:
+    return not _only or any(s in name for s in _only)
+
 
 table = {}
 for name, fn in OPS.items():
+    if not _want(name):
+        continue
     t1 = timed(fn(docs1, emb1))
     t10 = timed(fn(docs10, emb10))
     table[name] = {"sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)}
@@ -215,10 +234,14 @@ def _run_events_ops():
         "interval_coverage": lambda ev: temporal.interval_coverage(ev),
         "rolling_active_users": lambda ev: timeseries.rolling_active_users(ev),
         "gapfill_interpolate": lambda ev: timeseries.gapfill_interpolate(ev),
+        "transition_matrix": lambda ev: timeseries.transition_matrix(ev),
+        "conversion_latency": lambda ev: timeseries.conversion_latency(ev),
+        "cumulative_users": lambda ev: timeseries.cumulative_users(ev),
+        "scd2_history": lambda ev: temporal.scd2_history(ev),
         "pagerank_topk(it=3)": None,  # graph op, handled below
     }
     for name, fn in ev_ops.items():
-        if fn is None:
+        if fn is None or not _want(name):
             continue
         t1 = timed(fn(ev1))
         t10 = timed(fn(ev10))
@@ -227,6 +250,8 @@ def _run_events_ops():
         }
         print(f"{name}: {t1}s -> {t10}s ({table[name]['ratio']}x)", file=sys.stderr)
 
+    if not (_want("pagerank") or _want("fuzzy")):
+        return
     # pagerank: replicate the edge list into 10 disjoint copies (same
     # topology per copy, 10x nodes+edges — per-iteration joins must be
     # linear; rebuild the whole pipeline inside the timer, driver-looped
@@ -255,12 +280,37 @@ def _run_events_ops():
         ).mode("overwrite").save()
         return round(time.perf_counter() - t0, 2)
 
-    pr(e1)  # warm
-    t1, t10 = pr(e1), pr(e10)
-    table["pagerank_topk(it=3)"] = {
+    if _want("pagerank"):
+        pr(e1)  # warm
+        t1, t10 = pr(e1), pr(e10)
+        table["pagerank_topk(it=3)"] = {
+            "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
+        }
+        print(f"pagerank_topk(it=3): {t1}s -> {t10}s ({table['pagerank_topk(it=3)']['ratio']}x)", file=sys.stderr)
+
+    # fuzzy matching: replicate parts 10x with the SAME names — the
+    # signature table is unchanged, so the levenshtein join must be
+    # volume-immune (only the distinct aggregate sees more rows)
+    from dbt_schema_builder_spark.operators import relational as rel
+
+    if not _want("fuzzy"):
+        return
+    part1 = read_table(spark, f"{SF_DIR}/part.parquet")
+    part10 = (
+        part1.crossJoin(rep)
+        .select(
+            (F.col("p_partkey") * 10 + F.col("rep")).alias("p_partkey"),
+            "p_name",
+        )
+        .persist()
+    )
+    part10.count()
+    t1 = timed(rel.fuzzy_match_names(part1))
+    t10 = timed(rel.fuzzy_match_names(part10))
+    table["fuzzy_match_names"] = {
         "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
     }
-    print(f"pagerank_topk(it=3): {t1}s -> {t10}s ({table['pagerank_topk(it=3)']['ratio']}x)", file=sys.stderr)
+    print(f"fuzzy_match_names: {t1}s -> {t10}s ({table['fuzzy_match_names']['ratio']}x)", file=sys.stderr)
 
 
 _run_events_ops()
