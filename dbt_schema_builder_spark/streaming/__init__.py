@@ -4,6 +4,7 @@ from .windows import (
     stream_events,
     streaming_click_purchase_join,
     streaming_dedup,
+    streaming_funnel,
     streaming_session_window,
     streaming_dedup_against_history,
     streaming_static_enrich,
@@ -16,6 +17,7 @@ __all__ = [
     "streaming_tumbling_counts",
     "streaming_session_window",
     "streaming_dedup",
+    "streaming_funnel",
     "streaming_user_state",
     "run_stream_to_memory",
     "run_stream_to_files",

@@ -307,3 +307,83 @@ def streaming_dedup_against_history(
     history. Deterministic (same rows as the batch anti-join), so it
     carries a full value-hash oracle."""
     return events.join(F.broadcast(seen_keys), on, "left_anti")
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    max_per_step: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.funnel``: per-user conversion
+    state machine via ``applyInPandasWithState``, emitting on every
+    update the furthest funnel stage reached (strictly-after chaining on
+    the earliest qualifying timestamps) and when.
+
+    Exactness contract: a late event can retroactively change the whole
+    chain (an earlier 'view' can re-qualify a 'click' that previously
+    didn't count), so the state keeps, per step, the sorted list of the
+    ``max_per_step`` EARLIEST timestamps seen and re-derives the greedy
+    chain from scratch on every update — exact whenever no more than
+    ``max_per_step`` events per (user, step) exist, and always exact
+    under the repo's single-batch availableNow runs (all data present
+    when the chain is derived). State is O(steps * max_per_step) longs
+    per user — bounded, unlike keeping raw history.
+
+    The greedy chain (t_k = min{ts of step k > t_{k-1}}) matches the
+    batch operator exactly; the parity test pins the aggregated stage
+    counts against ``timeseries.funnel`` on the same files.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..session import epoch_millis
+
+    n_steps = len(steps)
+    state_schema = ", ".join(f"s{i} array<bigint>" for i in range(n_steps))
+    out_schema = "user_id long, stage int, t_ms long"
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        lists = (
+            [list(x) for x in state.get]
+            if state.exists
+            else [[] for _ in range(n_steps)]
+        )
+        for pdf in pdfs:
+            for et, ms in zip(pdf["event_type"], pdf["ms"]):
+                lists[step_index[et]].append(int(ms))
+        lists = [sorted(l)[:max_per_step] for l in lists]
+        state.update(tuple(lists))
+        # greedy strictly-after chain over the retained minima
+        t = None
+        stage = 0
+        for lst in lists:
+            cand = [x for x in lst if t is None or x > t]
+            if not cand:
+                break
+            t = cand[0]
+            stage += 1
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [stage],
+                "t_ms": [t if t is not None else -1],
+            }
+        )
+
+    return (
+        events.where(F.col("event_type").isin(*steps))
+        .withColumn("ms", epoch_millis(F.col("ts")))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -275,3 +275,81 @@ def test_streaming_tumbling_processing_time_multibatch(
     assert got <= oracle
     # ...and the drain made real progress (not everything dropped as late)
     assert len(got) >= len(oracle) // 2 > 0
+
+
+def test_streaming_funnel_matches_batch_funnel(spark, tables, events_dir):
+    """Single-batch availableNow run: the streaming per-user furthest
+    stage must reproduce timeseries.funnel's aggregated stage counts
+    exactly (n_users at stage i == users with furthest >= i)."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_funnel,
+    )
+    from dbt_schema_builder_spark.operators.timeseries import funnel
+
+    stream = streaming_funnel(stream_events(spark, events_dir))
+    got = run_stream_to_memory(stream, "t_funnel", "update")
+    # availableNow single batch -> one emit per user; take max stage to
+    # be robust to re-runs of the memory sink
+    furthest = {
+        r["user_id"]: r["stage"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    }
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in funnel(tables["events"]).collect()
+    }
+    for i in (1, 2, 3):
+        assert batch[i] == sum(1 for s in furthest.values() if s >= i)
+
+
+def test_streaming_funnel_late_view_requalifies(spark, tmp_path):
+    """Cross-batch retroactivity: a click arrives in batch 1 with no
+    view; the view arrives EARLIER-timestamped in batch 2 — the state
+    machine must re-derive the chain and report stage 2."""
+    import datetime
+
+    from dbt_schema_builder_spark.streaming import streaming_funnel
+    from dbt_schema_builder_spark.streaming.windows import EVENTS_SCHEMA
+
+    d = str(tmp_path / "late")
+    base = datetime.datetime(2024, 1, 1)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write("b1", [(1, base + datetime.timedelta(minutes=5), 1, "click", 0.0, "{}")])
+    ckpt = str(tmp_path / "ckpt")  # SHARED: run 2 resumes run 1's state
+
+    def run(name):
+        # memory sink refuses checkpoint recovery; foreachBatch supports
+        # stateful update mode AND restart-from-checkpoint (local mode:
+        # the closure runs in the driver process, the list is shared)
+        emitted: list = []
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        q = (
+            streaming_funnel(
+                raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: r["stage"] for r in emitted}
+
+    assert run("t_late_funnel") == {1: 0}  # click alone converts nothing
+    # batch 2: the earlier-timestamped view arrives late; the restarted
+    # query reads ONLY the new file (checkpointed offsets) and must
+    # re-derive the chain from restored state, not from re-reading b1
+    write("b2", [(2, base, 1, "view", 0.0, "{}")])
+    assert run("t_late_funnel2") == {1: 2}  # view@0 then click@5
