@@ -1461,3 +1461,59 @@ def knn_label_agreement(
             ).cast("bigint").alias("n_agree"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    strategy: str = "auto",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates by
+    embedding similarity — the embedding-space member of the dedup
+    action family, composed end-to-end from proven pieces: mine pairs
+    with ``embedding_near_dup`` (strategy-dispatched: LSH at tight
+    thresholds, bounded IVF-sharded GEMM at weak ones), collapse the
+    pair graph to transitive clusters, keep the minimum vec_id per
+    cluster (the deterministic representative every dedup path in this
+    engine uses). Returns one row per vector:
+    (vec_id, cluster_id, keep_vec_id, action) — the action list a
+    curation run joins against the corpus to rewrite it.
+
+    Scale: inherits its miner's bounds (banded LSH / per-cell caps);
+    label propagation runs on the pair graph only; the corpus joins on
+    nothing wider than vec_id. The famous SemDeDup result — ~4x
+    training-data reduction at equal quality on web corpora — comes
+    from exactly this pipeline at threshold ~0.95 within k-means
+    clusters; ``strategy="ivf_sharded"`` is that shape.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = embedding_near_dup(
+        embeddings, threshold=threshold, strategy=strategy, **near_dup_kwargs
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = dedup_clusters(pairs)
+    keyed = (
+        embeddings.select("vec_id")
+        .join(
+            labels.select(
+                F.col("doc_id").alias("vec_id"), "cluster_id"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+    return keyed.select(
+        "vec_id",
+        "cluster_id",
+        F.col("cluster_id").alias("keep_vec_id"),
+        F.when(F.col("vec_id") == F.col("cluster_id"), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("action"),
+    )

@@ -336,3 +336,36 @@ def test_knn_agreement_equals_ivfpq_shortlist_swap(spark, sf_dir):
             1 for r in top if r["label"] == qlabels[qid]
         )
     assert got == exact
+
+
+def test_semantic_dedup_action_list(spark):
+    """SemDeDup composition: two planted duplicate groups + a singleton
+    -> min vec_id kept per group, everything else dropped, singleton
+    keeps itself."""
+    from dbt_schema_builder_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.001, 0.0], 0),   # dup of 1
+        (5, [0.998, 0.002, 0.0], 0),   # dup of 1
+        (7, [0.0, 1.0, 0.0], 1),
+        (9, [0.001, 0.999, 0.0], 1),   # dup of 7
+        (11, [0.0, 0.0, 1.0], 2),      # singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.99, strategy="blocked").collect()
+    }
+    assert len(out) == 6
+    assert out[1]["action"] == "keep" and out[1]["keep_vec_id"] == 1
+    assert out[2]["action"] == "drop" and out[2]["keep_vec_id"] == 1
+    assert out[5]["action"] == "drop" and out[5]["keep_vec_id"] == 1
+    assert out[7]["action"] == "keep"
+    assert out[9]["action"] == "drop" and out[9]["keep_vec_id"] == 7
+    assert out[11]["action"] == "keep" and out[11]["keep_vec_id"] == 11
+    # exactly one keeper per cluster
+    keepers = {r["cluster_id"] for r in out.values() if r["action"] == "keep"}
+    assert keepers == {1, 7, 11}
