@@ -1072,3 +1072,54 @@ def source_kl(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("vocab_used"),
         )
     )
+
+
+def gopher_quality_rules(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_token_ratio: float = 0.7,
+    max_dup_token_fraction: float = 0.3,
+) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021, table A1 shape): the
+    named heuristic filters production curation runs apply before any
+    model-based scoring — length bounds, mean-token-length window,
+    symbol ratio, alphabetic-token ratio, duplicate-token fraction.
+    Emits one row per document with an integer flag PER RULE plus the
+    conjunction, so a curation dashboard can see which rule fires
+    instead of a single opaque boolean (the reason real pipelines log
+    per-rule pass rates).
+
+    All signals are single-pass map-side HOFs over the token array —
+    zero shuffle, whole-stage codegen; integer flags are the hashed
+    surface (ratios never leave the row). Thresholds are the
+    published-ballpark defaults; tune per corpus.
+    """
+    toks = tokens()
+    n = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    avg_len = total_chars / n
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    n_symbolish = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    dup_frac = (n - F.size(F.array_distinct(toks))) / n
+    rules = {
+        "ok_n_tokens": (n >= min_tokens) & (n <= max_tokens),
+        "ok_avg_token_len": (avg_len >= min_avg_token_len)
+        & (avg_len <= max_avg_token_len),
+        "ok_symbol_ratio": n_symbolish
+        <= F.length("text") * F.lit(max_symbol_ratio),
+        "ok_alpha_ratio": n_alpha >= n * F.lit(min_alpha_token_ratio),
+        "ok_dup_tokens": dup_frac <= F.lit(max_dup_token_fraction),
+    }
+    cols = [c.cast("int").alias(name) for name, c in rules.items()]
+    passed = None
+    for name, c in rules.items():
+        passed = c if passed is None else (passed & c)
+    return documents.select(
+        "doc_id", *cols, passed.cast("int").alias("passes_all")
+    )

@@ -369,3 +369,40 @@ def test_semantic_dedup_action_list(spark):
     # exactly one keeper per cluster
     keepers = {r["cluster_id"] for r in out.values() if r["action"] == "keep"}
     assert keepers == {1, 7, 11}
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    from dbt_schema_builder_spark.operators.text import gopher_quality_rules
+
+    docs = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over dogs",      # clean -> passes
+            "a b",                                      # too few tokens
+            "!!! ### $$$ %%% ^^^ &&&",                  # symbols + non-alpha
+            "word word word word word word",            # dup tokens
+            "pneumonoultramicroscopicsilicovolcanoconiosis aa bb cc dd ee",  # avg len high? no - one long word avg ~8 ok
+        ],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_rules(docs).collect()}
+    assert out[0]["passes_all"] == 1
+    assert out[1]["ok_n_tokens"] == 0 and out[1]["passes_all"] == 0
+    assert out[2]["ok_symbol_ratio"] == 0
+    assert out[2]["ok_alpha_ratio"] == 0
+    assert out[3]["ok_dup_tokens"] == 0 and out[3]["passes_all"] == 0
+    # each row emits every rule flag (dashboardable), not one boolean
+    assert set(out[0].asDict()) == {
+        "doc_id", "ok_n_tokens", "ok_avg_token_len", "ok_symbol_ratio",
+        "ok_alpha_ratio", "ok_dup_tokens", "passes_all",
+    }
+
+
+def test_gopher_rules_map_only_plan(spark, sf_dir):
+    from dbt_schema_builder_spark.operators.text import gopher_quality_rules
+    from dbt_schema_builder_spark.session import read_table
+
+    df = gopher_quality_rules(read_table(spark, f"{sf_dir}/documents.parquet"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # zero shuffle: pure map-side rules
