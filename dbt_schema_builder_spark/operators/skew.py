@@ -55,3 +55,41 @@ def salted_join(
     )
     joined = salted_big.join(replicated_small, on=[key, "_salt"], how="inner")
     return joined.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key: str, top_k: int = 10, salt_threshold_milli: int = 50
+) -> DataFrame:
+    """Join/aggregation skew triage: per-key concentration stats that
+    decide whether a key needs the salting levers above (or AQE can
+    handle it). Emits the ``top_k`` hottest keys with their row share
+    in integer milli plus a ``needs_salt`` flag when one key exceeds
+    ``salt_threshold_milli`` (default: any key holding >5% of rows —
+    the point where one reducer owns a task 20x the median and AQE's
+    post-shuffle splitting starts paying recombination cost).
+
+    One count aggregate (map-side combined) + a top-k over the count
+    table — the corpus is scanned once; nothing wider than the key
+    shuffles. Run it BEFORE a big join lands in production, not after
+    the straggler page.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), F.col("key_value"))
+        .limit(top_k)
+    )
+    share = F.expr("(1000 * n) div tot")
+    return top.select(
+        F.lit(key).alias("key_col"),
+        "key_value",
+        "n",
+        "n_keys",
+        share.alias("share_milli"),
+        (share >= salt_threshold_milli).cast("int").alias("needs_salt"),
+    )

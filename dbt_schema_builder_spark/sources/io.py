@@ -254,3 +254,26 @@ def snapshot_diff(
         j.select(*key_cols, status.alias("status"))
         .where(F.col("status").isNotNull())
     )
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet reader: ``mergeSchema`` unions
+    the footers of every file (a long-lived 100 TB table accretes
+    columns over years; the default reader takes one random footer and
+    silently drops columns added later), and ``defaults`` fills the
+    NULLs that pre-evolution files surface for post-evolution columns
+    with typed constants — so downstream aggregates see a total column,
+    not a null-riddled one.
+
+    mergeSchema costs a footer read per file at planning time — pair
+    with ``compact_files`` to keep the file count sane.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df

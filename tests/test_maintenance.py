@@ -101,3 +101,33 @@ def test_merge_partial_aggregates_equals_recompute(spark):
     }
     got = {r["k"]: (r["v"], r["n"]) for r in state.collect()}
     assert got == expect
+
+
+def test_read_parquet_evolving_merges_and_defaults(spark, tmp_path):
+    from dbt_schema_builder_spark.sources.io import read_parquet_evolving
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.mode(
+        "append"
+    ).parquet(d)
+    # schema evolves: a new column appears in later files
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(d)
+    out = read_parquet_evolving(spark, d, defaults={"score": 0.0})
+    assert set(out.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows == {1: 0.0, 2: 9.5}  # pre-evolution file filled, not null
+
+
+def test_skew_report_flags_hot_key(spark):
+    from dbt_schema_builder_spark.operators.skew import skew_report
+
+    rows = [(i, "hot" if i < 600 else f"k{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = {r["key_value"]: r for r in skew_report(df, "k").collect()}
+    assert out["hot"]["share_milli"] == 600
+    assert out["hot"]["needs_salt"] == 1
+    cold = [r for v, r in out.items() if v != "hot"]
+    assert all(r["needs_salt"] == 0 for r in cold)
+    assert all(r["n_keys"] == 401 for r in out.values())
