@@ -1135,3 +1135,95 @@ def gopher_quality_rules(
     return documents.select(
         "doc_id", *cols, passed.cast("int").alias("passes_all")
     )
+
+
+def learn_bpe_merges(
+    documents: DataFrame,
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> tuple[list, DataFrame]:
+    """Distributed BPE merge learning (Sennrich et al. 2016) — actually
+    TRAIN the subword vocabulary, not just apply one: iteratively merge
+    the most frequent adjacent symbol pair, ties broken
+    lexicographically for determinism.
+
+    The scale insight is the classic one: BPE learning never touches the
+    corpus after ONE word-count pass — every iteration operates on the
+    WORD FREQUENCY table (vocabulary-bounded, millions of rows at web
+    scale, not billions), so per merge the cost is one map-side
+    sequential fold over short symbol arrays plus one small pair-count
+    shuffle. Only the single argmax row reaches the driver per iteration
+    (the kmeans convention), and `localCheckpoint` keeps the iteration
+    lineage flat. The merge application is a pure Catalyst aggregate-HOF
+    fold (state = (output array, pending symbol)) — left-to-right,
+    non-overlapping, exactly the reference algorithm's semantics.
+
+    Returns (ordered merge list [(a, b), ...], final symbol table
+    (word, n, syms)).
+    """
+    words = (
+        documents.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # char split: substring(w, i, 1) per position (guarded sequence —
+    # F.sequence counts DOWN for n < 1, the empty-token case)
+    chars = F.when(F.length("w") < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        )
+    )
+    syms = words.select("w", "n", chars.alias("syms")).localCheckpoint(
+        eager=True
+    )
+    merges: list = []
+    n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+    pair_struct = F.zip_with(
+        F.slice("syms", 1, n1),
+        F.slice("syms", 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    for _ in range(n_merges):
+        top = (
+            syms.select("n", F.explode(pair_struct).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = F.lit(a + b)
+        # left-to-right non-overlapping merge as a sequential fold:
+        # state.pending holds the previous unmerged symbol
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        )
+        step = lambda acc, x: F.when(  # noqa: E731
+            (acc["pending"] == F.lit(a)) & (x == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("pending"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["pending"].isNull(), acc["out"]
+                ).otherwise(
+                    F.concat(acc["out"], F.array(acc["pending"]))
+                ).alias("out"),
+                x.alias("pending"),
+            )
+        )
+        fin = lambda acc: F.when(  # noqa: E731
+            acc["pending"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pending"])))
+        syms = syms.select(
+            "w", "n", F.aggregate("syms", init, step, fin).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges, syms

@@ -406,3 +406,42 @@ def test_gopher_rules_map_only_plan(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan  # zero shuffle: pure map-side rules
+
+
+def test_learn_bpe_merges_textbook_sequence(spark):
+    """Sennrich et al.'s worked example: corpus {low x5, lower x2,
+    newest x6, widest x3} must learn (e,s) then (es,t) first — the
+    classic BPE trace — and merged symbols must appear in the final
+    symbol table."""
+    from dbt_schema_builder_spark.operators.text import learn_bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = _docs(spark, [text])
+    merges, syms = learn_bpe_merges(docs, n_merges=4)
+    assert merges[0] == ("e", "s")       # es: 6+3=9, the max
+    assert merges[1] == ("es", "t")      # est: 9
+    assert ("l", "o") in merges          # lo: 5+2=7 next
+    rows = {r["w"]: r["syms"] for r in syms.collect()}
+    assert "est" in rows["newest"]
+    assert rows["low"][0] in ("lo", "low")  # lo merged (maybe low too)
+
+
+def test_learn_bpe_merges_nonoverlapping_left_to_right(spark):
+    """'aaa' with pair (a,a): left-to-right non-overlapping merge gives
+    [aa, a], never [a, aa] or [aa, aa]."""
+    from dbt_schema_builder_spark.operators.text import learn_bpe_merges
+
+    docs = _docs(spark, ["aaa aaa aaa"])
+    merges, syms = learn_bpe_merges(docs, n_merges=1, min_pair_count=1)
+    assert merges == [("a", "a")]
+    assert syms.collect()[0]["syms"] == ["aa", "a"]
+
+
+def test_learn_bpe_merges_stops_below_min_count(spark):
+    from dbt_schema_builder_spark.operators.text import learn_bpe_merges
+
+    docs = _docs(spark, ["ab cd"])  # every pair appears once
+    merges, _ = learn_bpe_merges(docs, n_merges=5, min_pair_count=2)
+    assert merges == []
