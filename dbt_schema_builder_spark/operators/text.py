@@ -1227,3 +1227,79 @@ def learn_bpe_merges(
             "w", "n", F.aggregate("syms", init, step, fin).alias("syms")
         ).localCheckpoint(eager=True)
     return merges, syms
+
+
+def apply_bpe_merges(
+    documents: DataFrame, merges: list
+) -> DataFrame:
+    """Apply a learned BPE merge list (from ``learn_bpe_merges``) to the
+    corpus and count subword tokens per document — the other half of the
+    tokenizer story: learn on the word table, SEGMENT on the corpus.
+
+    Replays the merges in learned order with the same left-to-right
+    non-overlapping fold, but over the corpus's per-document word
+    arrays — entirely map-side (zero shuffle, the merge list folds into
+    the expression tree as literals), so segmentation is a pure scan at
+    any scale. Emits (doc_id, n_subwords, n_words); pipe the exploded
+    subwords into any downstream counting/packing operator.
+    """
+    words = tokens()
+    chars = F.transform(
+        words,
+        lambda w: F.when(
+            F.length(w) < 1, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: w.substr(i, F.lit(1)),
+            )
+        ),
+    )
+    def _merge_fold(a: str, b: str):
+        # closure factory: pyspark introspects HOF lambdas' arity, so
+        # default-arg capture (step(acc, x, a=a, ...)) is rejected
+        merged = F.lit(a + b)
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        )
+
+        def step(acc, x):
+            return F.when(
+                (acc["pending"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pending"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(acc["pending"].isNull(), acc["out"])
+                    .otherwise(F.concat(acc["out"], F.array(acc["pending"])))
+                    .alias("out"),
+                    x.alias("pending"),
+                )
+            )
+
+        def fin(acc):
+            return F.when(acc["pending"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pending"]))
+            )
+
+        def apply(arr):
+            return F.aggregate(arr, init, step, fin)
+
+        return apply
+
+    seg = chars
+    for a, b in merges:
+        seg = F.transform(seg, _merge_fold(a, b))
+    n_sub = F.aggregate(
+        F.transform(seg, lambda arr: F.size(arr)),
+        F.lit(0),
+        lambda acc, s: acc + s,
+    )
+    return documents.select(
+        "doc_id",
+        n_sub.alias("n_subwords"),
+        F.size(words).alias("n_words"),
+    )

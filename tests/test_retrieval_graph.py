@@ -445,3 +445,39 @@ def test_learn_bpe_merges_stops_below_min_count(spark):
     docs = _docs(spark, ["ab cd"])  # every pair appears once
     merges, _ = learn_bpe_merges(docs, n_merges=5, min_pair_count=2)
     assert merges == []
+
+
+def test_apply_bpe_merges_consistent_with_learned_table(spark):
+    """Segmenting the corpus with the learned merges must give exactly
+    the subword totals implied by the learner's final symbol table
+    (sum over words of len(syms) * count)."""
+    from dbt_schema_builder_spark.operators.text import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = _docs(spark, [text])
+    merges, syms = learn_bpe_merges(docs, n_merges=4)
+    expected = sum(
+        len(r["syms"]) * r["n"] for r in syms.collect()
+    )
+    out = apply_bpe_merges(docs, merges).collect()[0]
+    assert out["n_subwords"] == expected
+    assert out["n_words"] == 16
+
+
+def test_apply_bpe_merges_zero_shuffle_plan(spark, sf_dir):
+    from dbt_schema_builder_spark.operators.text import apply_bpe_merges
+    from dbt_schema_builder_spark.session import read_table
+
+    df = apply_bpe_merges(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        [("t", "h"), ("th", "e")],
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # segmentation is a pure scan
