@@ -1303,3 +1303,38 @@ def apply_bpe_merges(
         n_sub.alias("n_subwords"),
         F.size(words).alias("n_words"),
     )
+
+
+def ccnet_buckets(
+    documents: DataFrame, head: float = 1 / 3, middle: float = 2 / 3
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank each
+    document by its language-model score WITHIN its language and label
+    the best ``head`` fraction head, the next band middle, the rest
+    tail — the standard three-way split LLM corpora ship with (train on
+    head+middle, hold tail for ablations). Uses the engine's
+    ``unigram_logprob`` as the scorer (swap in ``bigram_logprob`` for
+    the KenLM-shaped upgrade); higher mean log-prob = less perplex =
+    better, exactly CCNet's ordering.
+
+    One scoring pass (the scorer's own shuffles), one per-language
+    percent_rank window with a doc_id tie-break — the window partitions
+    by language, so at 100 TB the per-partition sort is the cost; for
+    very large monolingual corpora switch the rank to approx-quantile
+    thresholds (B19's sketch) and keep the same labels.
+    """
+    scored = unigram_logprob(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr <= F.lit(head), F.lit("head"))
+        .when(pr <= F.lit(middle), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )

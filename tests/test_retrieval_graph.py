@@ -481,3 +481,33 @@ def test_apply_bpe_merges_zero_shuffle_plan(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan  # segmentation is a pure scan
+
+
+def test_ccnet_buckets_order_and_fractions(spark):
+    """Best-scoring docs land in head, worst in tail, within each
+    language independently; fractions are ~thirds."""
+    from dbt_schema_builder_spark.operators.text import ccnet_buckets
+
+    # 9 docs per lang: quality gradient via gibberish proportion
+    rows = []
+    i = 0
+    for lang in ("en", "de"):
+        for q in range(9):
+            good = ["the", "of", "and"] * (9 - q)
+            bad = [f"zz{lang}{q}x{j}" for j in range(q * 3)]
+            rows.append((i, " ".join(good + bad), lang, "s", 1))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = ccnet_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        buckets = {b: [r for r in rs if r["bucket"] == b] for b in ("head", "middle", "tail")}
+        assert len(buckets["head"]) == 3 == len(buckets["tail"])
+        # every head doc outscores every tail doc within the language
+        assert min(r["avg_logprob"] for r in buckets["head"]) > max(
+            r["avg_logprob"] for r in buckets["tail"]
+        )
