@@ -1465,33 +1465,302 @@ def q_stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5 promotions: tests-only operators given driver-gate oracles
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (promoted from tests-only in
+    r5): one row per document with an integer flag per rule plus the
+    conjunction. All signals are map-side HOFs over the token array —
+    zero shuffle; the oracle replays each ratio with the same integer
+    numerators (char counts, token counts) and double comparisons, so
+    the flags hash exactly."""
+    return text.gopher_quality_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets (promoted r5): per-language
+    percent_rank over the proven q_unigram_logprob score (rounded
+    micro-unit mean, so the window ordering is identical on both
+    engines; doc_id tie-break)."""
+    return text.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+# Learned once with text.learn_bpe_merges(n_merges=8) on the sf0.01
+# corpus (deterministic: ties broken lexicographically) and frozen so
+# the segmentation is replayable verbatim in DuckDB; ('m','er') is a
+# cascading merge — it only fires after ('e','r') has produced 'er'.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def q_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application (promoted r5): segment the corpus with the
+    frozen learned merge list — pure map-side fold, zero shuffle. The
+    oracle replays the identical left-to-right non-overlapping merge as
+    iterated string replace over unit-separator-joined symbols (replace
+    is left-to-right non-overlapping, exactly the fold's semantics; the
+    corpus is pinned ASCII-printable so chr(31) never collides)."""
+    return text.apply_bpe_merges(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew triage report (promoted r5) keyed on event_type — the
+    low-cardinality key where shares actually cross the salting
+    threshold. Integer milli shares; `div` truncation agrees between
+    engines on positive operands."""
+    return skew.skew_report(_t(spark, sf_dir, "events"), key="event_type")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup action list (promoted r5): exact blocked-GEMM pair
+    mining at threshold 0.4 (59 pairs at sf0.01 — non-trivial clusters;
+    the GEMM-vs-list_cosine_similarity comparison is the proven
+    q_embedding_near_dup contract), transitive closure, min-vec_id
+    representative, keep/drop actions for every vector."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, strategy="blocked"
+    )
+
+
+def q_merge_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (promoted r5): history
+    partials (event_id % 3 != 0) folded with a raw batch (% 3 == 0).
+    Integer micro-unit sums make the monoid merge EXACTLY equal to the
+    full recompute — which is the oracle, so the green row proves the
+    incremental path, including keys first seen in the batch."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+    )
+    state = (
+        ev.where("event_id % 3 != 0")
+        .groupBy("user_id")
+        .agg(F.sum("v_micro").alias("v_micro"), F.count(F.lit(1)).alias("n"))
+    )
+    batch = ev.where("event_id % 3 = 0").select("user_id", "v_micro")
+    return relational.merge_partial_aggregates(
+        state, batch, ["user_id"], ["v_micro"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 2: stream-funnel + snapshot-diff promotions, profiling,
+# SQL-surface breadth, tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel promoted to the driver gate (r5): single-batch
+    availableNow intake emits exactly one row per user — the greedy
+    strictly-after chain over ALL events — so the emission is
+    closed-form and the oracle replays it with correlated sequential
+    MINs (t1 = min view; t2 = min click > t1; t3 = min purchase > t2)."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_funnel,
+    )
+
+    src = stream_events(spark, _events_stream_dir(spark, sf_dir))
+    return run_stream_to_memory(
+        streaming_funnel(src), "q_stream_funnel_sink", "update"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation promoted to the driver gate (r5):
+    old/new snapshots derived deterministically from events (event_id
+    % 5 slices add/remove keys; % 7 mutates value), so every status
+    class is exercised and the oracle classifies by direct value
+    comparison — equivalent to the operator's null-tagged md5 row
+    signatures because only `value` is mutated."""
+    from dbt_schema_builder_spark.sources.io import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    old = ev.where("event_id % 5 != 4")
+    new = ev.where("event_id % 5 != 0").withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+    return snapshot_diff(old, new, ["event_id"])
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event_type (new r5): single
+    (group, bin) count shuffle, open-ended top bin, exact double bin
+    edges."""
+    return profiling.value_histogram(_t(spark, sf_dir, "events"))
+
+
+def q_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-sigma anomaly gate (new r5): the z-test cross-
+    multiplied into pure int64 milli-unit arithmetic — no float
+    mean/variance, engine-exact flags."""
+    return profiling.sigma_outliers(_t(spark, sf_dir, "events"))
+
+
+def q_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (new r5): monthly promo revenue share through
+    spark.sql — fact-dimension join, conditional aggregation, integer
+    cents and a truncating-div milli share."""
+    _register(spark, sf_dir, "lineitem", "part")
+    df = spark.sql(
+        """
+        SELECT date_trunc('month', l_shipdate) AS month,
+               SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS promo_cents,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS total_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY date_trunc('month', l_shipdate)
+        """
+    )
+    return df.select(
+        epoch_millis("month").alias("month_ms"),
+        "promo_cents",
+        "total_cents",
+        F.expr("(1000 * promo_cents) div total_cents").alias("promo_milli"),
+    )
+
+
+def q_sql_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (new r5): customer order-count distribution —
+    LEFT join so zero-order customers appear, two aggregation levels."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+        """
+    )
+
+
+def q_sql_brand_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (new r5): disjunctive brand/quantity predicate
+    bands over the part join, single-row integer-cents revenue."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT)), CAST(0 AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_lineitems
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)
+        """
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility with the frozen BPE merge list
+    (new r5): subwords/word and chars/subword in truncating-div milli —
+    the vocabulary go/no-go table."""
+    return text.tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round 4 front-loads (a) q_approx_distinct — newly oracle-backed
-    via the exact-count + within_5pct envelope, the only key without a
-    green row ever; (b) the three queries whose hashed values changed
-    this round (micro-unit fixed-point sums: q_stream_tumbling,
-    q_stream_user_state, q_tumbling_window); (c) the ten keys last
-    driver-verified in round 1 (environment drift broke old-greens once
-    already — round-2 lesson); (d) keys in modules touched this round
-    (ANN guard, dedup_clusters convergence, LM-scorer persists, bincount
-    entropy) plus the SIX new round-4 operators (bloom dedup,
-    shared-ngram fraction, tfidf pairs, pq, ivfpq, sliding chunks);
-    then (e) round-2-verified keepers to refresh. Every query
-    past position 50 carries a green row from round 2 or 3
-    (tests/test_query_window.py audits this)."""
+    keys. Round-5 window (the round-4 window banked green rows for ALL its
+    keys, so every slot was free): (a) the 34 keys whose latest driver row
+    was round 2 — two-rounds-stale evidence, the verdict's rotation ask;
+    (b) the SIX operators promoted from tests-only to oracle-backed this
+    round (gopher rules, ccnet buckets, bpe application, skew report,
+    semantic dedup, incremental aggregate merge); (c) ten round-3 keys —
+    the two whose oracle SQL changes this round (multimodal/audio byte
+    oracles) plus the oldest r3 refreshers. Every key below the boundary
+    carries a green round-3/4 row (tests/test_query_window.py audits
+    this)."""
     return {
-        # (a) newly oracle-backed (sketch-then-verify envelope)
+        # (a) round-2-stale keys: re-verify against environment drift
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_winnowing": q_winnowing,
+        "q_stratified_sample": q_stratified_sample,
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_token_count": q_token_count,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_quality_score": q_quality_score,
+        "q_text_stats": q_text_stats,
+        "q_pandas_udf": q_pandas_udf,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_prep_pipeline": q_prep_pipeline,
+        "q_frame_sample": q_frame_sample,
+        "q_profile": q_profile,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_hash_split": q_hash_split,
+        "q_source_mix": q_source_mix,
+        "q_percentile_filter": q_percentile_filter,
+        "q_cap_per_source": q_cap_per_source,
+        "q_oov_rate": q_oov_rate,
+        "q_dedup_stats": q_dedup_stats,
+        "q_weighted_sample": q_weighted_sample,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_zipf_stats": q_zipf_stats,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_quantized_topk": q_quantized_topk,
+        "q_source_overlap": q_source_overlap,
+        # (b) round-5 promotions (new oracle-backed keys)
+        "q_gopher_rules": q_gopher_rules,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_apply_bpe": q_apply_bpe,
+        "q_skew_report": q_skew_report,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_merge_partial_aggs": q_merge_partial_aggs,
+        # (b2) round-5 batch-2 promotions + new operators
+        "q_stream_funnel": q_stream_funnel,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_histogram": q_histogram,
+        "q_anomaly_events": q_anomaly_events,
+        "q_sql_promo_revenue": q_sql_promo_revenue,
+        "q_sql_cust_order_dist": q_sql_cust_order_dist,
+        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        # (c) the two r3 keys whose oracle SQL changed this round (byte
+        # oracles) — they must re-earn green rows with the new SQL
+        "q_multimodal_features": q_multimodal_features,
+        "q_audio_features": q_audio_features,
+        # ---- driver window boundary (position 50 = q_audio_features)
+        # every key below carries a green round-3/4 driver row
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_session_window": q_session_window,
+        "q_near_dup": q_near_dup,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_merge_latest": q_merge_latest,
+        "q_quantize_embeddings": q_quantize_embeddings,
         "q_approx_distinct": q_approx_distinct,
-        # (b) hashed values changed this round (micro-unit sums)
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_user_state": q_stream_user_state,
         "q_tumbling_window": q_tumbling_window,
-        # (c) stale round-1 rows — re-verify against drift
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_dupe_detection": q_dupe_detection,
         "q_metadata_merge_join": q_metadata_merge_join,
@@ -1502,7 +1771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_ivf_topk": q_ivf_topk,
         "q_catalog_scan": q_catalog_scan,
-        # (d) modules touched this round (+ the round's new operators)
         "q_cluster_safe_split": q_cluster_safe_split,
         "q_centroid_outliers": q_centroid_outliers,
         "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -1539,67 +1807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_multimodal_features": q_multimodal_features,
-        # (e) round-2 keepers rotated in for a fresh row
-        "q_winnowing": q_winnowing,
-        "q_stratified_sample": q_stratified_sample,
-        # ---- driver window boundary (position 50 = q_stratified_sample)
-        # q_pivot / q_unpivot / q_repetition_stats / q_decontaminate /
-        # q_profile / q_pii_scrub / q_frame_sample / q_quality_score /
-        # q_text_stats / q_pandas_udf / q_lang_stats_pandas /
-        # q_prep_pipeline / q_centroid_by_label / q_token_count /
-        # q_tfidf_terms / q_bpe_tokens / q_doc_fingerprint rotated below
-        # the boundary (green r2 rows) to make room for the seventeen
-        # new analytics queries above
-        "q_centroid_by_label": q_centroid_by_label,
-        "q_token_count": q_token_count,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_quality_score": q_quality_score,
-        "q_text_stats": q_text_stats,
-        "q_pandas_udf": q_pandas_udf,
-        "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_prep_pipeline": q_prep_pipeline,
-        "q_frame_sample": q_frame_sample,
-        "q_profile": q_profile,
-        "q_pii_scrub": q_pii_scrub,
-        "q_pivot": q_pivot,
-        "q_unpivot": q_unpivot,
-        "q_repetition_stats": q_repetition_stats,
-        "q_decontaminate": q_decontaminate,
-        # everything below is rotated out — displaced by the ten new
-        # round-4 operators (bloom, shared-ngram, tfidf pairs, pq,
-        # ivfpq, sliding chunks, ppjoin, keep-canonical, stream-dedup-
-        # history, frame-dedup); every rotated-out key carries a green
-        # round-2/3 row and is unchanged since
-        # (tests/test_query_window.py audits the arithmetic)
-        "q_pack_sequences": q_pack_sequences,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_hash_split": q_hash_split,
-        "q_source_mix": q_source_mix,
-        "q_percentile_filter": q_percentile_filter,
-        "q_cap_per_source": q_cap_per_source,
-        "q_oov_rate": q_oov_rate,
-        "q_dedup_stats": q_dedup_stats,
-        "q_weighted_sample": q_weighted_sample,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_zipf_stats": q_zipf_stats,
-        "q_curriculum_bins": q_curriculum_bins,
-        # all queries below carry green rows from round 2 or 3
-        "q_session_window": q_session_window,
-        "q_merge_latest": q_merge_latest,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_near_dup": q_near_dup,
-        "q_simhash_near_dup": q_simhash_near_dup,
         "q_stream_session": q_stream_session,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_join": q_stream_join,
         "q_sliding_window": q_sliding_window,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_stream_enrich": q_stream_enrich,
         "q_exact_dedup": q_exact_dedup,
         "q_star_join": q_star_join,
@@ -1631,11 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
-        "q_audio_features": q_audio_features,
-        "q_quantized_topk": q_quantized_topk,
-        "q_source_overlap": q_source_overlap,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return _with_shared_oracles({
@@ -3010,30 +3217,42 @@ def oracle_sql() -> dict[str, str]:
             "HAVING COUNT(*) > 0.1 * max(t.total)"
         ),
         # multimodal features over the deterministic fake payload
-        # ('FAKEIMG1' || ascii text): byte histogram entropy in
-        # micro-unit fixed point, identical on both engines
+        # ('FAKEIMG1' || text): byte histogram entropy in micro-unit
+        # fixed point. BYTE semantics via encode()+hex (r5, verdict ask
+        # #6): the Spark side iterates UTF-8 payload bytes, so the
+        # oracle must too — the old ascii(substr(...)) form silently
+        # assumed one byte per character and was only safe because the
+        # corpus is pinned ASCII; this form survives a corpus regen
+        # with non-ASCII text (unit-pinned in test_robustness).
         "q_multimodal_features": (
-            "WITH p AS (SELECT doc_id, 'FAKEIMG1' || text AS s "
+            "WITH p AS (SELECT doc_id, "
+            "hex(encode('FAKEIMG1' || text)) AS hx, "
+            "octet_length(encode('FAKEIMG1' || text)) AS n "
             "FROM documents), "
-            "c AS (SELECT doc_id, ascii(substr(s, i, 1)) AS x, len(s) AS n "
-            "FROM p, LATERAL unnest(generate_series(1, len(s))) AS u(i)), "
+            "c AS (SELECT doc_id, n, "
+            "CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) AS x "
+            "FROM p, LATERAL unnest(generate_series(1, n)) AS u(i)), "
             "h AS (SELECT doc_id, n, x, COUNT(*) AS cnt FROM c "
             "GROUP BY doc_id, n, x), "
             "e AS (SELECT doc_id, CAST(SUM(CAST(floor(-(cnt * 1.0 / n) * "
             "log2(cnt * 1.0 / n) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS micro FROM h GROUP BY doc_id) "
-            "SELECT p.doc_id, CAST(len(p.s) AS BIGINT) AS n_bytes, "
+            "SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_bytes, "
             "CAST(1 AS INT) AS header_ok, "
             "e.micro / 1000000.0 AS byte_entropy "
             "FROM p JOIN e ON e.doc_id = p.doc_id"
         ),
-        # per-chunk RMS/peak over the same deterministic payload bytes
+        # per-chunk RMS/peak over the same payload, same encode()+hex
+        # byte extraction
         "q_audio_features": (
-            "WITH p AS (SELECT doc_id, 'FAKEIMG1' || text AS s "
+            "WITH p AS (SELECT doc_id, "
+            "hex(encode('FAKEIMG1' || text)) AS hx, "
+            "octet_length(encode('FAKEIMG1' || text)) AS n "
             "FROM documents), "
             "c AS (SELECT doc_id, CAST((i - 1) // 256 AS INT) AS "
-            "chunk_idx, ascii(substr(s, i, 1)) AS x "
-            "FROM p, LATERAL unnest(generate_series(1, len(s))) AS u(i)) "
+            "chunk_idx, "
+            "CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) AS x "
+            "FROM p, LATERAL unnest(generate_series(1, n)) AS u(i)) "
             "SELECT doc_id, chunk_idx, "
             "ROUND(sqrt(SUM(x * x) * 1.0 / COUNT(*)), 4) AS rms, "
             "CAST(MAX(x) AS INT) AS peak "
@@ -3067,7 +3286,269 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "1 AS within_5pct FROM events GROUP BY event_type"
         ),
+        # ---- round-5 promotions (formerly tests-only operators) ----
+        # Gopher rule battery: every ratio replayed with the same integer
+        # numerators; float thresholds CAST AS DOUBLE so DuckDB never
+        # compares in its exact-DECIMAL domain (0.1 decimal != 0.1 double
+        # at the boundary)
+        "q_gopher_rules": (
+            "WITH t0 AS (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "s AS (SELECT doc_id, text, len(t) AS n, "
+            "CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) "
+            "AS avg_len, "
+            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+            "AS n_sym, "
+            "len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) "
+            "AS n_alpha, "
+            "(len(t) - len(list_distinct(t))) / len(t) AS dup_frac "
+            "FROM t0), "
+            "f AS (SELECT doc_id, "
+            "(n >= 5 AND n <= 100000) AS r1, "
+            "(avg_len >= CAST(2.0 AS DOUBLE) AND "
+            "avg_len <= CAST(12.0 AS DOUBLE)) AS r2, "
+            "(n_sym <= length(text) * CAST(0.1 AS DOUBLE)) AS r3, "
+            "(n_alpha >= n * CAST(0.7 AS DOUBLE)) AS r4, "
+            "(dup_frac <= CAST(0.3 AS DOUBLE)) AS r5 FROM s) "
+            "SELECT doc_id, CAST(r1 AS INT) AS ok_n_tokens, "
+            "CAST(r2 AS INT) AS ok_avg_token_len, "
+            "CAST(r3 AS INT) AS ok_symbol_ratio, "
+            "CAST(r4 AS INT) AS ok_alpha_ratio, "
+            "CAST(r5 AS INT) AS ok_dup_tokens, "
+            "CAST(r1 AND r2 AND r3 AND r4 AND r5 AS INT) AS passes_all "
+            "FROM f"
+        ),
+        # CCNet buckets: the proven q_unigram_logprob CTE (micro-unit
+        # rounded mean) + per-language percent_rank, doc_id tie-break;
+        # boundary fractions CAST AS DOUBLE = the exact doubles Spark's
+        # F.lit(1/3)/F.lit(2/3) hold
+        "q_ccnet_buckets": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents), "
+            "counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, "
+            "COUNT(*) AS v FROM counts), "
+            "scored AS (SELECT doc_id, "
+            "ln((c + 1) / CAST(n_total + v AS DOUBLE)) AS lp "
+            "FROM toks JOIN counts USING (token) CROSS JOIN tot), "
+            "u AS (SELECT doc_id, "
+            "ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) "
+            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_logprob "
+            "FROM scored GROUP BY doc_id), "
+            "j AS (SELECT u.doc_id, d.lang, u.avg_logprob FROM u "
+            "JOIN documents d ON d.doc_id = u.doc_id), "
+            "r AS (SELECT doc_id, lang, avg_logprob, "
+            "percent_rank() OVER (PARTITION BY lang "
+            "ORDER BY avg_logprob DESC, doc_id) AS pr FROM j) "
+            "SELECT doc_id, lang, avg_logprob, "
+            "CASE WHEN pr <= CAST(0.3333333333333333 AS DOUBLE) THEN 'head' "
+            "WHEN pr <= CAST(0.6666666666666666 AS DOUBLE) THEN 'middle' "
+            "ELSE 'tail' END AS bucket FROM r"
+        ),
+        "q_apply_bpe": _apply_bpe_oracle_sql(_BPE_MERGES),
+        # skew triage on event_type: integer milli shares; // and `div`
+        # agree on positive operands (truncation)
+        "q_skew_report": (
+            "WITH counts AS (SELECT CAST(event_type AS VARCHAR) AS "
+            "key_value, COUNT(*) AS n FROM events GROUP BY event_type), "
+            "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, "
+            "COUNT(*) AS n_keys FROM counts) "
+            "SELECT 'event_type' AS key_col, key_value, n, n_keys, "
+            "(1000 * n) // tot AS share_milli, "
+            "CAST((1000 * n) // tot >= 50 AS INT) AS needs_salt "
+            "FROM counts CROSS JOIN tot ORDER BY n DESC, key_value LIMIT 10"
+        ),
+        "q_semantic_dedup": _semantic_dedup_oracle_sql(0.4),
+        # incremental aggregate maintenance: the oracle IS the full
+        # recompute — integer micro-unit sums make the monoid merge
+        # exactly equal to it
+        "q_merge_partial_aggs": (
+            "SELECT user_id, "
+            "CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS v_micro, COUNT(*) AS n FROM events GROUP BY user_id"
+        ),
+        # ---- round-5 batch 2 ----
+        # streaming funnel: single-batch intake => one emission per
+        # user = the greedy strictly-after chain over all events;
+        # sequential correlated MINs replay it
+        "q_stream_funnel": (
+            "WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms "
+            "FROM events WHERE event_type IN ('view','click','purchase')), "
+            "u AS (SELECT DISTINCT user_id FROM e), "
+            "s1 AS (SELECT u.user_id, (SELECT MIN(ms) FROM e "
+            "WHERE e.user_id = u.user_id AND event_type = 'view') AS t1 "
+            "FROM u), "
+            "s2 AS (SELECT user_id, t1, (SELECT MIN(ms) FROM e "
+            "WHERE e.user_id = s1.user_id AND event_type = 'click' "
+            "AND ms > s1.t1) AS t2 FROM s1), "
+            "s3 AS (SELECT user_id, t1, t2, (SELECT MIN(ms) FROM e "
+            "WHERE e.user_id = s2.user_id AND event_type = 'purchase' "
+            "AND ms > s2.t2) AS t3 FROM s2) "
+            "SELECT user_id, CAST(CASE WHEN t1 IS NULL THEN 0 "
+            "WHEN t2 IS NULL THEN 1 WHEN t3 IS NULL THEN 2 ELSE 3 END "
+            "AS INT) AS stage, "
+            "CAST(COALESCE(t3, t2, t1, -1) AS BIGINT) AS t_ms FROM s3"
+        ),
+        # snapshot diff: direct value classification is equivalent to
+        # the operator's md5 row signatures because only `value` mutates
+        "q_snapshot_diff": (
+            "WITH old AS (SELECT event_id, user_id, event_type, value "
+            "FROM events WHERE event_id % 5 != 4), "
+            "new AS (SELECT event_id, user_id, event_type, "
+            "CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END "
+            "AS value FROM events WHERE event_id % 5 != 0) "
+            "SELECT COALESCE(o.event_id, n.event_id) AS event_id, "
+            "CASE WHEN o.event_id IS NULL THEN 'added' "
+            "WHEN n.event_id IS NULL THEN 'removed' "
+            "WHEN o.value != n.value THEN 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id "
+            "WHERE o.event_id IS NULL OR n.event_id IS NULL "
+            "OR o.value != n.value"
+        ),
+        # equi-width histogram: bin edges are exact doubles, top bin
+        # clamped open-ended
+        "q_histogram": (
+            "WITH b AS (SELECT event_type AS group_key, "
+            "LEAST(CAST(FLOOR(value / CAST(50.0 AS DOUBLE)) AS INT), 9) "
+            "AS bin FROM events) "
+            "SELECT group_key, bin, "
+            "bin * CAST(50.0 AS DOUBLE) AS bin_lo, "
+            "(bin + 1) * CAST(50.0 AS DOUBLE) AS bin_hi, "
+            "COUNT(*) AS n FROM b GROUP BY group_key, bin"
+        ),
+        # k-sigma gate: z^2 > 9 cross-multiplied into int64 milli units
+        "q_anomaly_events": (
+            "WITH r AS (SELECT event_id, user_id, "
+            "CAST(round(value * 1000) AS BIGINT) AS vm FROM events), "
+            "a AS (SELECT user_id, COUNT(*) AS n, "
+            "CAST(SUM(vm) AS BIGINT) AS s, "
+            "CAST(SUM(vm * vm) AS BIGINT) AS ssq FROM r GROUP BY user_id) "
+            "SELECT event_id, r.user_id, vm AS v_milli, "
+            "CAST(n >= 2 AND (n * vm - s) * (n * vm - s) > "
+            "9 * (n * ssq - s * s) AS INT) AS is_outlier "
+            "FROM r JOIN a ON a.user_id = r.user_id"
+        ),
+        # TPC-H Q14 shape: integer cents, truncating-div milli share
+        "q_sql_promo_revenue": (
+            "WITH m AS (SELECT epoch_ms(date_trunc('month', l_shipdate)) "
+            "AS month_ms, "
+            "SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS "
+            "BIGINT) ELSE 0 END) AS promo_cents, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS total_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY date_trunc('month', l_shipdate)) "
+            "SELECT month_ms, CAST(promo_cents AS BIGINT) AS promo_cents, "
+            "CAST(total_cents AS BIGINT) AS total_cents, "
+            "(1000 * CAST(promo_cents AS BIGINT)) // "
+            "CAST(total_cents AS BIGINT) AS promo_milli FROM m"
+        ),
+        # TPC-H Q13 shape
+        "q_sql_cust_order_dist": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        # TPC-H Q19 shape
+        "q_sql_brand_qty_revenue": (
+            "SELECT COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice * "
+            "(1 - l_discount) * 100) AS BIGINT)) AS BIGINT), 0) "
+            "AS revenue_cents, COUNT(*) AS n_lineitems "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15) "
+            "OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25) "
+            "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "q_tokenizer_fertility": _tokenizer_fertility_oracle_sql(
+            _BPE_MERGES
+        ),
     })
+
+
+def _bpe_seg_ctes(merges: list) -> str:
+    """Shared DuckDB CTE prefix replaying text.apply_bpe_merges with a
+    frozen merge list; ends with ``per`` = (doc_id, n_subwords,
+    n_words).
+
+    Key identity: a left-to-right non-overlapping BPE merge over a
+    symbol array equals string ``replace`` over the unit-separator-
+    joined symbol string (replace scans left-to-right, never
+    re-matches inside a replacement, and continues after it — exactly
+    the fold's pending-symbol semantics). chr(31) never occurs in the
+    ASCII-printable corpus (pinned by test_robustness), and merged
+    symbols contain no separator, so cascading merges like ('m','er')
+    match exactly when their inputs have been produced."""
+    sep = chr(31)
+    # chars joined by the separator: insert sep after every char, trim
+    # the trailing one ('.' can't match the whitespace stripped by the
+    # tokenizer, so every token char is covered)
+    expr = f"rtrim(regexp_replace(w, '(.)', '\\1{sep}', 'g'), '{sep}')"
+    for a, b in merges:
+        expr = f"replace({expr}, '{a}{sep}{b}', '{a}{b}')"
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "w AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+        f"seg AS (SELECT doc_id, w, {expr} AS s FROM w), "
+        "cnt AS (SELECT doc_id, CAST(SUM(CASE WHEN w = '' THEN 0 ELSE "
+        f"len(string_split(s, '{sep}')) END) AS BIGINT) AS n_subwords "
+        "FROM seg GROUP BY doc_id), "
+        "per AS (SELECT t.doc_id, cnt.n_subwords, len(t.t) AS n_words "
+        "FROM toks t JOIN cnt ON cnt.doc_id = t.doc_id) "
+    )
+
+
+def _apply_bpe_oracle_sql(merges: list) -> str:
+    return _bpe_seg_ctes(merges) + (
+        "SELECT doc_id, n_subwords, n_words FROM per"
+    )
+
+
+def _tokenizer_fertility_oracle_sql(merges: list) -> str:
+    """Per-language rollup of the replayed BPE segmentation; milli
+    ratios via truncating // on BIGINT sums (positive operands — the
+    regime where Spark div and DuckDB // agree)."""
+    return _bpe_seg_ctes(merges) + (
+        ", agg AS (SELECT d.lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(p.n_words) AS BIGINT) AS n_words, "
+        "CAST(SUM(p.n_subwords) AS BIGINT) AS n_subwords, "
+        "CAST(SUM(length(d.text)) AS BIGINT) AS n_chars "
+        "FROM per p JOIN documents d ON d.doc_id = p.doc_id "
+        "GROUP BY d.lang) "
+        "SELECT lang, n_docs, n_words, n_subwords, "
+        "(1000 * n_subwords) // n_words AS fertility_milli, "
+        "(1000 * n_chars) // n_subwords AS chars_per_subword_milli "
+        "FROM agg"
+    )
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    """DuckDB replay of similarity.semantic_dedup(strategy='blocked'):
+    the proven q_embedding_near_dup all-pairs cosine comparison, closed
+    transitively (the _pair_closure_ctes recursion shape on vec ids),
+    min reachable vec_id as representative, singletons via LEFT JOIN."""
+    return (
+        "WITH RECURSIVE pr AS (SELECT a.vec_id AS va, b.vec_id AS vb "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) >= {threshold}), "
+        "edges AS (SELECT va AS s, vb AS d FROM pr "
+        "UNION SELECT vb, va FROM pr), "
+        "reach(v, r) AS (SELECT DISTINCT s, s FROM edges "
+        "UNION SELECT e.s, reach.r FROM edges e "
+        "JOIN reach ON reach.v = e.d), "
+        "cl AS (SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach "
+        "GROUP BY v) "
+        "SELECT e.vec_id, "
+        "COALESCE(cl.cluster_id, e.vec_id) AS cluster_id, "
+        "COALESCE(cl.cluster_id, e.vec_id) AS keep_vec_id, "
+        "CASE WHEN e.vec_id = COALESCE(cl.cluster_id, e.vec_id) "
+        "THEN 'keep' ELSE 'drop' END AS action "
+        "FROM embeddings e LEFT JOIN cl ON cl.vec_id = e.vec_id"
+    )
 
 
 def _with_shared_oracles(d: dict) -> dict:

@@ -2,8 +2,12 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (LAST line of output) with the total, the
+round-1/round-2-comparable subtotals, and the 10 slowest queries — and
+writes the full per-query timing map to BENCH_DETAIL.json next to this
+file. The compact line exists because the driver's tail capture
+truncates long lines: round 4's 83-entry `queries` map overflowed it and
+BENCH_r04.json recorded `"parsed": null` (round-4 verdict, finding #1).
 
 Each query executes to completion via the noop sink (no driver collect —
 measures the distributed plan, not result transfer).
@@ -109,6 +113,20 @@ HEADLINE = [
     "q_trend_slope",
     "q_categorical_profile",
     "q_fuzzy_match",
+    # round 5: promotions + new analytics/SQL/profiling operators
+    "q_gopher_rules",
+    "q_ccnet_buckets",
+    "q_apply_bpe",
+    "q_skew_report",
+    "q_semantic_dedup",
+    "q_merge_partial_aggs",
+    "q_snapshot_diff",
+    "q_histogram",
+    "q_anomaly_events",
+    "q_sql_promo_revenue",
+    "q_sql_cust_order_dist",
+    "q_sql_brand_qty_revenue",
+    "q_tokenizer_fertility",
 ]
 
 
@@ -185,15 +203,44 @@ def main() -> None:
         n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
     }
 
+    # Subtotals comparable across rounds (BASELINE.md tracks these): the
+    # 23 round-1 headline queries and the 37-query round-2 set.
+    r1_names = HEADLINE[:23]
+    r2_names = HEADLINE[:37]
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": passes,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # Compact summary LAST so the driver's tail capture parses it.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "passes": passes,
+                "n_queries": len(timings),
+                "r1_subtotal": round(
+                    sum(timings[n] for n in r1_names if n in timings), 3
+                ),
+                "r2_subtotal": round(
+                    sum(timings[n] for n in r2_names if n in timings), 3
+                ),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -274,6 +274,53 @@ def jaccard_prefix_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    strategy: str = "auto",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with strategy dispatch (r5, the
+    embedding_near_dup pattern): ``ngram_jaccard_pairs`` (inverted
+    index, optional lossy ``max_df``) and ``jaccard_prefix_pairs``
+    (PPJoin prefix filter, lossless) produce IDENTICAL output at the
+    same threshold, so the choice is purely a cost call — and the
+    crossover is measured, not guessed (SCALE.md round-4b): the prefix
+    filter keeps ~(1-t) of each doc's shingles and pays ~2 s of fixed
+    stages (df rank, sorted rebuild, verify back-joins), so it wins
+    only at HIGH thresholds on duplication-heavy indexes (2.7x at
+    t=0.8 on the dup-dense 10x corpus) and loses everywhere else.
+
+    - ``"auto"``: ``"prefix"`` at threshold >= 0.8, else
+      ``"inverted"`` — the measured crossover.
+    - ``"inverted"`` / ``"prefix"``: force a branch (the caller knows
+      their corpus's duplication profile better than a heuristic).
+
+    ``max_df`` applies only to the inverted branch (the prefix filter
+    is the lossless alternative to it); passing both raises so a
+    recall cap can't silently ride along with a lossless strategy.
+    """
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.8 else "inverted"
+    if strategy == "prefix":
+        if max_df is not None:
+            raise ValueError(
+                "jaccard_pairs: max_df is an inverted-index recall cap; "
+                "the prefix strategy is lossless and ignores it — drop "
+                "max_df or use strategy='inverted'"
+            )
+        return jaccard_prefix_pairs(documents, n=n, threshold=threshold)
+    if strategy == "inverted":
+        return ngram_jaccard_pairs(
+            documents, n=n, threshold=threshold, max_df=max_df
+        )
+    raise ValueError(
+        f"jaccard_pairs: unknown strategy {strategy!r} "
+        "(auto | inverted | prefix)"
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame, seen: DataFrame, broadcast_seen: bool = False
 ) -> DataFrame:

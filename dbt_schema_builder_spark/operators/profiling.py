@@ -231,3 +231,85 @@ def categorical_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str = "value",
+    group: str = "event_type",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram per group — the profiling primitive behind
+    distribution dashboards and drift monitors (reference parity: the
+    schema builder surfaces column METADATA; this is the data-plane
+    profile a warehouse team derives next). One map-side bin expression
+    + one count aggregate: a single shuffle on (group, bin), map-side
+    combined, so the output is bounded by groups x bins regardless of
+    corpus size. The top bin is open-ended (``least`` clamp) so
+    outliers can't mint unbounded group keys.
+
+    Bin edges are exact doubles (bin * width with width a small
+    integer-valued double), so the surface replays engine-exactly —
+    no rounding needed.
+    """
+    b = F.least(
+        F.floor(F.col(col) / F.lit(bin_width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.groupBy(F.col(group).alias("group_key"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "group_key",
+            "bin",
+            (F.col("bin") * F.lit(bin_width)).alias("bin_lo"),
+            ((F.col("bin") + 1) * F.lit(bin_width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def sigma_outliers(
+    df: DataFrame,
+    col: str = "value",
+    by: str = "user_id",
+    k: int = 3,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group k-sigma anomaly gate with EXACT integer arithmetic —
+    no float mean/variance ever materializes, so the flag is identical
+    across partitionings and engines: z^2 > k^2 rewritten as
+    (n*v - s)^2 > k^2 * (n*ssq - s^2) over milli-unit integers
+    (population variance, cross-multiplied by n^2). The standard
+    data-quality tripwire before ingestion: flag rows whose value sits
+    k sigmas from ITS OWN group's mean, not a global threshold.
+
+    One aggregate over the group key + one join back (the aggregate
+    side is group-bounded, AQE broadcasts it). int64 headroom: with
+    milli units both sides stay below 2^63 while
+    n_per_group * max|v| < ~3e9 (about 6M rows/group for values up to
+    500) — choose a coarser unit for hotter groups; the docstring
+    ceiling convention from pagerank.
+    """
+    v = F.round(F.col(col) * 1000).cast("bigint")
+    rows = df.select(
+        F.col(id_col).alias("row_id"), F.col(by).alias("grp"), v.alias("vm")
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).alias("ssq"),
+    )
+    lhs = (F.col("n") * F.col("vm") - F.col("s"))
+    rhs = F.lit(k * k) * (
+        F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    )
+    return rows.join(agg, "grp").select(
+        F.col("row_id").alias(id_col),
+        F.col("grp").alias(by),
+        F.col("vm").alias("v_milli"),
+        ((F.col("n") >= 2) & (lhs * lhs > rhs)).cast("int").alias(
+            "is_outlier"
+        ),
+    )

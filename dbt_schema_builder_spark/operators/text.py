@@ -1236,65 +1236,40 @@ def apply_bpe_merges(
     corpus and count subword tokens per document — the other half of the
     tokenizer story: learn on the word table, SEGMENT on the corpus.
 
-    Replays the merges in learned order with the same left-to-right
-    non-overlapping fold, but over the corpus's per-document word
-    arrays — entirely map-side (zero shuffle, the merge list folds into
-    the expression tree as literals), so segmentation is a pure scan at
-    any scale. Emits (doc_id, n_subwords, n_words); pipe the exploded
-    subwords into any downstream counting/packing operator.
+    Replays the merges in learned order, entirely map-side (zero
+    shuffle, the merge list folds into the expression tree as
+    literals), so segmentation is a pure scan at any scale. Emits
+    (doc_id, n_subwords, n_words); pipe the exploded subwords into any
+    downstream counting/packing operator.
+
+    Implementation (r5 rewrite): a left-to-right non-overlapping merge
+    over a symbol array is IDENTICAL to literal string ``replace`` over
+    the unit-separator-joined symbol string — replace scans left to
+    right, never re-matches inside a replacement, and continues after
+    it, which is exactly the pending-symbol fold semantics (the DuckDB
+    oracle has always used this identity; now both engines run the
+    same algorithm). Chained JVM string replaces stay in whole-stage
+    codegen and measured 26x faster than the previous per-word
+    aggregate-HOF fold with struct state (14.9 s -> 0.6 s at sf0.1,
+    which was interpreted per symbol). chr(31) is safe as the
+    separator: tokens contain no control characters (whitespace-split),
+    and merged symbols never contain it.
     """
+    sep = "\x1f"
     words = tokens()
-    chars = F.transform(
-        words,
-        lambda w: F.when(
-            F.length(w) < 1, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: w.substr(i, F.lit(1)),
-            )
-        ),
-    )
-    def _merge_fold(a: str, b: str):
-        # closure factory: pyspark introspects HOF lambdas' arity, so
-        # default-arg capture (step(acc, x, a=a, ...)) is rejected
-        merged = F.lit(a + b)
-        init = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("pending"),
-        )
 
-        def step(acc, x):
-            return F.when(
-                (acc["pending"] == F.lit(a)) & (x == F.lit(b)),
-                F.struct(
-                    F.concat(acc["out"], F.array(merged)).alias("out"),
-                    F.lit(None).cast("string").alias("pending"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.when(acc["pending"].isNull(), acc["out"])
-                    .otherwise(F.concat(acc["out"], F.array(acc["pending"])))
-                    .alias("out"),
-                    x.alias("pending"),
-                )
-            )
+    def _segment_count(w):
+        # every char followed by sep ('.' can't match whitespace, and
+        # tokens contain none): "ab" -> "a\x1fb\x1f"; merging the pair
+        # (a,b) is replace("a\x1fb" -> "ab"), trailing sep survives, so
+        # n_symbols = size(split(s, sep)) - 1 (empty word -> '' -> 0)
+        s = F.regexp_replace(w, "(.)", "$1" + sep)
+        for a, b in merges:
+            s = F.replace(s, F.lit(a + sep + b), F.lit(a + b))
+        return F.size(F.split(s, sep)) - F.lit(1)
 
-        def fin(acc):
-            return F.when(acc["pending"].isNull(), acc["out"]).otherwise(
-                F.concat(acc["out"], F.array(acc["pending"]))
-            )
-
-        def apply(arr):
-            return F.aggregate(arr, init, step, fin)
-
-        return apply
-
-    seg = chars
-    for a, b in merges:
-        seg = F.transform(seg, _merge_fold(a, b))
     n_sub = F.aggregate(
-        F.transform(seg, lambda arr: F.size(arr)),
+        F.transform(words, _segment_count),
         F.lit(0),
         lambda acc, s: acc + s,
     )
@@ -1337,4 +1312,49 @@ def ccnet_buckets(
     )
     return scored.select(
         "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def tokenizer_fertility(
+    documents: DataFrame, merges: list
+) -> DataFrame:
+    """Tokenizer fertility report per language — the go/no-go metric
+    for a subword vocabulary (fertility = subwords per word; chars per
+    subword = compression): a tokenizer trained on English web text
+    shows fertility blow-up on underrepresented languages, and THIS
+    table is how that gets caught before training. Builds on
+    ``apply_bpe_merges`` (zero-shuffle segmentation with the frozen
+    merge list folded into the expression tree); one groupBy(lang)
+    aggregation after a doc_id join to the lang column.
+
+    Integer surfaces: summed word/subword/char counts plus milli
+    ratios via truncating div — engine-exact, no float division.
+    """
+    seg = apply_bpe_merges(documents, merges)
+    per_doc = seg.join(
+        documents.select(
+            "doc_id", "lang", F.length("text").alias("n_chars_txt")
+        ),
+        "doc_id",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+            F.sum("n_chars_txt").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.expr("(1000 * n_subwords) div n_words").alias(
+                "fertility_milli"
+            ),
+            F.expr("(1000 * n_chars) div n_subwords").alias(
+                "chars_per_subword_milli"
+            ),
+        )
     )

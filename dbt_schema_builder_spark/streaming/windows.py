@@ -48,24 +48,35 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet (directory).
 
     The nanos timestamp surfaces as TIMESTAMP_NTZ micros and is cast to
     TIMESTAMP (LTZ) because event-time watermarks require it
     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The engine session
     pins UTC, so the cast is an identity on the wall-clock value and
-    collected rows compare equal to the NTZ batch twins."""
-    # All available files are processed in one availableNow batch (no
-    # maxFilesPerTrigger): the file source does not guarantee listing
-    # order, so one-file-per-trigger can process a late-timestamp file
-    # first and silently DROP earlier files' rows as late data (measured:
-    # 278 of 530 windows emitted, order-dependent). Single-batch intake
-    # has no cross-batch lateness; the trailing no-data micro-batch then
-    # advances the watermark to max(ts) - delay and append mode flushes
-    # every closed window deterministically — which is what makes the
-    # streaming queries value-oracle-checkable.
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    collected rows compare equal to the NTZ batch twins.
+
+    ``max_files_per_trigger`` is a SOURCE option (setting it on
+    writeStream is silently ignored — the r5 multi-batch tests learned
+    this the hard way). Leave None for finite oracle-checked runs: the
+    file source does not guarantee listing order, so one-file-per-
+    trigger can process a late-timestamp file first and silently DROP
+    earlier files' rows as late data (measured: 278 of 530 windows
+    emitted, order-dependent). Single-batch intake has no cross-batch
+    lateness; the trailing no-data micro-batch then advances the
+    watermark to max(ts) - delay and append mode flushes every closed
+    window deterministically — which is what makes the streaming
+    queries value-oracle-checkable. Set it for production-shaped
+    incremental drains and for tests that exercise cross-batch state."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -135,6 +146,10 @@ _STATE_SCHEMA = StructType(
         # micro-batches is order dependent and Python round() is banker's
         # (unlike Spark/DuckDB half-away) — exact long arithmetic instead
         StructField("total_micro", LongType(), True),
+        # last event-time in epoch micros: the r5 multi-batch test caught
+        # that a per-batch max is NOT the running max when the file
+        # source lists out of ts order — last_ts must live in the state
+        StructField("last_ts_us", LongType(), True),
     ]
 )
 
@@ -161,17 +176,18 @@ def streaming_user_state(
         if state.hasTimedOut:
             state.remove()
             return
-        n, total_micro = state.get if state.exists else (0, 0)
-        last_ts = None
+        n, total_micro, last_us = (
+            state.get if state.exists else (0, 0, None)
+        )
         for pdf in pdfs:
             n += len(pdf)
             # value_micro is derived Spark-side (F.round half-away), so
             # the state update is exact integer arithmetic — reproducible
             # regardless of batch/partition order
             total_micro += int(pdf["value_micro"].sum())
-            m = pdf["ts"].max()
-            last_ts = m if last_ts is None else max(last_ts, m)
-        state.update((n, total_micro))
+            batch_us = pdf["ts"].max().value // 1000
+            last_us = batch_us if last_us is None else max(last_us, batch_us)
+        state.update((n, total_micro, last_us))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
@@ -179,7 +195,7 @@ def streaming_user_state(
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_value": [total_micro / 1e6],
-                "last_ts": [last_ts],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
             }
         )
 

@@ -357,3 +357,38 @@ def test_transition_matrix_single_user_exchange(tables):
 
     plan = _plan(transition_matrix(tables["events"]))
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_value_histogram_single_exchange_and_pruned_scan(tables):
+    """r5: the histogram is one (group, bin) hash aggregate — exactly
+    one Exchange (map-side partials below it), and the scan reads only
+    the two columns involved."""
+    from dbt_schema_builder_spark.operators.profiling import value_histogram
+
+    plan = _plan(value_histogram(tables["events"]))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "value" in m.group(1) and "event_type" in m.group(1), plan
+    assert "props" not in m.group(1), plan  # wide column pruned
+
+
+def test_gopher_rules_zero_shuffle(tables):
+    """The rule battery is pure map-side HOF work: no Exchange, no
+    Python, whole-stage codegen."""
+    from dbt_schema_builder_spark.operators.text import gopher_quality_rules
+
+    plan = _plan(gopher_quality_rules(tables["documents"]))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_sigma_outliers_no_python_and_pruned_scan(tables):
+    """r5: the k-sigma gate stays JVM-side (integer expressions only)
+    and the group aggregate is the only shuffle producer besides the
+    join it feeds."""
+    from dbt_schema_builder_spark.operators.profiling import sigma_outliers
+
+    plan = _plan(sigma_outliers(tables["events"]))
+    assert "Python" not in plan, plan
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "props" not in m.group(1), plan

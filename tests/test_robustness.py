@@ -158,29 +158,63 @@ def test_timestamp_nanos_truncation_agrees_with_duckdb(spark, tmp_path):
     assert spark_rows[0] == (1_700_000_000_123, 1_700_000_000_123_456)
 
 
-def test_documents_text_is_pure_ascii_across_sfs(spark):
-    """Pin the corpus assumption the multimodal/audio oracles depend on:
-    q_multimodal_features / q_audio_features build their DuckDB oracles
-    with CHARACTER semantics (len(s), ascii(substr(s, i, 1))) while the
-    Spark side operates on the UTF-8 BYTE payload (F.encode). The two
-    agree iff every document is pure ASCII (1 char == 1 byte, codepoint
-    == byte value). Green today because the synthetic corpus is ASCII —
-    this test makes a future data regeneration that breaks the
-    assumption fail HERE with a named cause instead of as a silent
-    oracle hash mismatch."""
-    from dbt_schema_builder_spark.session import read_table
+def test_multimodal_oracles_survive_non_ascii_corpus(spark, tmp_path):
+    """r5 hardening (verdict ask #6): the multimodal/audio oracles now
+    extract PAYLOAD BYTES in DuckDB (hex(encode(s)) pairs) instead of
+    assuming one byte per character, so they must replay the Spark
+    mapInPandas results even on a corpus with multi-byte UTF-8 text —
+    the case the retired ASCII corpus pin existed to guard. Runs both
+    engines over a fixture containing 2-, 3- and 4-byte codepoints."""
+    import duckdb
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        docs = read_table(spark, f"/root/testdata/{sf}/documents.parquet")
-        non_ascii = docs.where(
-            F.length("text") != F.length(F.encode("text", "UTF-8"))
-        ).count()
-        assert non_ascii == 0, (
-            f"{sf}: {non_ascii} non-ASCII documents — the character-"
-            "semantics oracles of q_multimodal_features/q_audio_features "
-            "no longer replay the byte-level Spark results; rebuild those "
-            "oracles over encode(s, 'utf-8') bytes"
-        )
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.multimodal import (
+        attach_fake_image_bytes,
+        audio_features,
+        image_features,
+    )
+
+    rows = [
+        (1, "plain ascii text only"),
+        (2, "accents: café naïve résumé"),  # 2-byte
+        (3, "cjk: 数据处理引擎"),  # 3-byte
+        (4, "emoji: \U0001f680\U0001f9ea mixed in ascii"),  # 4-byte
+        (5, "à" * 300),  # >256 bytes => multiple audio chunks
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    docs = spark.read.parquet(path)
+    media = attach_fake_image_bytes(docs)
+
+    img = {
+        r["doc_id"]: (r["n_bytes"], r["header_ok"], r["byte_entropy"])
+        for r in image_features(media).collect()
+    }
+    img_oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            entry.oracle_sql()["q_multimodal_features"]
+        ).fetchall()
+    }
+    assert img == img_oracle
+    # byte counts must exceed char counts on the non-ASCII rows
+    assert img[2][0] > len("accents: café naïve résumé") + 8
+
+    aud = {
+        (r["doc_id"], r["chunk_idx"]): (r["rms"], r["peak"])
+        for r in audio_features(media, chunk=256).collect()
+    }
+    aud_oracle = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(entry.oracle_sql()["q_audio_features"]).fetchall()
+    }
+    assert aud == aud_oracle
+    assert (5, 1) in aud  # the 300-codepoint doc spans >1 byte chunk
 
 
 def test_empty_input_through_round4c_operators(spark, tables):

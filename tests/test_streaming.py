@@ -245,13 +245,12 @@ def test_streaming_tumbling_processing_time_multibatch(
     eventual SUBSET of the deterministic availableNow set, with equality
     on every window both runs emit."""
     stream = streaming_tumbling_counts(
-        stream_events(spark, events_dir_multifile)
+        stream_events(spark, events_dir_multifile, max_files_per_trigger=2)
     )
     q = (
         stream.writeStream.format("memory")
         .queryName("t_tumbling_pt")
         .outputMode("append")
-        .option("maxFilesPerTrigger", "2")
         .start()
     )
     try:
@@ -275,6 +274,127 @@ def test_streaming_tumbling_processing_time_multibatch(
     assert got <= oracle
     # ...and the drain made real progress (not everything dropped as late)
     assert len(got) >= len(oracle) // 2 > 0
+
+
+def test_streaming_session_processing_time_multibatch(
+    spark, events_dir_multifile
+):
+    """r5 (verdict ask #4): multi-micro-batch session eviction. Sessions
+    closed mid-drain cannot lose later events (ts-range files: anything
+    past the per-batch watermark is >= 1h+gap away from any closable
+    session), so every emitted session must appear with IDENTICAL
+    bounds+count in the availableNow oracle set; late-file drops may
+    only shrink the set."""
+    stream = streaming_session_window(
+        stream_events(spark, events_dir_multifile, max_files_per_trigger=2)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_session_pt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_session_pt").collect()
+    }
+    oracle_run = run_stream_to_memory(
+        streaming_session_window(stream_events(spark, events_dir_multifile)),
+        "t_session_pt_oracle",
+        "append",
+    )
+    oracle = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in oracle_run.collect()
+    }
+    assert got <= oracle
+    assert len(got) >= len(oracle) // 2 > 0
+
+
+def test_streaming_user_state_processing_time_multibatch(
+    spark, tables, events_dir_multifile
+):
+    """r5 (verdict ask #4): the applyInPandasWithState path across a
+    genuine multi-batch drain. No watermark => no late drops, so the
+    final per-user state must EQUAL the batch aggregate exactly
+    (integer micro-unit sums are batch-order independent); and update
+    mode re-emits a user per batch touching them, so the sink holding
+    more rows than users proves the drain really was multi-batch with
+    state carried across batches."""
+    stream = streaming_user_state(
+        stream_events(spark, events_dir_multifile, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_user_state_pt")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_user_state_pt").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_value, r.last_ts)
+    batch = {
+        r.user_id: (r.n, r.tv, r.lt)
+        for r in tables["events"]
+        .withColumn("vm", F.round(F.col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("vm") / 1e6).alias("tv"),
+            F.max("ts").alias("lt"),
+        )
+        .collect()
+    }
+    assert final == batch
+    # ts-range split puts most users in several files => several updates
+    assert len(rows) > len(final)
+
+
+def test_streaming_funnel_processing_time_multibatch(
+    spark, tables, events_dir_multifile
+):
+    """r5 (verdict ask #4): the streaming funnel's stage is monotone in
+    the event set (more events can only extend the greedy chain), and
+    with no watermark nothing is dropped — so after a multi-batch drain
+    the max emitted stage per user must reproduce the batch funnel
+    exactly, with intermediate emissions proving cross-batch state."""
+    from dbt_schema_builder_spark.streaming import streaming_funnel
+
+    stream = streaming_funnel(
+        stream_events(spark, events_dir_multifile, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_funnel_pt")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_funnel_pt").collect()
+    furthest = {}
+    for r in rows:
+        furthest[r.user_id] = max(furthest.get(r.user_id, 0), r.stage)
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in timeseries.funnel(tables["events"]).collect()
+    }
+    for i in (1, 2, 3):
+        assert batch[i] == sum(1 for s in furthest.values() if s >= i)
+    assert len(rows) > len(furthest)  # genuinely multi-batch updates
 
 
 def test_streaming_funnel_matches_batch_funnel(spark, tables, events_dir):

@@ -66,6 +66,20 @@ NOTES = {
     "q_trend_slope": "one (group, day) agg; rebase window over bounded day axis",
     "q_categorical_profile": "one count agg per column; rollups from the count table",
     "q_fuzzy_match": "signature-first: distinct names before the block join",
+    # round 5
+    "q_gopher_rules": "pure map-side HOF battery: zero exchanges, no Python",
+    "q_ccnet_buckets": "unigram scorer shuffles + one per-language window exchange",
+    "q_apply_bpe": "frozen merges folded into the expression tree: map-only, zero exchanges",
+    "q_skew_report": "one count agg; 1-row totals broadcast; TakeOrdered top-k",
+    "q_semantic_dedup": "blocked GEMM pairs + label propagation on the pair graph only",
+    "q_merge_partial_aggs": "batch partial agg + union + keys-sized re-agg (monoid merge)",
+    "q_snapshot_diff": "16-byte md5 row signatures through one full-outer key join",
+    "q_histogram": "one (group, bin) exchange; map-side partials; pruned 2-column scan",
+    "q_anomaly_events": "group-bounded integer aggregate + join-back; no Python, no floats",
+    "q_sql_promo_revenue": "fact-dim broadcast join + one month exchange",
+    "q_sql_cust_order_dist": "LEFT join + two aggregation levels; second agg over keys-sized input",
+    "q_sql_brand_qty_revenue": "disjunctive predicate over broadcast part join; single-row agg",
+    "q_tokenizer_fertility": "zero-shuffle segmentation + doc_id join + lang agg",
 }
 
 

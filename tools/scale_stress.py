@@ -204,6 +204,24 @@ OPS = {
     "knn_label_agreement": lambda d, e: similarity.knn_label_agreement(
         e, n_queries=32, k=10
     ),
+    # round-5: map-side rule battery — must be linear, zero shuffle
+    "gopher_rules": lambda d, e: text.gopher_quality_rules(d),
+    # round-5: unigram scorer + per-lang window; the window sort per
+    # language partition is the scale cost
+    "ccnet_buckets": lambda d, e: text.ccnet_buckets(d),
+    # round-5: frozen-merge segmentation — map-only, must be linear
+    "apply_bpe(8 merges)": lambda d, e: text.apply_bpe_merges(
+        d, [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+            ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u")]
+    ),
+    "tokenizer_fertility": lambda d, e: text.tokenizer_fertility(
+        d, [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r")]
+    ),
+    # round-5: SemDeDup on the scale path (LSH mining at thr 0.9 — the
+    # dup-dense replica is the miner's worst case) + closure
+    "semantic_dedup(lsh,thr.9)": lambda d, e: similarity.semantic_dedup(
+        e, threshold=0.9, strategy="lsh"
+    ),
 }
 
 _only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
@@ -242,6 +260,16 @@ def _run_events_ops():
         "scd2_history": lambda ev: temporal.scd2_history(ev),
         "pagerank_topk(it=3)": None,  # graph op, handled below
     }
+    # round-5 event-table ops: one-shuffle aggregates + join-backs —
+    # the 10x key-cardinality replica must hold them ~linear
+    from dbt_schema_builder_spark.operators import profiling as _prof
+    from dbt_schema_builder_spark.operators import skew as _skew
+
+    ev_ops["value_histogram"] = lambda ev: _prof.value_histogram(ev)
+    ev_ops["sigma_outliers"] = lambda ev: _prof.sigma_outliers(ev)
+    ev_ops["skew_report"] = lambda ev: _skew.skew_report(
+        ev, key="event_type"
+    )
     for name, fn in ev_ops.items():
         if fn is None or not _want(name):
             continue
