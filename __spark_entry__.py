@@ -3478,9 +3478,12 @@ def _bpe_seg_ctes(merges: list) -> str:
     joined symbol string (replace scans left-to-right, never
     re-matches inside a replacement, and continues after it — exactly
     the fold's pending-symbol semantics). chr(31) never occurs in the
-    ASCII-printable corpus (pinned by test_robustness), and merged
-    symbols contain no separator, so cascading merges like ('m','er')
-    match exactly when their inputs have been produced."""
+    corpus — pinned printable-ASCII at every sf by
+    tests/test_robustness.py::
+    test_documents_corpus_is_printable_ascii_across_sfs (whitespace
+    splitting would not strip \\x1f) — and merged symbols contain no
+    separator, so cascading merges like ('m','er') match exactly when
+    their inputs have been produced."""
     sep = chr(31)
     # chars joined by the separator: insert sep after every char, trim
     # the trailing one ('.' can't match the whitespace stripped by the
@@ -3534,7 +3537,10 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
         "WITH RECURSIVE pr AS (SELECT a.vec_id AS va, b.vec_id AS vb "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-        f"CAST(b.embedding AS DOUBLE[])) >= {threshold}), "
+        # CAST: DuckDB parses bare float literals as DECIMAL; 0.4 is
+        # not exactly representable and a boundary-divergent pair
+        # cascades through the transitive closure (CLAUDE.md r5 rule)
+        f"CAST(b.embedding AS DOUBLE[])) >= CAST({threshold} AS DOUBLE)), "
         "edges AS (SELECT va AS s, vb AS d FROM pr "
         "UNION SELECT vb, va FROM pr), "
         "reach(v, r) AS (SELECT DISTINCT s, s FROM edges "

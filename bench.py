@@ -26,6 +26,27 @@ from dbt_schema_builder_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+# Cross-round comparable subtotals (BASELINE.md tracks these). FROZEN
+# name lists, not positional HEADLINE prefixes: an insertion or reorder
+# in the middle of HEADLINE must never silently shift which queries the
+# r1/r2 subtotals cover (that would corrupt every BASELINE comparison
+# without an error). main() asserts they stay a subset of the timed set.
+R1_COMPARABLE = (
+    "q_hash_agg", "q_star_join", "q_sort_group_collect", "q_window_rank",
+    "q_window_running", "q_session_window", "q_tumbling_window", "q_topk",
+    "q_set_ops", "q_json_extract", "q_exact_dedup", "q_near_dup",
+    "q_ngram_jaccard", "q_topk_similarity", "q_lsh_topk", "q_text_stats",
+    "q_quality_score", "q_pandas_udf", "q_multimodal_features",
+    "q_asof_join", "q_range_join", "q_salted_join", "q_winnowing",
+)
+R2_COMPARABLE = R1_COMPARABLE + (
+    "q_pii_scrub", "q_repetition_stats", "q_decontaminate",
+    "q_pack_sequences", "q_embedding_near_dup", "q_incremental_dedup",
+    "q_hash_split", "q_unigram_logprob", "q_source_mix",
+    "q_percentile_filter", "q_cap_per_source", "q_merge_latest",
+    "q_oov_rate", "q_dedup_stats",
+)
+
 # Headline set: the shuffle/join/window-heavy queries that dominate at scale.
 HEADLINE = [
     "q_hash_agg",
@@ -204,9 +225,15 @@ def main() -> None:
     }
 
     # Subtotals comparable across rounds (BASELINE.md tracks these): the
-    # 23 round-1 headline queries and the 37-query round-2 set.
-    r1_names = HEADLINE[:23]
-    r2_names = HEADLINE[:37]
+    # 23 round-1 headline queries and the 37-query round-2 set — frozen
+    # name lists (see R1_COMPARABLE), never positional slices.
+    r1_names = list(R1_COMPARABLE)
+    r2_names = list(R2_COMPARABLE)
+    missing_cmp = [n for n in R2_COMPARABLE if n not in timings]
+    assert not missing_cmp, (
+        f"comparable-subtotal queries missing from the timed set: "
+        f"{missing_cmp} — BASELINE.md subtotals would silently shift"
+    )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )

@@ -286,11 +286,14 @@ def sigma_outliers(
     k sigmas from ITS OWN group's mean, not a global threshold.
 
     One aggregate over the group key + one join back (the aggregate
-    side is group-bounded, AQE broadcasts it). int64 headroom: with
-    milli units both sides stay below 2^63 while
-    n_per_group * max|v| < ~3e9 (about 6M rows/group for values up to
-    500) — choose a coarser unit for hotter groups; the docstring
-    ceiling convention from pagerank.
+    side is group-bounded, AQE broadcasts it). int64 headroom (stated
+    in MILLI units, with the k^2 and squared-lhs factors): the rhs is
+    k^2 * (n*ssq - s^2) <= k^2 * n^2 * max|v_milli|^2 and the lhs is
+    squared, (n*vm - s)^2 <= 4 * n^2 * max|v_milli|^2, so with k=3
+    both stay below 2^63 while n_per_group * max|v_milli| < ~1e9 —
+    i.e. about 2,000 rows/group for values up to 500 (v_milli = 5e5).
+    Choose a coarser unit for hotter groups; the docstring ceiling
+    convention from pagerank.
     """
     v = F.round(F.col(col) * 1000).cast("bigint")
     rows = df.select(

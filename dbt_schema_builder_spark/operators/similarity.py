@@ -566,6 +566,9 @@ def embedding_near_dup(
     seed: int = 42,
     blocks: int = 8,
     max_gemm_rows: int = 5_000_000,
+    k_cells: int = 32,
+    nprobe: int = 3,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold), strategy chosen by
     the similarity regime — measured on this corpus, not assumed:
@@ -607,7 +610,13 @@ def embedding_near_dup(
     if strategy == "auto":
         strategy = "lsh" if threshold >= 0.8 else "blocked"
     if strategy == "ivf_sharded":
-        return embedding_near_dup_ivf_sharded(embeddings, threshold=threshold)
+        return embedding_near_dup_ivf_sharded(
+            embeddings,
+            threshold=threshold,
+            k_cells=k_cells,
+            nprobe=nprobe,
+            max_cell=max_cell,
+        )
     if strategy == "blocked":
         n = embeddings.count()
         if n > max_gemm_rows:

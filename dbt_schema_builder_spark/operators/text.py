@@ -1252,8 +1252,11 @@ def apply_bpe_merges(
     codegen and measured 26x faster than the previous per-word
     aggregate-HOF fold with struct state (14.9 s -> 0.6 s at sf0.1,
     which was interpreted per symbol). chr(31) is safe as the
-    separator: tokens contain no control characters (whitespace-split),
-    and merged symbols never contain it.
+    separator because the corpus is pinned printable-ASCII at every sf
+    (tests/test_robustness.py::
+    test_documents_corpus_is_printable_ascii_across_sfs) — whitespace
+    splitting alone would NOT justify this, \\x1f is not regex
+    whitespace — and merged symbols never contain it.
     """
     sep = "\x1f"
     words = tokens()

@@ -309,3 +309,27 @@ def test_empty_input_through_round5_operators(spark, tables):
     assert relational.merge_partial_aggregates(
         empty_state, empty_batch, ["user_id"], ["v"]
     ).count() == 0
+
+
+def test_documents_corpus_is_printable_ascii_across_sfs():
+    """Corpus pin for the chr(31) BPE-separator identity: apply_bpe
+    and its DuckDB oracle (`_bpe_seg_ctes`) join symbols with \\x1f and
+    rely on tokens never containing it — a token with an embedded or
+    trailing \\x1f would diverge (Spark counts size(split)-1, DuckDB
+    rtrim strips ALL trailing separators, and the merge identity
+    itself breaks). Pin the stronger invariant the oracles assume:
+    every document is printable ASCII (no control chars at all) at
+    every shipped scale factor."""
+    import glob
+
+    import duckdb
+
+    dirs = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert dirs, "testdata documents missing"
+    for path in dirs:
+        bad = duckdb.sql(
+            "SELECT COUNT(*) FROM read_parquet(?) "
+            "WHERE NOT regexp_matches(text, '^[\\x20-\\x7e]*$')",
+            params=[path],
+        ).fetchone()[0]
+        assert bad == 0, f"{path}: {bad} docs with non-printable-ASCII chars"
