@@ -1175,10 +1175,16 @@ def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ppjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin
     family): lossless candidate pruning under a rarest-first global
-    shingle order — the same output as q_ngram_jaccard at the same
-    threshold, so it shares that key's oracle SQL verbatim."""
+    shingle order. Re-pinned at threshold 0.8 in r6 (the r5 verdict's
+    ask) — the algorithm's HONEST regime: the prefix keeps only (1-t)
+    of each set, and that is where it beats the inverted index
+    (measured 2.7x at t=0.8 on the 10x dup-dense corpus; at the old
+    t=0.2 it was demonstrating the algorithm in its own anti-regime).
+    The oracle comes from the same generator as q_ngram_jaccard's
+    (`_ngram_jaccard_oracle_sql`), evaluated at this threshold, so the
+    two keys' SQL cannot drift."""
     return dedup.jaccard_prefix_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
 
 
@@ -1496,6 +1502,10 @@ _BPE_MERGES = [
     ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
 ]
 
+# q_bpe_learn trains this many merges live; its oracle unrolls the same
+# number of argmax iterations (one CTE chain per step)
+_BPE_LEARN_STEPS = 6
+
 
 def q_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge application (promoted r5): segment the corpus with the
@@ -1675,80 +1685,156 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-6: bounded-SemDeDup gate, BPE learning / evolving reader / z-order
+# layout promotions
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the BOUNDED mining branch (new r6, the r5
+    verdict's ask): the 100x-safe path a real curation run uses —
+    ivf_sharded GEMM at the pinned >=0.95-recall config (k_cells=32,
+    nprobe=8; SCALE.md recall-vs-cost curve) — driver-gated with the
+    q_approx_distinct envelope pattern. The hashed surface is the
+    EXACT closure's replayable facts (n_vecs, n_exact_drop) plus an
+    integer flag asserting per-vector keep/drop agreement between the
+    bounded branch and the exact closure >= 95% (measured 1.000 at
+    sf0.01 and 0.999 at sf0.1); the lossy branch's own labels never
+    enter the hash. Integer envelope arithmetic: 20*n_agree >=
+    19*n_vecs <=> agreement >= 0.95."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = similarity.semantic_dedup(
+        emb, threshold=0.4, strategy="ivf_sharded", k_cells=32, nprobe=8
+    )
+    exact = similarity.semantic_dedup(emb, threshold=0.4, strategy="blocked")
+    j = exact.select("vec_id", F.col("action").alias("_ea")).join(
+        ivf.select("vec_id", F.col("action").alias("_ia")), "vec_id"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("_ea") == F.lit("drop")).cast("long")).alias(
+            "n_exact_drop"
+        ),
+        (
+            F.sum((F.col("_ea") == F.col("_ia")).cast("long")) * 20
+            >= F.count(F.lit(1)) * 19
+        )
+        .cast("int")
+        .alias("agree_ge_95"),
+    )
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge LEARNING driver-gated (promoted r6): the actual
+    training loop — word-frequency table, weighted adjacent-pair
+    counts, argmax merge with (cnt DESC, a, b) tie-break, re-segment,
+    repeat — surfaced as the learned merge table (step, a, b, cnt).
+    The oracle re-derives every merge independently: per iteration a
+    DuckDB CTE replays segmentation-so-far via the chained-replace
+    identity with the PREVIOUS iterations' argmax rows as scalar
+    subqueries (not frozen literals), recomputes pair counts, and
+    takes the same argmax — so a green hash proves the full training
+    trajectory, not just a frozen list. Only the <= n_merges argmax
+    rows reach the driver (the kmeans convention); min_pair_count=2
+    never triggers at these sfs (31-token vocab, counts in the
+    hundreds)."""
+    counts: list = []
+    merges, _ = text.learn_bpe_merges(
+        _t(spark, sf_dir, "documents"),
+        n_merges=_BPE_LEARN_STEPS,
+        min_pair_count=2,
+        counts_out=counts,
+    )
+    rows = [
+        (i + 1, a, b, c)
+        for i, ((a, b), c) in enumerate(zip(merges, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step INT, a STRING, b STRING, cnt BIGINT"
+    )
+
+
+def q_evolving_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution reader driver-gated (promoted r6): two parquet
+    batches written with DIFFERENT schemas (batch 1 predates the
+    n_regionkey column; batch 2 carries it), read back through
+    ``read_parquet_evolving`` — mergeSchema unions the footers and the
+    typed default fills the pre-evolution NULLs, so the surfaced table
+    is total. The oracle is the nation table unioned with itself, -1
+    standing in for the missing column — exactly what the reader must
+    reconstruct from the two files."""
+    import tempfile
+
+    from dbt_schema_builder_spark.sources.io import read_parquet_evolving
+
+    nation = _t(spark, sf_dir, "nation")
+    # left on disk for the caller's lazy collect; /tmp-scoped
+    path = tempfile.mkdtemp(prefix="spark_graft_evolving_")
+    nation.select(
+        "n_nationkey", "n_name", F.lit(1).alias("batch")
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/b1")
+    nation.select(
+        "n_nationkey", "n_name", F.lit(2).alias("batch"), "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/b2")
+    merged = read_parquet_evolving(
+        spark, [path + "/b1", path + "/b2"], defaults={"n_regionkey": -1}
+    )
+    return merged.select("n_nationkey", "n_name", "batch", "n_regionkey")
+
+
+_ZORDER_BITS = 4
+_ZORDER_FILES = 8
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order physical layout driver-gated (promoted r6): cluster
+    events on (user_id, event_id) with EXACT-histogram equi-depth
+    cells + Morton interleave + replayable cum-count file assignment,
+    write the partitioned files, then surface what the parquet FOOTERS
+    say — per file bucket, the row count and min/max of both
+    clustered columns via pyarrow statistics. The oracle replays the
+    pure-integer assignment in SQL and predicts every footer value
+    exactly, so a green hash proves the bytes on disk realize the
+    logical layout (a strictly stronger claim than the r4
+    timing-based pin). bits=4 x 2 dims -> <=256 distinct z values;
+    8 file buckets."""
+    import tempfile
+
+    from dbt_schema_builder_spark.sources.io import zorder_layout_report
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    path = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    return zorder_layout_report(
+        spark,
+        ev,
+        ["user_id", "event_id"],
+        path,
+        bits=_ZORDER_BITS,
+        n_files=_ZORDER_FILES,
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-5 window (the round-4 window banked green rows for ALL its
-    keys, so every slot was free): (a) the 34 keys whose latest driver row
-    was round 2 — two-rounds-stale evidence, the verdict's rotation ask;
-    (b) the SIX operators promoted from tests-only to oracle-backed this
-    round (gopher rules, ccnet buckets, bpe application, skew report,
-    semantic dedup, incremental aggregate merge); (c) ten round-3 keys —
-    the two whose oracle SQL changes this round (multimodal/audio byte
-    oracles) plus the oldest r3 refreshers. Every key below the boundary
-    carries a green round-3/4 row (tests/test_query_window.py audits
-    this)."""
+    keys. Round-6 window (the round-5 window banked green rows for ALL its
+    keys, so every slot was free): (a) the 43 keys whose latest driver row
+    was round 3 — the verdict's rotation ask; (b) the two keys whose
+    oracle SQL changed this round (q_ppjoin_jaccard re-pinned at t=0.8,
+    q_semantic_dedup's CAST fix) — changed oracles must re-earn green
+    rows; (c) the four new r6 keys (bounded SemDeDup, BPE learning,
+    evolving reader, z-order layout); (d) one spare slot refreshing
+    q_approx_distinct (r4). Every key below the boundary carries a green
+    round-4/5 row (tests/test_query_window.py audits this)."""
     return {
-        # (a) round-2-stale keys: re-verify against environment drift
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_winnowing": q_winnowing,
-        "q_stratified_sample": q_stratified_sample,
-        "q_centroid_by_label": q_centroid_by_label,
-        "q_token_count": q_token_count,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_quality_score": q_quality_score,
-        "q_text_stats": q_text_stats,
-        "q_pandas_udf": q_pandas_udf,
-        "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_prep_pipeline": q_prep_pipeline,
-        "q_frame_sample": q_frame_sample,
-        "q_profile": q_profile,
-        "q_pii_scrub": q_pii_scrub,
-        "q_pivot": q_pivot,
-        "q_unpivot": q_unpivot,
-        "q_repetition_stats": q_repetition_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_hash_split": q_hash_split,
-        "q_source_mix": q_source_mix,
-        "q_percentile_filter": q_percentile_filter,
-        "q_cap_per_source": q_cap_per_source,
-        "q_oov_rate": q_oov_rate,
-        "q_dedup_stats": q_dedup_stats,
-        "q_weighted_sample": q_weighted_sample,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_zipf_stats": q_zipf_stats,
-        "q_curriculum_bins": q_curriculum_bins,
-        "q_quantized_topk": q_quantized_topk,
-        "q_source_overlap": q_source_overlap,
-        # (b) round-5 promotions (new oracle-backed keys)
-        "q_gopher_rules": q_gopher_rules,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_apply_bpe": q_apply_bpe,
-        "q_skew_report": q_skew_report,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_merge_partial_aggs": q_merge_partial_aggs,
-        # (b2) round-5 batch-2 promotions + new operators
-        "q_stream_funnel": q_stream_funnel,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_histogram": q_histogram,
-        "q_anomaly_events": q_anomaly_events,
-        "q_sql_promo_revenue": q_sql_promo_revenue,
-        "q_sql_cust_order_dist": q_sql_cust_order_dist,
-        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
-        "q_tokenizer_fertility": q_tokenizer_fertility,
-        # (c) the two r3 keys whose oracle SQL changed this round (byte
-        # oracles) — they must re-earn green rows with the new SQL
-        "q_multimodal_features": q_multimodal_features,
-        "q_audio_features": q_audio_features,
-        # ---- driver window boundary (position 50 = q_audio_features)
-        # every key below carries a green round-3/4 driver row
+        # (a) the 43 keys whose latest driver row is round 3 — the
+        # verdict's rotation ask: their evidence predates the r4
+        # LSH-width fix, the r5 streaming changes, and two session-
+        # layer refactors
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_session_window": q_session_window,
         "q_near_dup": q_near_dup,
@@ -1757,56 +1843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_merge_latest": q_merge_latest,
         "q_quantize_embeddings": q_quantize_embeddings,
-        "q_approx_distinct": q_approx_distinct,
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_user_state": q_stream_user_state,
-        "q_tumbling_window": q_tumbling_window,
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
-        "q_dupe_detection": q_dupe_detection,
-        "q_metadata_merge_join": q_metadata_merge_join,
-        "q_rollup": q_rollup,
-        "q_window_rank": q_window_rank,
-        "q_window_running": q_window_running,
-        "q_topk": q_topk,
-        "q_set_ops": q_set_ops,
-        "q_ivf_topk": q_ivf_topk,
-        "q_catalog_scan": q_catalog_scan,
-        "q_cluster_safe_split": q_cluster_safe_split,
-        "q_centroid_outliers": q_centroid_outliers,
-        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
-        "q_shared_ngram_fraction": q_shared_ngram_fraction,
-        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "q_pq_topk": q_pq_topk,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_ppjoin_jaccard": q_ppjoin_jaccard,
-        "q_keep_canonical": q_keep_canonical,
-        "q_stream_dedup_history": q_stream_dedup_history,
-        "q_frame_dedup": q_frame_dedup,
-        "q_gapfill_locf": q_gapfill_locf,
-        "q_funnel": q_funnel,
-        "q_cohort_retention": q_cohort_retention,
-        "q_mad_outliers": q_mad_outliers,
-        "q_bm25_search": q_bm25_search,
-        "q_pmi_pairs": q_pmi_pairs,
-        "q_pagerank": q_pagerank,
-        "q_gapfill_interp": q_gapfill_interp,
-        "q_rolling_active": q_rolling_active,
-        "q_interval_coverage": q_interval_coverage,
-        "q_source_kl": q_source_kl,
-        "q_containment": q_containment,
-        "q_transition_matrix": q_transition_matrix,
-        "q_conversion_latency": q_conversion_latency,
-        "q_cumulative_users": q_cumulative_users,
-        "q_scd2": q_scd2,
-        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
-        "q_knn_label_agreement": q_knn_label_agreement,
-        "q_trend_slope": q_trend_slope,
-        "q_categorical_profile": q_categorical_profile,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_bigram_logprob": q_bigram_logprob,
         "q_stream_session": q_stream_session,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_join": q_stream_join,
@@ -1842,7 +1878,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
+        # (b) keys whose oracle SQL changed in r6 and must re-earn
+        # green rows: ppjoin re-pinned at its honest t=0.8 regime,
+        # semantic_dedup's CAST-AS-DOUBLE threshold fix
+        "q_ppjoin_jaccard": q_ppjoin_jaccard,
+        "q_semantic_dedup": q_semantic_dedup,
+        # (c) new r6 keys: the bounded-SemDeDup gate + the three
+        # tests-only promotions (BPE learning, evolving reader,
+        # z-order physical layout)
+        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
+        "q_bpe_learn": q_bpe_learn,
+        "q_evolving_read": q_evolving_read,
+        "q_zorder_layout": q_zorder_layout,
+        # (d) one spare slot: refresh the envelope-pattern key
+        "q_approx_distinct": q_approx_distinct,
+        # ---- driver window boundary (position 50 = q_approx_distinct)
+        # every key below carries a green round-4/5 driver row
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_winnowing": q_winnowing,
+        "q_stratified_sample": q_stratified_sample,
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_token_count": q_token_count,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_quality_score": q_quality_score,
+        "q_text_stats": q_text_stats,
+        "q_pandas_udf": q_pandas_udf,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_prep_pipeline": q_prep_pipeline,
+        "q_frame_sample": q_frame_sample,
+        "q_profile": q_profile,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_hash_split": q_hash_split,
+        "q_source_mix": q_source_mix,
+        "q_percentile_filter": q_percentile_filter,
+        "q_cap_per_source": q_cap_per_source,
+        "q_oov_rate": q_oov_rate,
+        "q_dedup_stats": q_dedup_stats,
+        "q_weighted_sample": q_weighted_sample,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_zipf_stats": q_zipf_stats,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_quantized_topk": q_quantized_topk,
+        "q_source_overlap": q_source_overlap,
+        "q_gopher_rules": q_gopher_rules,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_apply_bpe": q_apply_bpe,
+        "q_skew_report": q_skew_report,
+        "q_merge_partial_aggs": q_merge_partial_aggs,
+        "q_stream_funnel": q_stream_funnel,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_histogram": q_histogram,
+        "q_anomaly_events": q_anomaly_events,
+        "q_sql_promo_revenue": q_sql_promo_revenue,
+        "q_sql_cust_order_dist": q_sql_cust_order_dist,
+        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_multimodal_features": q_multimodal_features,
+        "q_audio_features": q_audio_features,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_user_state": q_stream_user_state,
+        "q_tumbling_window": q_tumbling_window,
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
+        "q_dupe_detection": q_dupe_detection,
+        "q_metadata_merge_join": q_metadata_merge_join,
+        "q_rollup": q_rollup,
+        "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_ivf_topk": q_ivf_topk,
+        "q_catalog_scan": q_catalog_scan,
+        "q_cluster_safe_split": q_cluster_safe_split,
+        "q_centroid_outliers": q_centroid_outliers,
+        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "q_shared_ngram_fraction": q_shared_ngram_fraction,
+        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "q_pq_topk": q_pq_topk,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_keep_canonical": q_keep_canonical,
+        "q_stream_dedup_history": q_stream_dedup_history,
+        "q_frame_dedup": q_frame_dedup,
+        "q_gapfill_locf": q_gapfill_locf,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
+        "q_mad_outliers": q_mad_outliers,
+        "q_bm25_search": q_bm25_search,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_pagerank": q_pagerank,
+        "q_gapfill_interp": q_gapfill_interp,
+        "q_rolling_active": q_rolling_active,
+        "q_interval_coverage": q_interval_coverage,
+        "q_source_kl": q_source_kl,
+        "q_containment": q_containment,
+        "q_transition_matrix": q_transition_matrix,
+        "q_conversion_latency": q_conversion_latency,
+        "q_cumulative_users": q_cumulative_users,
+        "q_scd2": q_scd2,
+        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
+        "q_knn_label_agreement": q_knn_label_agreement,
+        "q_trend_slope": q_trend_slope,
+        "q_categorical_profile": q_categorical_profile,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_bigram_logprob": q_bigram_logprob,
     }
+
 
 def oracle_sql() -> dict[str, str]:
     return _with_shared_oracles({
@@ -2469,24 +2619,7 @@ def oracle_sql() -> dict[str, str]:
             "AS content_md5, MIN(doc_id) AS keep_doc_id, "
             "COUNT(*) AS n_copies FROM documents GROUP BY 1"
         ),
-        "q_ngram_jaccard": (
-            "WITH toks AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, "
-            "array_to_string(t[i:i+2], ' ') AS shingle "
-            "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
-            "AS u(i)), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "COUNT(*) AS n_inter FROM sh a JOIN sh b "
-            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-            "GROUP BY a.doc_id, b.doc_id) "
-            "SELECT doc_a, doc_b, "
-            "ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
-            "JOIN sizes sb ON sb.doc_id = doc_b "
-            "WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.2"
-        ),
+        "q_ngram_jaccard": _ngram_jaccard_oracle_sql(0.2),
         "q_group_quantiles": (
             "SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars, "
             "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars "
@@ -3465,6 +3598,21 @@ def oracle_sql() -> dict[str, str]:
         "q_tokenizer_fertility": _tokenizer_fertility_oracle_sql(
             _BPE_MERGES
         ),
+        # round-6 additions
+        "q_semantic_dedup_ivf": _semantic_dedup_ivf_oracle_sql(0.4),
+        "q_bpe_learn": _bpe_learn_oracle_sql(_BPE_LEARN_STEPS),
+        "q_evolving_read": (
+            # what the evolving reader must reconstruct: the pre-
+            # evolution batch with the typed default filling the column
+            # its files never carried, unioned with the evolved batch
+            "SELECT n_nationkey, n_name, 1 AS batch, "
+            "CAST(-1 AS BIGINT) AS n_regionkey FROM nation "
+            "UNION ALL SELECT n_nationkey, n_name, 2 AS batch, "
+            "n_regionkey FROM nation"
+        ),
+        "q_zorder_layout": _zorder_layout_oracle_sql(
+            _ZORDER_BITS, _ZORDER_FILES
+        ),
     })
 
 
@@ -3528,18 +3676,19 @@ def _tokenizer_fertility_oracle_sql(merges: list) -> str:
     )
 
 
-def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
-    """DuckDB replay of similarity.semantic_dedup(strategy='blocked'):
-    the proven q_embedding_near_dup all-pairs cosine comparison, closed
+def _semantic_closure_ctes(threshold: float) -> str:
+    """Shared CTE prefix for the SemDeDup oracles: the proven
+    q_embedding_near_dup all-pairs cosine comparison, closed
     transitively (the _pair_closure_ctes recursion shape on vec ids),
-    min reachable vec_id as representative, singletons via LEFT JOIN."""
+    ending with ``cl`` = (vec_id, cluster_id = min reachable vec_id).
+    The threshold literal is CAST to DOUBLE: DuckDB parses bare float
+    literals as DECIMAL; 0.4 is not exactly representable and a
+    boundary-divergent pair cascades through the transitive closure
+    (CLAUDE.md r5 rule)."""
     return (
         "WITH RECURSIVE pr AS (SELECT a.vec_id AS va, b.vec_id AS vb "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-        # CAST: DuckDB parses bare float literals as DECIMAL; 0.4 is
-        # not exactly representable and a boundary-divergent pair
-        # cascades through the transitive closure (CLAUDE.md r5 rule)
         f"CAST(b.embedding AS DOUBLE[])) >= CAST({threshold} AS DOUBLE)), "
         "edges AS (SELECT va AS s, vb AS d FROM pr "
         "UNION SELECT vb, va FROM pr), "
@@ -3548,6 +3697,13 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
         "JOIN reach ON reach.v = e.d), "
         "cl AS (SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach "
         "GROUP BY v) "
+    )
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    """DuckDB replay of similarity.semantic_dedup(strategy='blocked'):
+    the shared closure CTEs, singletons via LEFT JOIN."""
+    return _semantic_closure_ctes(threshold) + (
         "SELECT e.vec_id, "
         "COALESCE(cl.cluster_id, e.vec_id) AS cluster_id, "
         "COALESCE(cl.cluster_id, e.vec_id) AS keep_vec_id, "
@@ -3557,11 +3713,151 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
     )
 
 
+def _semantic_dedup_ivf_oracle_sql(threshold: float = 0.4) -> str:
+    """Envelope oracle for the BOUNDED SemDeDup branch (the
+    q_approx_distinct pattern): the replayable facts are the EXACT
+    closure's vector count and drop count; the lossy branch only
+    contributes the integer agreement flag, asserted 1 — Spark
+    computes it as 20*n_agree >= 19*n_vecs (agreement >= 0.95, the
+    pinned ivf_sharded recall config k_cells=32/nprobe=8; measured
+    1.000 at sf0.01, 0.999 at sf0.1)."""
+    return _semantic_closure_ctes(threshold) + (
+        "SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) "
+        "AS n_vecs, "
+        "CAST((SELECT COUNT(*) FROM embeddings e "
+        "LEFT JOIN cl ON cl.vec_id = e.vec_id "
+        "WHERE COALESCE(cl.cluster_id, e.vec_id) <> e.vec_id) AS BIGINT) "
+        "AS n_exact_drop, "
+        "1 AS agree_ge_95"
+    )
+
+
+def _bpe_learn_oracle_sql(n_steps: int) -> str:
+    """Independent DuckDB re-derivation of the BPE TRAINING loop
+    (q_bpe_learn): iteration i segments every vocabulary word with the
+    merges chosen by iterations 1..i-1 — applied via the chained-
+    replace identity with the PREVIOUS argmax rows as scalar
+    subqueries, never frozen literals — then recomputes the weighted
+    adjacent-pair counts and takes the same (cnt DESC, a, b) argmax.
+    Symbol strings keep their trailing separator, so with L = len of
+    the split list (last element ''), symbols are l[1..L-1] and the
+    pairs are (l[i], l[i+1]) for i in 1..L-2."""
+    sep = chr(31)
+    ctes = [
+        "WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') "
+        "AS t FROM documents), "
+        "words AS (SELECT w, COUNT(*) AS n FROM "
+        "(SELECT unnest(t) AS w FROM toks) GROUP BY w), "
+        f"s0 AS (SELECT regexp_replace(w, '(.)', '\\1{sep}', 'g') AS s, "
+        "n FROM words)"
+    ]
+    for i in range(1, n_steps + 1):
+        ctes.append(
+            f"p{i} AS (SELECT l[g.i] AS a, l[g.i+1] AS b, "
+            "SUM(n) AS cnt FROM "
+            f"(SELECT string_split(s, '{sep}') AS l, n FROM s{i-1}) q, "
+            "LATERAL unnest(generate_series(1, greatest(len(l)-2, 0))) "
+            "AS g(i) GROUP BY l[g.i], l[g.i+1])"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT a, b, cnt FROM p{i} "
+            "ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if i < n_steps:
+            ctes.append(
+                f"s{i} AS (SELECT replace(s, "
+                f"(SELECT a || '{sep}' || b FROM m{i}), "
+                f"(SELECT a || b FROM m{i})) AS s, n FROM s{i-1})"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, CAST(cnt AS BIGINT) AS cnt FROM m{i}"
+        for i in range(1, n_steps + 1)
+    )
+    return ", ".join(ctes) + " " + selects
+
+
+def _zorder_layout_oracle_sql(bits: int, n_files: int) -> str:
+    """DuckDB replay of the q_zorder_layout assignment — the oracle
+    predicts the parquet FOOTER values: exact-histogram equi-depth
+    cells (cell(v) = cum-count-before * 2^bits // n; `//` truncates,
+    positive operands, so it equals Spark `div`), Morton interleave
+    with bit position i*k + dim_idx, file bucket by the same cum-count
+    arithmetic over distinct z values, then per-bucket count/min/max —
+    which is exactly what pyarrow reads back from the written files if
+    and only if the physical layout realizes the logical one."""
+    cells = 2 ** bits
+    inter_terms = " | ".join(
+        f"(((c{d} >> {i}) & 1) << {i * 2 + d})"
+        for i in range(bits)
+        for d in range(2)
+    )
+    return (
+        f"WITH n AS (SELECT COUNT(*) AS n FROM events), "
+        "ha AS (SELECT user_id AS v, COUNT(*) AS c FROM events "
+        "GROUP BY user_id), "
+        "ca AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * {cells}) "
+        "// (SELECT n FROM n) AS cell FROM ha), "
+        "hb AS (SELECT event_id AS v, COUNT(*) AS c FROM events "
+        "GROUP BY event_id), "
+        "cb AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * {cells}) "
+        "// (SELECT n FROM n) AS cell FROM hb), "
+        "rz AS (SELECT e.user_id, e.event_id, "
+        "ca.cell AS c0, cb.cell AS c1 FROM events e "
+        "JOIN ca ON ca.v = e.user_id JOIN cb ON cb.v = e.event_id), "
+        f"z AS (SELECT user_id, event_id, {inter_terms} AS z FROM rz), "
+        "hz AS (SELECT z AS zv, COUNT(*) AS c FROM z GROUP BY z), "
+        "fz AS (SELECT zv, (COALESCE(SUM(c) OVER (ORDER BY zv "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * {n_files}) "
+        "// (SELECT n FROM n) AS file_id FROM hz) "
+        "SELECT CAST(fz.file_id AS INT) AS file_id, "
+        "COUNT(*) AS n_rows, "
+        "MIN(z.user_id) AS min_user_id, MAX(z.user_id) AS max_user_id, "
+        "MIN(z.event_id) AS min_event_id, MAX(z.event_id) AS max_event_id "
+        "FROM z JOIN fz ON fz.zv = z.z GROUP BY fz.file_id"
+    )
+
+
+def _ngram_jaccard_oracle_sql(threshold: float) -> str:
+    """Shared generator for the exact n-gram-Jaccard keys
+    (q_ngram_jaccard at 0.2, q_ppjoin_jaccard at its honest 0.8 regime
+    since r6) — one SQL body, threshold-parameterized, so the two keys'
+    oracles cannot drift. Mirrors the Spark operators exactly: the
+    filter applies to the ROUNDED jaccard (both operators round to 4
+    then filter), and the threshold literal is CAST to DOUBLE (DuckDB
+    parses bare float literals as DECIMAL — CLAUDE.md r5 rule). ROUND
+    half-away == Spark HALF_UP for positive values, and representable
+    round-4 ties (denominator a power of two, e.g. 13/32) round up in
+    both engines."""
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        "array_to_string(t[i:i+2], ' ') AS shingle "
+        "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
+        "AS u(i)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "COUNT(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, jaccard FROM ("
+        "SELECT doc_a, doc_b, "
+        "ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b) "
+        f"WHERE jaccard >= CAST({threshold} AS DOUBLE)"
+    )
+
+
 def _with_shared_oracles(d: dict) -> dict:
-    """Oracle aliases: queries contracted to produce IDENTICAL output to
-    another key share that key's SQL verbatim (q_ppjoin_jaccard is the
-    prefix-filtered exact-Jaccard twin of q_ngram_jaccard)."""
-    d["q_ppjoin_jaccard"] = d["q_ngram_jaccard"]
+    """Oracle derivations that must stay coupled to another key's SQL:
+    q_ppjoin_jaccard is the prefix-filtered exact-Jaccard twin of
+    q_ngram_jaccard — same generator, evaluated at its own re-pinned
+    threshold (0.8 since r6), so the algorithmic body cannot drift
+    between the two keys."""
+    d["q_ppjoin_jaccard"] = _ngram_jaccard_oracle_sql(0.8)
     return d
 
 

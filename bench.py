@@ -148,6 +148,11 @@ HEADLINE = [
     "q_sql_cust_order_dist",
     "q_sql_brand_qty_revenue",
     "q_tokenizer_fertility",
+    # round 6: bounded-SemDeDup gate + promoted layout/training operators
+    "q_semantic_dedup_ivf",
+    "q_bpe_learn",
+    "q_evolving_read",
+    "q_zorder_layout",
 ]
 
 

@@ -1141,6 +1141,7 @@ def learn_bpe_merges(
     documents: DataFrame,
     n_merges: int = 10,
     min_pair_count: int = 2,
+    counts_out: list | None = None,
 ) -> tuple[list, DataFrame]:
     """Distributed BPE merge learning (Sennrich et al. 2016) — actually
     TRAIN the subword vocabulary, not just apply one: iteratively merge
@@ -1159,7 +1160,10 @@ def learn_bpe_merges(
     non-overlapping, exactly the reference algorithm's semantics.
 
     Returns (ordered merge list [(a, b), ...], final symbol table
-    (word, n, syms)).
+    (word, n, syms)). ``counts_out``, if given, receives the winning
+    pair count per merge (parallel to the merge list) — the surface
+    the driver-gated ``q_bpe_learn`` hashes so the oracle verifies not
+    just WHICH pair won each argmax but its exact weighted count.
     """
     words = (
         documents.select(F.explode(tokens()).alias("w"))
@@ -1197,6 +1201,8 @@ def learn_bpe_merges(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        if counts_out is not None:
+            counts_out.append(int(top[0]["cnt"]))
         merged = F.lit(a + b)
         # left-to-right non-overlapping merge as a sequential fold:
         # state.pending holds the previous unmerged symbol

@@ -166,6 +166,165 @@ def write_zordered(
     )
 
 
+def zorder_value_exact(
+    df: DataFrame, cols: list[str], bits: int = 4
+) -> "tuple[DataFrame, str]":
+    """Exact-quantile twin of ``zorder_value`` — same Morton interleave,
+    but the equi-depth cells come from the exact VALUE HISTOGRAM
+    instead of approxQuantile: cell(v) = (#rows with value < v) * 2^bits
+    div n, so ties share a cell and the whole assignment is pure
+    integer arithmetic an external engine can replay bit-for-bit
+    (approxQuantile's GK sketch is partitioning-dependent and not
+    replayable — fine for the layout itself, useless for an oracle).
+
+    Cost model vs the approx variant: one count() scalar plus, per
+    column, a groupBy(value) rollup and a cumulative-sum window over
+    the DISTINCT values (single-partition, but |distinct|-sized — the
+    rollup, not the corpus, pays the sort) and one broadcast join back.
+    Use ``zorder_value`` for routine 100 TB layout runs; use this when
+    the assignment itself must be verifiable (the driver-gated
+    ``q_zorder_layout``).
+
+    Returns (df_with_key, key_column_name)."""
+    from pyspark.sql import Window
+
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long z-key")
+    cells = 2 ** bits
+    n = df.count()
+    keyed = df
+    for idx, c in enumerate(cols):
+        w = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cellmap = (
+            df.groupBy(F.col(c).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                "_v",
+                F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_cb"),
+            )
+            # truncating integer div — positive operands, so Spark
+            # `div` and DuckDB `//` agree (CLAUDE.md r4c rule)
+            .select(
+                "_v",
+                F.expr(f"(_cb * {cells}) div {n}").alias(f"_zcell{idx}"),
+            )
+        )
+        keyed = keyed.join(
+            F.broadcast(cellmap), keyed[c] == cellmap["_v"]
+        ).drop("_v")
+    z = F.lit(0).cast("long")
+    for idx in range(k):
+        cell_col = F.col(f"_zcell{idx}")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell_col, i)
+                    .bitwiseAND(F.lit(1))
+                    .cast("long"),
+                    i * k + idx,
+                )
+            )
+    keyed = keyed.withColumn("_zorder", z).drop(
+        *[f"_zcell{idx}" for idx in range(k)]
+    )
+    return keyed, "_zorder"
+
+
+def zorder_layout_report(
+    spark: SparkSession,
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 4,
+    n_files: int = 8,
+) -> DataFrame:
+    """Write a z-order-clustered copy of ``df[cols]`` and report the
+    PHYSICAL layout from the parquet footers: one row per output file
+    bucket with its row count and the min/max of every clustered
+    column, read back via pyarrow column statistics — the evidence a
+    scan planner actually uses for row-group skipping.
+
+    The whole pipeline is replayable: exact-histogram cells
+    (``zorder_value_exact``), Morton interleave, then file assignment
+    by the same cum-count arithmetic over the DISTINCT z values
+    (file(z) = (#rows with z' < z) * n_files div n — z has at most
+    2^(bits*k) distinct values, so the assignment map broadcasts).
+    Files land as ``_file_id=K`` partition directories, so an oracle
+    that replays the integer assignment in SQL predicts every surfaced
+    (file_id, n_rows, min, max) EXACTLY — a green hash proves the
+    bytes on disk match the logical layout, end to end.
+
+    The report read is driver-side pyarrow over footers only (bounded:
+    n_files directories, stats per column chunk — no data pages)."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import Window
+
+    keyed, zcol = zorder_value_exact(df.select(*cols), cols, bits=bits)
+    n = df.count()
+    w = Window.orderBy("_z").rowsBetween(Window.unboundedPreceding, -1)
+    filemap = (
+        keyed.groupBy(F.col(zcol).alias("_z"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_z", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_cb")
+        )
+        .select(
+            "_z", F.expr(f"(_cb * {n_files}) div {n}").alias("_file_id")
+        )
+    )
+    (
+        keyed.join(F.broadcast(filemap), keyed[zcol] == filemap["_z"])
+        .drop("_z", zcol)
+        .repartition(n_files, "_file_id")
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .partitionBy("_file_id")
+        .parquet(path)
+    )
+    agg: dict = {}
+    for p in _glob.glob(
+        _os.path.join(path, "_file_id=*", "*.parquet")
+    ):
+        fid = int(
+            _re.search(r"_file_id=(\d+)", _os.path.dirname(p)).group(1)
+        )
+        md = _pq.ParquetFile(p).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        cur = agg.setdefault(
+            fid, {"n_rows": 0, **{c: [None, None] for c in cols}}
+        )
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            cur["n_rows"] += g.num_rows
+            for c in cols:
+                st = g.column(names.index(c)).statistics
+                lo, hi = cur[c]
+                cur[c] = [
+                    st.min if lo is None else min(lo, st.min),
+                    st.max if hi is None else max(hi, st.max),
+                ]
+    rows = [
+        (
+            fid,
+            v["n_rows"],
+            *[x for c in cols for x in v[c]],
+        )
+        for fid, v in sorted(agg.items())
+    ]
+    schema = "file_id INT, n_rows BIGINT, " + ", ".join(
+        f"min_{c} BIGINT, max_{c} BIGINT" for c in cols
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
@@ -258,7 +417,7 @@ def snapshot_diff(
 
 def read_parquet_evolving(
     spark: SparkSession,
-    path: str,
+    path: "str | list[str]",
     defaults: dict | None = None,
 ) -> DataFrame:
     """Schema-evolution-tolerant parquet reader: ``mergeSchema`` unions
@@ -272,7 +431,8 @@ def read_parquet_evolving(
     mergeSchema costs a footer read per file at planning time — pair
     with ``compact_files`` to keep the file count sane.
     """
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     for col, default in (defaults or {}).items():
         if col in df.columns:
             df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))

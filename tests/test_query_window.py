@@ -63,3 +63,22 @@ def test_oracle_backed_queries_without_green_row_sit_inside_window():
         f"oracle-backed, never-green queries outside the window: "
         f"{out_of_window}"
     )
+
+
+def test_bench_names_are_query_keys():
+    """Bench-subset membership pin (r5 verdict task #6): bench is the
+    headline SUBSET of queries(), and that membership was previously
+    unpinned — a renamed key would silently drop out of benching (and
+    out of every BASELINE.md comparison). Assert every benched name
+    and every frozen comparable-subtotal name resolves to a real
+    queries() key."""
+    import bench
+
+    qs = set(entry.queries())
+    stray = [n for n in bench.HEADLINE if n not in qs]
+    assert not stray, f"bench.HEADLINE names not in queries(): {stray}"
+    stray_cmp = [n for n in bench.R2_COMPARABLE if n not in bench.HEADLINE]
+    assert not stray_cmp, (
+        f"comparable-subtotal names missing from HEADLINE: {stray_cmp}"
+    )
+    assert list(bench.R1_COMPARABLE) == list(bench.R2_COMPARABLE[:23])

@@ -511,3 +511,21 @@ def test_ccnet_buckets_order_and_fractions(spark):
         assert min(r["avg_logprob"] for r in buckets["head"]) > max(
             r["avg_logprob"] for r in buckets["tail"]
         )
+
+
+def test_learn_bpe_merges_counts_out(spark):
+    """counts_out receives the winning pair count per merge — the
+    surface q_bpe_learn hashes (textbook corpus: es = 6+3 = 9, then
+    est = 9)."""
+    from dbt_schema_builder_spark.operators.text import learn_bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    counts: list = []
+    merges, _ = learn_bpe_merges(
+        _docs(spark, [text]), n_merges=3, counts_out=counts
+    )
+    assert len(counts) == len(merges) == 3
+    assert merges[0] == ("e", "s") and counts[0] == 9
+    assert merges[1] == ("es", "t") and counts[1] == 9

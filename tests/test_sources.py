@@ -223,3 +223,100 @@ def test_zorder_supports_timestamp_columns(spark, tables, tmp_path):
         ) / len(lo_hi)
 
     assert avg_ts_width(zp) < avg_ts_width(lp) * 0.7
+
+
+def test_zorder_exact_layout_report_matches_logical_assignment(
+    spark, tables, tmp_path
+):
+    """The q_zorder_layout end-to-end pin, in miniature: the pyarrow
+    footer report must equal an independent pure-Python replay of the
+    exact-histogram cell / Morton interleave / cum-count file
+    assignment — proving the bytes on disk realize the logical
+    layout."""
+    from collections import Counter
+
+    from dbt_schema_builder_spark.sources.io import zorder_layout_report
+
+    bits, n_files = 3, 4
+    ev = (
+        tables["events"]
+        .where("event_id % 5 = 0")
+        .select("user_id", "event_id")
+    )
+    rows = [(r.user_id, r.event_id) for r in ev.collect()]
+    report = zorder_layout_report(
+        spark,
+        ev,
+        ["user_id", "event_id"],
+        str(tmp_path / "z"),
+        bits=bits,
+        n_files=n_files,
+    ).collect()
+
+    # independent replay
+    n, cells = len(rows), 2 ** bits
+
+    def cell_map(vals):
+        cnt = Counter(vals)
+        out, cb = {}, 0
+        for v in sorted(cnt):
+            out[v] = (cb * cells) // n
+            cb += cnt[v]
+        return out
+
+    ca = cell_map([r[0] for r in rows])
+    cb_ = cell_map([r[1] for r in rows])
+
+    def interleave(c0, c1):
+        z = 0
+        for i in range(bits):
+            z |= ((c0 >> i) & 1) << (2 * i)
+            z |= ((c1 >> i) & 1) << (2 * i + 1)
+        return z
+
+    zs = [interleave(ca[a], cb_[b]) for a, b in rows]
+    zcnt = Counter(zs)
+    fmap, cum = {}, 0
+    for z in sorted(zcnt):
+        fmap[z] = (cum * n_files) // n
+        cum += zcnt[z]
+    expect: dict = {}
+    for (a, b), z in zip(rows, zs):
+        e = expect.setdefault(
+            fmap[z], [0, a, a, b, b]
+        )
+        e[0] += 1
+        e[1], e[2] = min(e[1], a), max(e[2], a)
+        e[3], e[4] = min(e[3], b), max(e[4], b)
+    got = {
+        r.file_id: [
+            r.n_rows, r.min_user_id, r.max_user_id,
+            r.min_event_id, r.max_event_id,
+        ]
+        for r in report
+    }
+    assert got == expect
+
+
+def test_read_parquet_evolving_accepts_path_list(spark, tables, tmp_path):
+    """Multi-path evolving read (the q_evolving_read shape): two
+    batches with different schemas merge; the typed default fills only
+    the pre-evolution rows."""
+    from dbt_schema_builder_spark.sources.io import read_parquet_evolving
+
+    nation = tables["nation"]
+    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        str(tmp_path / "b1")
+    )
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b2"))
+    df = read_parquet_evolving(
+        spark,
+        [str(tmp_path / "b1"), str(tmp_path / "b2")],
+        defaults={"n_regionkey": -1},
+    )
+    n = nation.count()
+    assert df.count() == 2 * n
+    assert df.where("n_regionkey = -1").count() == n
+    assert df.where("n_regionkey IS NULL").count() == 0

@@ -72,6 +72,11 @@ NOTES = {
     "q_apply_bpe": "frozen merges folded into the expression tree: map-only, zero exchanges",
     "q_skew_report": "one count agg; 1-row totals broadcast; TakeOrdered top-k",
     "q_semantic_dedup": "blocked GEMM pairs + label propagation on the pair graph only",
+    "q_ppjoin_jaccard": (
+        "prefix-filtered exact Jaccard at its honest t=0.8 regime (r6 "
+        "re-pin): df-rank + sorted prefix keeps (1-t) of each set before "
+        "the candidate join"
+    ),
     "q_merge_partial_aggs": "batch partial agg + union + keys-sized re-agg (monoid merge)",
     "q_snapshot_diff": "16-byte md5 row signatures through one full-outer key join",
     "q_histogram": "one (group, bin) exchange; map-side partials; pruned 2-column scan",
@@ -80,6 +85,25 @@ NOTES = {
     "q_sql_cust_order_dist": "LEFT join + two aggregation levels; second agg over keys-sized input",
     "q_sql_brand_qty_revenue": "disjunctive predicate over broadcast part join; single-row agg",
     "q_tokenizer_fertility": "zero-shuffle segmentation + doc_id join + lang agg",
+    "q_semantic_dedup_ivf": (
+        "bounded branch driver-gated: per-cell FlatMapGroupsInPandas GEMM "
+        "(capped tasks) joined against the exact closure; only replayable "
+        "facts + the integer agreement flag surface"
+    ),
+    "q_bpe_learn": (
+        "training loop: per-iteration pair-count agg over the vocab-bounded "
+        "word table, argmax-only collect (plan shown = the final merge "
+        "table's local scan; the iteration plans are the kmeans shape)"
+    ),
+    "q_evolving_read": (
+        "mergeSchema footer-union scan over heterogeneous files; typed "
+        "default fill is a map-side coalesce"
+    ),
+    "q_zorder_layout": (
+        "layout op: exact-histogram cells + Morton interleave + partitioned "
+        "write, then a driver-side pyarrow FOOTER report (plan shown = the "
+        "report's local scan; the write plan is repartition + sort)"
+    ),
 }
 
 
