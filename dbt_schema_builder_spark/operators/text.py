@@ -601,6 +601,86 @@ def source_mix(
     )
 
 
+def source_mix_waterfill(
+    documents: DataFrame, budget_tokens: int = 100_000, by: str = "source"
+) -> DataFrame:
+    """Waterfilling source allocation — the fix for ``source_mix``'s
+    blind spot: equal shares WASTE budget on sources smaller than their
+    share (their surplus evaporates instead of flowing to the big
+    sources). Classic max-min fair allocation: every source gets
+    min(its total, the water level L), with L the unique level that
+    spends the whole budget — small clean sources are taken whole, the
+    crawl absorbs exactly the remainder. This is how real pretraining
+    mixes express "all of Wikipedia, the rest from CommonCrawl" without
+    hand-tuning per-source rates.
+
+    Pure integer arithmetic: sort sources ascending by token total;
+    after the k smallest are taken whole, the candidate level is
+    (budget - cum_k) div (m - k); the final level is the candidate at
+    the largest k whose next total still exceeds it. The solve runs
+    driver-side over the per-source rollup (<= #sources rows — the
+    kmeans bounded-collect convention; a corpus has thousands of
+    sources, not billions), and is closed-form replayable in SQL via a
+    cum-sum window over the sorted totals — the promotion path.
+
+    Returns (source, n_docs, n_tokens, alloc_tokens, rate_milli) with
+    sum(alloc) == min(budget, corpus total) exactly; rate_milli =
+    (1000 * alloc) div total (truncating, positive operands — the
+    engine-agreement regime).
+    """
+    per = (
+        documents.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens())).cast("bigint").alias("n_tokens"),
+        )
+        .persist()
+    )
+    rows = sorted(
+        per.select(by, "n_tokens").collect(), key=lambda r: (r[1], r[0])
+    )
+    m = len(rows)
+    remaining, level = int(budget_tokens), 0
+    allocs: dict = {}
+    for i, r in enumerate(rows):
+        total = int(r[1])
+        fair = remaining // (m - i)
+        if total <= fair:
+            allocs[r[0]] = total
+            remaining -= total
+        else:
+            # water level reached: everyone left gets `fair` (the first
+            # few also absorb the division remainder, largest-first
+            # would be arbitrary — keep the deterministic sorted order)
+            rem = remaining - fair * (m - i)
+            for j, rr in enumerate(rows[i:]):
+                allocs[rr[0]] = fair + (1 if j < rem else 0)
+            remaining = 0
+            break
+    alloc_col = F.coalesce(
+        *[
+            F.when(F.col(by) == F.lit(s), F.lit(a))
+            for s, a in allocs.items()
+        ]
+        + [F.lit(0)]
+    ) if allocs else F.lit(0)
+    return per.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        alloc_col.cast("bigint").alias("alloc_tokens"),
+    ).select(
+        by,
+        "n_docs",
+        "n_tokens",
+        "alloc_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000 * alloc_tokens) div n_tokens END"
+        ).alias("rate_milli"),
+    )
+
+
 def percentile_filter(
     documents: DataFrame, p: float = 0.1, by: str = "lang"
 ) -> DataFrame:
@@ -1287,6 +1367,97 @@ def apply_bpe_merges(
         n_sub.alias("n_subwords"),
         F.size(words).alias("n_words"),
     )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its tokens are under a TARGET
+    domain's language model than under the raw corpus's — the
+    importance weight ln(p_tgt(doc)/p_raw(doc)) that made
+    domain-matched pretraining subsets standard practice. ``target``
+    is a DataFrame with a ``text`` column (the exemplar corpus:
+    Wikipedia, textbooks, an eval domain); any slice of ``documents``
+    works.
+
+    Estimator shape (the hashed-ngram variant of the paper collapses
+    to this under whitespace features): two add-one-smoothed unigram
+    LMs — p(t) = (c_t + 1)/(N + V) with V = the union vocabulary — and
+    w(doc) = sum_t n_t(doc) * [ln p_tgt(t) - ln p_raw(t)].
+
+    Determinism engineering (the _det_avg discipline, one level up):
+    the per-TOKEN log-ratio is rounded to integer milli-units in the
+    vocab-bounded LM table — ONE double log per distinct token, not
+    per occurrence — and each document's weight is then an exact int64
+    dot product of token counts with those integers, so the surfaced
+    ``weight_milli`` is identical across partitionings. Headroom:
+    |log-ratio| < ln(N+V) (~30 milli-thousands at 1e13 tokens), so a
+    doc needs > ~3e14 tokens to overflow int64 — unreachable.
+
+    ``k`` selects the top-k weights deterministically ((weight DESC,
+    doc_id) — the reproducible variant of the paper's Gumbel
+    resampling) via TakeOrdered + a window over the <=k survivors
+    (never a corpus-wide single-partition window). At 100 TB: one
+    tokenize pass over each corpus (map-side count combine), the
+    scoring join carries the Zipf-bounded LM table which AQE
+    broadcasts — the unigram_logprob profile exactly.
+
+    Returns (doc_id, n_tokens, weight_milli[, rank]) — rank only when
+    ``k`` is given.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    ).persist()
+    raw_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = (
+        target.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    # union vocabulary: smoothing must share V or the two LMs are not
+    # comparable (a raw-only token would get p_tgt over a smaller V)
+    lm = raw_counts.join(tgt_counts, "token", "full_outer").select(
+        "token",
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+    )
+    totals = lm.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio_milli = F.round(
+        (
+            F.log((F.col("c_tgt") + 1).cast("double"))
+            - F.log((F.col("n_tgt") + F.col("v")).cast("double"))
+            - F.log((F.col("c_raw") + 1).cast("double"))
+            + F.log((F.col("n_raw") + F.col("v")).cast("double"))
+        )
+        * 1000
+    ).cast("long")
+    weighted = (
+        lm.crossJoin(F.broadcast(totals))
+        .select("token", ratio_milli.alias("w_milli"))
+    )
+    scored = (
+        toks.join(weighted, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("weight_milli"),
+        )
+    )
+    if k is None:
+        return scored
+    topk = scored.orderBy(
+        F.col("weight_milli").desc(), F.col("doc_id")
+    ).limit(k)
+    w = Window.orderBy(F.col("weight_milli").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def ccnet_buckets(

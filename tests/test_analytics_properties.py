@@ -204,3 +204,60 @@ def test_value_histogram_is_a_partition(spark, rows):
     for _u, _m, t, v in rows:
         b = min(int(v // 50.0), 9)
         assert any(r.group_key == t and r.bin == b for r in hist), (t, v)
+
+
+pairs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=pairs_strategy)
+def test_zorder_exact_assignment_invariants(spark, rows):
+    """r6: the oracle-replayable z-order assignment must satisfy, for
+    ARBITRARY integer data (ties, negatives, skew): cells within
+    [0, 2^bits); cell assignment monotone in the value; equal values
+    share a cell; and equi-depth — the rows strictly below any
+    occupied cell are fewer than cell * ceil(n / 2^bits) would allow
+    only if ties force it, expressed exactly as: the cum-count-before
+    of a value determines its cell as (cb * B) div n."""
+    from collections import Counter
+
+    from dbt_schema_builder_spark.sources.io import zorder_value_exact
+
+    bits = 3
+    cells = 2 ** bits
+    df = spark.createDataFrame(rows, "a int, b int")
+    keyed, zcol = zorder_value_exact(df, ["a", "b"], bits=bits)
+    got = keyed.collect()
+    assert len(got) == len(rows)
+    # replay cell arithmetic per dimension
+    n = len(rows)
+
+    def cell_map(vals):
+        cnt = Counter(vals)
+        out, cb = {}, 0
+        for v in sorted(cnt):
+            out[v] = (cb * cells) // n
+            cb += cnt[v]
+        return out
+
+    ca = cell_map([r[0] for r in rows])
+    cb_ = cell_map([r[1] for r in rows])
+    for r in got:
+        c0, c1 = ca[r.a], cb_[r.b]
+        assert 0 <= c0 < cells and 0 <= c1 < cells
+        z = 0
+        for i in range(bits):
+            z |= ((c0 >> i) & 1) << (2 * i)
+            z |= ((c1 >> i) & 1) << (2 * i + 1)
+        assert r[zcol] == z
+    # monotone: sorted values get non-decreasing cells
+    for m in (ca, cb_):
+        ks = sorted(m)
+        assert all(m[x] <= m[y] for x, y in zip(ks, ks[1:]))

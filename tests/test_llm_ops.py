@@ -1358,3 +1358,130 @@ def test_tokenizer_fertility_consistent_with_apply(spark, tables):
         assert fr.fertility_milli == (1000 * r.s) // r.w
         # subwords never exceed characters-in-words, never fall below words
         assert fr.n_words <= fr.n_subwords
+
+
+def test_apply_bpe_agrees_with_learning_symbol_table(spark, tables):
+    """r6: the two BPE implementations must agree — learning segments
+    via the per-word aggregate-HOF fold (its syms table), application
+    via chained string replaces (the r5 rewrite). Learn on the real
+    corpus, then apply the learned merges: the corpus-total subword
+    count from apply_bpe_merges must equal the symbol counts the
+    TRAINING loop itself ended with, word by word."""
+    docs = tables["documents"]
+    merges, syms = text.learn_bpe_merges(docs, n_merges=4)
+    assert len(merges) == 4
+    total_apply = (
+        text.apply_bpe_merges(docs, merges)
+        .agg(F.sum("n_subwords"))
+        .collect()[0][0]
+    )
+    expected = (
+        docs.select(F.explode(text.tokens()).alias("w"))
+        .join(syms, "w")
+        .agg(F.sum(F.size("syms")))
+        .collect()[0][0]
+    )
+    assert total_apply == expected
+
+
+def test_dsir_importance_exact_weights_and_direction(spark):
+    """r6: DSIR importance weights — exact milli arithmetic checked
+    against an independent Python replay, and the directional
+    property that makes the operator useful: documents made of
+    target-domain tokens outweigh off-domain ones."""
+    import math
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    raw = _mk(
+        [
+            (1, "aaa bbb aaa"),
+            (2, "zzz yyy zzz yyy"),
+            (3, "aaa bbb"),
+            (4, "zzz zzz"),
+        ]
+    )
+    target = _mk([(100, "aaa bbb aaa bbb aaa")])
+    out = {
+        r.doc_id: r
+        for r in text.dsir_importance(raw, target).collect()
+    }
+    # independent replay
+    raw_toks = {1: ["aaa", "bbb", "aaa"], 2: ["zzz", "yyy", "zzz", "yyy"],
+                3: ["aaa", "bbb"], 4: ["zzz", "zzz"]}
+    c_raw: dict = {}
+    for ts in raw_toks.values():
+        for t in ts:
+            c_raw[t] = c_raw.get(t, 0) + 1
+    c_tgt = {"aaa": 3, "bbb": 2}
+    vocab = set(c_raw) | set(c_tgt)
+    v, n_raw, n_tgt = len(vocab), sum(c_raw.values()), sum(c_tgt.values())
+
+    def w_milli(t):
+        lr = math.log((c_tgt.get(t, 0) + 1) / (n_tgt + v)) - math.log(
+            (c_raw.get(t, 0) + 1) / (n_raw + v)
+        )
+        return round(lr * 1000)
+
+    for did, ts in raw_toks.items():
+        expect = sum(w_milli(t) for t in ts)
+        # +-1 milli per token: JVM log vs libm log may differ in the
+        # last ulp, which can flip a .5-boundary milli rounding
+        assert abs(out[did].weight_milli - expect) <= len(ts)
+        assert out[did].n_tokens == len(ts)
+    # direction: pure-target docs above off-domain docs
+    assert out[1].weight_milli > 0 > out[2].weight_milli
+    assert out[3].weight_milli > 0 > out[4].weight_milli
+    # top-k selection: deterministic rank, k rows
+    top = text.dsir_importance(raw, target, k=2).collect()
+    assert [r.doc_id for r in sorted(top, key=lambda r: r.rank)] == [1, 3]
+
+
+def test_source_mix_waterfill_exact_allocation(spark):
+    """r6: waterfilling source allocation — small sources taken whole,
+    the remainder flows to large ones, budget spent exactly."""
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, " ".join(["tok"] * n), "en", s, 3 * n)
+                for i, (s, n) in enumerate(rows)
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    # totals: tiny=10, small=50, big=200, huge=400 tokens
+    docs = _mk(
+        [("tiny", 10), ("small", 50), ("big", 100), ("big", 100),
+         ("huge", 400)]
+    )
+    out = {
+        r.source: r
+        for r in text.source_mix_waterfill(docs, budget_tokens=300).collect()
+    }
+    # waterfill by hand: tiny=10 whole, small=50 whole; remaining 240
+    # over {big, huge} -> level 120 each
+    assert out["tiny"].alloc_tokens == 10
+    assert out["small"].alloc_tokens == 50
+    assert out["big"].alloc_tokens == 120
+    assert out["huge"].alloc_tokens == 120
+    assert sum(r.alloc_tokens for r in out.values()) == 300
+    assert out["tiny"].rate_milli == 1000 and out["big"].rate_milli == 600
+    # budget >= corpus: everyone taken whole
+    full = {
+        r.source: r.alloc_tokens
+        for r in text.source_mix_waterfill(docs, budget_tokens=10_000).collect()
+    }
+    assert full == {"tiny": 10, "small": 50, "big": 200, "huge": 400}
+    # remainder distribution is deterministic and exact
+    out2 = {
+        r.source: r.alloc_tokens
+        for r in text.source_mix_waterfill(docs, budget_tokens=301).collect()
+    }
+    assert sum(out2.values()) == 301
