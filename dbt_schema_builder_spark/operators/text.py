@@ -1419,11 +1419,18 @@ def dsir_importance(
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
     # union vocabulary: smoothing must share V or the two LMs are not
-    # comparable (a raw-only token would get p_tgt over a smaller V)
-    lm = raw_counts.join(tgt_counts, "token", "full_outer").select(
-        "token",
-        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
-        F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+    # comparable (a raw-only token would get p_tgt over a smaller V).
+    # persist: the vocab-bounded LM table feeds BOTH the totals agg and
+    # the scoring join — unpersisted, the whole count pipeline (incl.
+    # the target tokenize) re-ran per consumer (plan-pinned)
+    lm = (
+        raw_counts.join(tgt_counts, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+        .persist()
     )
     totals = lm.agg(
         F.sum("c_raw").alias("n_raw"),
