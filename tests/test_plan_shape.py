@@ -392,3 +392,22 @@ def test_sigma_outliers_no_python_and_pruned_scan(tables):
     assert "Python" not in plan, plan
     m = re.search(r"ReadSchema: (.*)", plan)
     assert m and "props" not in m.group(1), plan
+
+
+def test_dsir_lm_table_is_cached_not_recomputed(tables):
+    """r6: dsir_importance's union-vocab LM table feeds BOTH the totals
+    aggregate and the scoring join; unpersisted, the whole count
+    pipeline (including the target tokenize) re-ran per consumer —
+    one extra parquet scan and Generate in the plan. Pin the persist:
+    the final plan reads the LM through InMemoryTableScan and the scan
+    count stays at the cached level."""
+    from dbt_schema_builder_spark.operators import text
+
+    docs = tables["documents"]
+    df = text.dsir_importance(docs, docs.where("lang = 'en'"))
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    # regression level was 8 scans (one full pipeline re-run)
+    assert plan.count("Scan parquet") <= 7, plan
+    # the 1-row totals fold must not become a shuffled join
+    assert "CartesianProduct" not in plan, plan
