@@ -185,12 +185,29 @@ def zorder_value_exact(
     the assignment itself must be verifiable (the driver-gated
     ``q_zorder_layout``).
 
+    NULLs in a clustered column are rejected up front: the cell-map
+    equality join would silently DROP those rows (a layout op must be
+    row-count-preserving) — callers coalesce or filter first.
+
     Returns (df_with_key, key_column_name)."""
     from pyspark.sql import Window
 
     k = len(cols)
     if k * bits > 63:
         raise ValueError(f"{k} cols x {bits} bits exceeds a long z-key")
+    null_counts = df.select(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    bad = {c: int(null_counts[c] or 0) for c in cols if null_counts[c]}
+    if bad:
+        raise ValueError(
+            f"zorder_value_exact: NULLs in clustered columns {bad} — "
+            "the cell-map join would silently drop those rows; "
+            "coalesce or filter them first"
+        )
     cells = 2 ** bits
     n = df.count()
     keyed = df

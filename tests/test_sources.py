@@ -320,3 +320,18 @@ def test_read_parquet_evolving_accepts_path_list(spark, tables, tmp_path):
     assert df.count() == 2 * n
     assert df.where("n_regionkey = -1").count() == n
     assert df.where("n_regionkey IS NULL").count() == 0
+
+
+def test_zorder_exact_rejects_null_clustered_values(spark):
+    """r6: a layout op must be row-count-preserving — NULLs in a
+    clustered column would vanish through the cell-map equality join,
+    so the exact variant refuses loudly instead."""
+    import pytest
+
+    from dbt_schema_builder_spark.sources.io import zorder_value_exact
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "a int, b int"
+    )
+    with pytest.raises(ValueError, match="NULLs in clustered columns"):
+        zorder_value_exact(df, ["a", "b"], bits=3)
