@@ -11,6 +11,10 @@ Harness discipline (the r4 bench lesson): warmup pass first, clearCache
 per run, interleaved samples, median-of-3.
 
 Run:  STRESS_FACTOR=10 python tools/r6_scale.py
+      STRESS_FACTOR=100 R6_OPS=zorder,bpe python tools/r6_scale.py
+(R6_OPS filters {zorder,bpe,semdedup}; semdedup at 100x on the
+dup-dense replica is quadratic OUTPUT by construction — see SCALE.md —
+so the 100x pass runs only the first two.)
 """
 import os
 import statistics
@@ -26,6 +30,9 @@ from dbt_schema_builder_spark.session import get_spark, read_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
+OPS = set(
+    os.environ.get("R6_OPS", "zorder,bpe,semdedup").split(",")
+)
 
 spark = get_spark(app_name="r6-scale")
 spark.sparkContext.setLogLevel("ERROR")
@@ -86,7 +93,8 @@ def zo(df):
     ).collect()
 
 
-interleaved("zorder_layout_report", zo(e1), zo(eN))
+if "zorder" in OPS:
+    interleaved("zorder_layout_report", zo(e1), zo(eN))
 
 docs = read_table(spark, f"{SF_DIR}/documents.parquet")
 dN = staged(
@@ -104,7 +112,8 @@ def bpe(df):
     return lambda: text.learn_bpe_merges(df, n_merges=6, min_pair_count=2)
 
 
-interleaved("learn_bpe_merges", bpe(docs), bpe(dN))
+if "bpe" in OPS:
+    interleaved("learn_bpe_merges", bpe(docs), bpe(dN))
 
 emb = read_table(spark, f"{SF_DIR}/embeddings.parquet")
 embN = staged(
@@ -124,4 +133,5 @@ def sdi(df):
     ).groupBy("action").count().collect()
 
 
-interleaved("semantic_dedup(ivf_sharded)", sdi(emb), sdi(embN))
+if "semdedup" in OPS:
+    interleaved("semantic_dedup(ivf_sharded)", sdi(emb), sdi(embN))
