@@ -261,3 +261,42 @@ def test_zorder_exact_assignment_invariants(spark, rows):
     for m in (ca, cb_):
         ks = sorted(m)
         assert all(m[x] <= m[y] for x, y in zip(ks, ks[1:]))
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=pairs_strategy)
+def test_zorder_layout_report_matches_sql_oracle_on_random_events(
+    spark, rows, tmp_path_factory
+):
+    """r6 differential, end to end THROUGH THE FOOTERS: the
+    q_zorder_layout SQL oracle replayed by DuckDB over arbitrary
+    (user_id, event_id) tables must equal what pyarrow reads back from
+    the files Spark wrote — ties, negatives, skew and near-empty
+    buckets included."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _zorder_layout_oracle_sql
+    from dbt_schema_builder_spark.sources.io import zorder_layout_report
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rows], "user_id long, event_id long"
+    )
+    out = tmp_path_factory.mktemp("zdiff")
+    got = {
+        tuple(r)
+        for r in zorder_layout_report(
+            spark, df, ["user_id", "event_id"], str(out),
+            bits=3, n_files=4,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(rows, columns=["user_id", "event_id"]),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_zorder_layout_oracle_sql(3, 4)).fetchall()
+    }
+    assert got == want

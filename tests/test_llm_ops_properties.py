@@ -311,3 +311,89 @@ def test_sliding_chunks_tile_exactly(spark, text_list, size, overlap):
         # full coverage: the last window reaches the end of the doc
         last = rows[-1]
         assert last.start_tok + last.n_tok == max(n, 1)
+
+
+# BPE-learn differential: corpora built from words long enough that 3
+# merge iterations always find a pair (the anchor word alone guarantees
+# it), so the unrolled oracle CTEs never hit an empty argmax
+bpe_words = st.sampled_from(
+    ["abcabc", "bcabca", "cabcab", "aabb", "abab", "baba", "abc"]
+)
+bpe_corpora = st.lists(bpe_words, min_size=3, max_size=20).map(
+    lambda ws: ws + ["abcabcabc"]
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ws=bpe_corpora)
+def test_bpe_learn_matches_duckdb_oracle_on_random_corpora(spark, ws):
+    """r6 differential: the q_bpe_learn oracle re-derives the training
+    trajectory via scalar-subquery-chained per-iteration argmax CTEs —
+    here checked against the Spark training loop on ARBITRARY corpora,
+    not just the driver fixture. Any divergence in pair counting,
+    tie-breaking, or the chained-replace merge identity shows up as a
+    step mismatch."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _bpe_learn_oracle_sql
+
+    steps = 3
+    docs = _docs(spark, [" ".join(ws)])
+    counts: list = []
+    merges, _ = text.learn_bpe_merges(
+        docs, n_merges=steps, min_pair_count=1, counts_out=counts
+    )
+    assert len(merges) == steps  # corpus construction guarantees pairs
+    got = {
+        (i + 1, a, b, c)
+        for i, ((a, b), c) in enumerate(zip(merges, counts))
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [0], "text": [" ".join(ws)]})
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_bpe_learn_oracle_sql(steps)).fetchall()
+    }
+    assert got == want
+
+
+jacc_words = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+jacc_texts = st.lists(jacc_words, min_size=4, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(jacc_texts, min_size=2, max_size=8))
+def test_prefix_jaccard_matches_oracle_generator_at_08(spark, texts):
+    """r6 differential: the prefix-filter implementation vs the SHARED
+    ngram-Jaccard oracle generator at the re-pinned t=0.8 — on random
+    corpora where near-identical docs are common (tiny alphabet), so
+    the high-threshold branch actually fires. Catches prefix-lemma
+    bugs (a dropped true pair) and rounding-boundary drift in either
+    direction."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _ngram_jaccard_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_prefix_pairs(
+            docs, n=3, threshold=0.8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": list(texts)}
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_ngram_jaccard_oracle_sql(0.8)).fetchall()
+    }
+    assert got == want
