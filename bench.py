@@ -178,11 +178,34 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
     )
 
 
+def _dsir(spark, sf_dir):
+    """DSIR importance weights (r6 tests-only op, r7 promotion
+    candidate): target = the English slice."""
+    from dbt_schema_builder_spark.operators import text
+    from dbt_schema_builder_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    return text.dsir_importance(docs, docs.where("lang = 'en'"))
+
+
+def _waterfill(spark, sf_dir):
+    """Waterfilling source allocation (r6 tests-only op)."""
+    from dbt_schema_builder_spark.operators import text
+    from dbt_schema_builder_spark.session import read_table
+
+    return text.source_mix_waterfill(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        budget_tokens=100_000,
+    )
+
+
 # Bench-only entries: operator branches worth timing that aren't their own
 # queries() key (their semantics are covered by existing oracle keys).
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
+    "x_dsir_importance": _dsir,
+    "x_source_mix_waterfill": _waterfill,
 }
 
 
