@@ -47,6 +47,91 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-asset ingestion via the built-in ``binaryFile`` source — the
+    front door for the multimodal pipeline: each matched file becomes
+    one row (doc_id, asset_path, payload, n_bytes, modified_ms) whose
+    ``payload`` is exactly the opaque binary column
+    ``multimodal.binary_ops`` consumes (select doc_id, payload and go).
+    ``glob`` maps to pathGlobFilter (e.g. ``*.jpg``) so format
+    selection happens at LISTING time, before any byte is read.
+
+    doc_id is ``xxhash64(asset_path)`` — stable across runs and
+    clusters (monotonically_increasing_id is partition-dependent and
+    would re-key every re-ingest). Scale note: binaryFile is NOT
+    splittable — one file never spans tasks, so partition count tracks
+    file count and a directory of millions of thumbnails wants
+    compaction into archives upstream, while multi-GB videos want
+    ``sample_frames``-style chunking AFTER ingest; also mind
+    ``spark.sql.files.maxPartitionBytes`` only PACKS small files, it
+    cannot split big ones here."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("path").alias("asset_path"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+        (F.unix_timestamp("modificationTime") * 1000).alias("modified_ms"),
+    )
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+    source: str = "ingest",
+) -> DataFrame:
+    """Raw-text ingestion into the engine's documents shape
+    (doc_id, text, lang, source, n_chars) — the missing first step of
+    the curation pipeline for corpora that arrive as .txt, one document
+    per LINE (``whole_files=False``, the JSONL-adjacent web-corpus
+    layout; splittable, scales to any file size) or per FILE
+    (``whole_files=True`` — wholetext mode; like binaryFile, one file
+    per task, so mind file sizes).
+
+    doc_id is ``xxhash64(text)`` (the repo's long-key convention) —
+    content-addressed, so re-ingesting identical text re-keys
+    identically and exact dedup upstream is a free side effect (two
+    identical documents WILL collide by design; run ``dedup.
+    exact_dedup`` semantics or keep both via a (doc_id, asset) pair).
+    lang ships as 'und' — compose with ``text.lang_id`` downstream.
+    """
+    if whole_files:
+        df = spark.read.text(path, wholetext=True)
+    else:
+        df = spark.read.text(path)
+    txt = F.col("value")
+    return (
+        df.where(F.length(F.trim(txt)) > 0)
+        .select(
+            F.xxhash64(txt).alias("doc_id"),
+            txt.alias("text"),
+            F.lit("und").alias("lang"),
+            F.lit(source).alias("source"),
+            F.length(txt).alias("n_chars"),
+        )
+    )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro read — gated: the spark-avro module is external since
+    Spark 2.4 and is not on this build's classpath; raise a actionable
+    error instead of Spark's generic one."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException without the module
+        raise RuntimeError(
+            "Avro support needs the external spark-avro package on the "
+            "classpath (--packages org.apache.spark:spark-avro_2.13:<ver>); "
+            f"underlying error: {e}"
+        ) from e
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -335,3 +335,68 @@ def test_zorder_exact_rejects_null_clustered_values(spark):
     )
     with pytest.raises(ValueError, match="NULLs in clustered columns"):
         zorder_value_exact(df, ["a", "b"], bits=3)
+
+
+def test_binary_file_ingestion_feeds_multimodal_ops(spark, tmp_path):
+    """r6: binaryFile source -> (doc_id, payload) is exactly the
+    multimodal operators' input contract — ingest fake image files and
+    run real feature extraction over them."""
+    from dbt_schema_builder_spark.multimodal import image_features
+    from dbt_schema_builder_spark.sources.io import read_binary_files
+
+    (tmp_path / "x.img").write_bytes(b"FAKEIMG1" + bytes(range(64)))
+    (tmp_path / "y.img").write_bytes(b"notahead" + b"\x00" * 32)
+    (tmp_path / "skip.txt").write_text("not an asset")
+    media = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = media.collect()
+    assert len(rows) == 2
+    assert {r.n_bytes for r in rows} == {72, 40}
+    assert len({r.doc_id for r in rows}) == 2  # path-hash keyed
+    feats = {
+        r.doc_id: r
+        for r in image_features(
+            media.select("doc_id", "payload")
+        ).collect()
+    }
+    by_path = {r.asset_path.rsplit("/", 1)[-1]: r.doc_id for r in rows}
+    assert feats[by_path["x.img"]].header_ok == 1
+    assert feats[by_path["y.img"]].header_ok == 0
+
+
+def test_text_corpus_ingestion_line_and_whole_file(spark, tmp_path):
+    """r6: raw-text ingestion lands in the documents shape and runs
+    through the curation operators; content-addressed doc_ids re-key
+    identically on re-ingest."""
+    from dbt_schema_builder_spark.operators import text as text_ops
+    from dbt_schema_builder_spark.sources.io import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("the quick brown fox\n\nsecond doc here\n")
+    (tmp_path / "b.txt").write_text("third document line\n")
+    lines = read_text_corpus(spark, str(tmp_path))
+    got = {r.text for r in lines.collect()}
+    assert got == {
+        "the quick brown fox", "second doc here", "third document line"
+    }
+    # empty line dropped; schema matches the documents contract
+    assert lines.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    # content-addressed: re-ingest keys identically
+    again = {r.text: r.doc_id for r in read_text_corpus(
+        spark, str(tmp_path)).collect()}
+    first = {r.text: r.doc_id for r in lines.collect()}
+    assert first == again
+    # composes with the curation surface
+    assert text_ops.quality_score(lines).count() == 3
+    whole = read_text_corpus(spark, str(tmp_path), whole_files=True)
+    assert whole.count() == 2
+    assert {r.n_chars for r in whole.collect()} == {37, 20}
+
+
+def test_read_avro_raises_actionable_error(spark, tmp_path):
+    """The avro module is external; the wrapper must say how to add
+    it, not die with the generic source-not-found error."""
+    import pytest
+
+    from dbt_schema_builder_spark.sources.io import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path))
