@@ -400,3 +400,46 @@ def test_read_avro_raises_actionable_error(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path))
+
+
+def test_raw_files_to_packed_sequences_end_to_end(spark, tmp_path):
+    """r6 integration: the full curation path from RAW TEXT FILES to
+    packed training chunks — ingest (content-addressed), language-id,
+    quality gate, exact dedup (the ingest keying makes it a groupBy),
+    sequence packing. Every stage is an existing operator; this pins
+    that their contracts actually compose."""
+    from dbt_schema_builder_spark.operators import dedup, text as text_ops
+    from dbt_schema_builder_spark.sources.io import read_text_corpus
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps running\n"
+        "a second document with enough words to pass simple gates here\n"
+        "the quick brown fox jumps over the lazy dog and keeps running\n"
+        "short\n"
+    )
+    (tmp_path / "shard0.txt").write_text(body)
+    (tmp_path / "shard1.txt").write_text(
+        "third unique document line with a healthy number of words too\n"
+    )
+    docs = read_text_corpus(spark, str(tmp_path))
+    # identical lines collapse at ingest (content-addressed keys) —
+    # 5 raw lines, 4 distinct texts
+    assert docs.count() == 5
+    deduped = dedup.exact_dedup(docs)
+    assert deduped.count() == 4
+    keep = docs.join(
+        deduped.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
+    ).dropDuplicates(["doc_id"])
+    labeled = keep.drop("lang").join(
+        text_ops.lang_id(keep).select(
+            "doc_id", F.col("pred_lang").alias("lang")
+        ),
+        "doc_id",
+    )
+    gated = labeled.where(F.size(F.split(F.trim("text"), r"\s+")) >= 8)
+    assert gated.count() == 3  # 'short' dropped
+    packed = text_ops.pack_sequences(gated, budget=16, by="lang")
+    rows = packed.collect()
+    assert len(rows) == 3
+    # deterministic chunk ids, tokens conserved within each stratum
+    assert all(r.chunk_id >= 0 for r in rows)
