@@ -3851,6 +3851,84 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
     )
 
 
+def _dsir_oracle_sql(target_pred: str = "lang = 'en'") -> str:
+    """r7 promotion staging (NOT yet wired into oracle_sql — the r6
+    window is full): DuckDB replay of text.dsir_importance. The only
+    cross-engine risk is ln(): JVM Math.log vs libm may differ in the
+    last ulp, which can flip the per-token milli rounding only when the
+    log-ratio lands within ~1e-13 of a .0005 boundary — watched by the
+    differential test, not yet observed. Everything after the one
+    rounded log is exact integer arithmetic on both engines."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "trim(text), '\\s+')) AS token FROM documents), "
+        "rawc AS (SELECT token, COUNT(*) AS c_raw FROM toks "
+        "GROUP BY token), "
+        "tgtc AS (SELECT token, COUNT(*) AS c_tgt FROM "
+        "(SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) "
+        f"AS token FROM documents WHERE {target_pred}) GROUP BY token), "
+        "lm AS (SELECT COALESCE(r.token, t.token) AS token, "
+        "COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt "
+        "FROM rawc r FULL OUTER JOIN tgtc t ON r.token = t.token), "
+        "tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw, "
+        "CAST(SUM(c_tgt) AS BIGINT) AS n_tgt, COUNT(*) AS v FROM lm), "
+        "w AS (SELECT token, CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE)) "
+        "- ln(CAST(n_tgt + v AS DOUBLE)) - ln(CAST(c_raw + 1 AS DOUBLE)) "
+        "+ ln(CAST(n_raw + v AS DOUBLE))) * 1000) AS BIGINT) AS w_milli "
+        "FROM lm, tot) "
+        "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(w.w_milli) AS BIGINT) AS weight_milli "
+        "FROM toks t JOIN w ON w.token = t.token GROUP BY t.doc_id"
+    )
+
+
+def _waterfill_oracle_sql(budget_tokens: int) -> str:
+    """r7 promotion staging: closed-form SQL replay of
+    text.source_mix_waterfill's driver-side integer solve. The loop's
+    state collapses to window arithmetic: sort sources ascending by
+    (tokens, name); a source is taken WHOLE iff its total fits the
+    fair share of the budget left after all smaller sources are taken
+    whole (prefix condition — the first failure index k is where the
+    water level forms); everyone from k on gets level = remaining //
+    count, with the division remainder distributed +1 to the first
+    `rem` of them in the same sort order (matching the Python loop
+    exactly). All integer ops, `//` truncation on positive operands."""
+    b = int(budget_tokens)
+    return (
+        "WITH per AS (SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+        "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+        "ord AS (SELECT source, n_docs, n_tokens, "
+        "ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn, "
+        "COUNT(*) OVER () AS m, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cb FROM per), "
+        f"kk AS (SELECT MIN(rn) AS k FROM ord WHERE n_tokens > "
+        f"({b} - cb) // (m - rn + 1)), "
+        "lvl AS (SELECT "
+        f"CAST({b} AS BIGINT) - COALESCE((SELECT cb FROM ord "
+        "WHERE rn = (SELECT k FROM kk)), 0) AS remb, "
+        "(SELECT MAX(m) FROM ord) - COALESCE((SELECT k FROM kk), 0) + 1 "
+        "AS cnt), "
+        "fl AS (SELECT remb // cnt AS fair, "
+        "remb - (remb // cnt) * cnt AS rem FROM lvl) "
+        "SELECT source, n_docs, n_tokens, "
+        "CAST(CASE WHEN (SELECT k FROM kk) IS NULL "
+        "OR rn < (SELECT k FROM kk) THEN n_tokens "
+        "ELSE (SELECT fair FROM fl) + "
+        "CASE WHEN rn - (SELECT k FROM kk) < (SELECT rem FROM fl) "
+        "THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens, "
+        "CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * "
+        "CASE WHEN (SELECT k FROM kk) IS NULL "
+        "OR rn < (SELECT k FROM kk) THEN n_tokens "
+        "ELSE (SELECT fair FROM fl) + "
+        "CASE WHEN rn - (SELECT k FROM kk) < (SELECT rem FROM fl) "
+        "THEN 1 ELSE 0 END END) // n_tokens END AS BIGINT) "
+        "AS rate_milli FROM ord"
+    )
+
+
 def _with_shared_oracles(d: dict) -> dict:
     """Oracle derivations that must stay coupled to another key's SQL:
     q_ppjoin_jaccard is the prefix-filtered exact-Jaccard twin of

@@ -397,3 +397,87 @@ def test_prefix_jaccard_matches_oracle_generator_at_08(spark, texts):
         for r in con.execute(_ngram_jaccard_oracle_sql(0.8)).fetchall()
     }
     assert got == want
+
+
+wf_words = st.sampled_from(["tok", "a", "bb"])
+wf_doc = st.lists(wf_words, min_size=1, max_size=9).map(" ".join)
+wf_sources = st.sampled_from(["s0", "s1", "s2", "s3"])
+wf_corpus = st.lists(
+    st.tuples(wf_sources, wf_doc), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=wf_corpus, budget=st.integers(min_value=0, max_value=60))
+def test_waterfill_matches_sql_oracle_on_random_corpora(
+    spark, rows, budget
+):
+    """r7 promotion staging differential: the driver-side integer
+    waterfill vs its closed-form SQL replay (_waterfill_oracle_sql) on
+    arbitrary corpora and budgets — first-failure index, level
+    division, and remainder distribution all have off-by-one
+    opportunities this hunts."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _waterfill_oracle_sql
+    from dbt_schema_builder_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (i, t, "en", s, len(t))
+            for i, (s, t) in enumerate(rows)
+        ],
+        DOC_SCHEMA,
+    )
+    got = {
+        tuple(r)
+        for r in text_ops.source_mix_waterfill(
+            docs, budget_tokens=budget
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [t for _, t in rows],
+                "source": [s for s, _ in rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_waterfill_oracle_sql(budget)).fetchall()
+    }
+    assert got == want
+
+
+def test_dsir_matches_sql_oracle_on_fixture_corpus(spark, tables, sf_dir):
+    """r7 promotion staging differential: dsir_importance vs
+    _dsir_oracle_sql over the real sf0.001 corpus — the ln() last-ulp
+    watch. A failure here means a milli rounding flipped between JVM
+    Math.log and libm; record the token before loosening anything."""
+    import duckdb
+
+    from __spark_entry__ import _dsir_oracle_sql
+    from dbt_schema_builder_spark.operators import text as text_ops
+
+    docs = tables["documents"]
+    got = {
+        tuple(r)
+        for r in text_ops.dsir_importance(
+            docs, docs.where("lang = 'en'")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_dsir_oracle_sql("lang = 'en'")).fetchall()
+    }
+    assert got == want
