@@ -2,6 +2,7 @@ from .windows import (
     run_stream_to_files,
     run_stream_to_memory,
     stream_events,
+    stream_text_corpus,
     streaming_click_purchase_join,
     streaming_dedup,
     streaming_funnel,
@@ -14,6 +15,7 @@ from .windows import (
 
 __all__ = [
     "stream_events",
+    "stream_text_corpus",
     "streaming_tumbling_counts",
     "streaming_session_window",
     "streaming_dedup",

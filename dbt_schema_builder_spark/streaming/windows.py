@@ -403,3 +403,31 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``sources.read_text_corpus`` (line mode): a
+    readStream.text over a drop directory, each non-empty line becoming
+    a documents-shaped row with the same content-addressed xxhash64
+    key — so a continuously-landing raw corpus flows straight into the
+    streaming dedup/enrich operators (``streaming_dedup_against_
+    history`` keyed on doc_id gives incremental exact dedup for free).
+    Batch and streaming ingestion key IDENTICALLY, which is what makes
+    the history-backed dedup correct across the batch/stream boundary.
+
+    File-source semantics apply: files must land atomically (write to
+    a temp name, rename in), and at 100 TB the listing cost says use
+    fewer, bigger files per trigger (or a notification-based source)
+    — the same trade documented on ``stream_events``."""
+    raw = spark.readStream.text(path)
+    txt = F.col("value")
+    return (
+        raw.where(F.length(F.trim(txt)) > 0)
+        .select(
+            F.xxhash64(txt).alias("doc_id"),
+            txt.alias("text"),
+            F.lit("und").alias("lang"),
+            F.lit("stream").alias("source"),
+            F.length(txt).alias("n_chars"),
+        )
+    )

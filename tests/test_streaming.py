@@ -473,3 +473,33 @@ def test_streaming_funnel_late_view_requalifies(spark, tmp_path):
     # re-derive the chain from restored state, not from re-reading b1
     write("b2", [(2, base, 1, "view", 0.0, "{}")])
     assert run("t_late_funnel2") == {1: 2}  # view@0 then click@5
+
+
+def test_stream_text_corpus_keys_match_batch_ingest(spark, tmp_path):
+    """r6: streaming text ingestion must key IDENTICALLY to the batch
+    reader (content-addressed xxhash64) — that identity is what makes
+    history-backed dedup correct across the batch/stream boundary —
+    and compose with streaming_dedup_against_history: a line already
+    in the batch-ingested history must not be re-emitted."""
+    from dbt_schema_builder_spark.sources.io import read_text_corpus
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_text_corpus,
+        streaming_dedup_against_history,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "old.txt").write_text("seen before line\nfresh line one\n")
+    # batch history holds one of the incoming lines
+    hist_dir = tmp_path / "hist"
+    hist_dir.mkdir()
+    (hist_dir / "h.txt").write_text("seen before line\n")
+    hist = read_text_corpus(spark, str(hist_dir)).select("doc_id")
+    src = stream_text_corpus(spark, str(drop))
+    out = run_stream_to_memory(
+        streaming_dedup_against_history(src, hist, on="doc_id"),
+        "text_corpus_dedup_sink",
+    )
+    texts = {r.text for r in out.collect()}
+    assert texts == {"fresh line one"}
