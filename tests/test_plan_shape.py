@@ -404,6 +404,10 @@ def test_dsir_lm_table_is_cached_not_recomputed(tables):
     from dbt_schema_builder_spark.operators import text
 
     docs = tables["documents"]
+    # hermetic plan: cache entries left by earlier tests substitute
+    # InMemoryRelations into matching subtrees and shift every node
+    # count (measured: 7 scans isolated, 11 in-suite)
+    docs.sparkSession.catalog.clearCache()
     df = text.dsir_importance(docs, docs.where("lang = 'en'"))
     plan = _plan(df)
     assert "InMemoryTableScan" in plan, plan
