@@ -657,18 +657,21 @@ def source_mix_waterfill(
                 allocs[rr[0]] = fair + (1 if j < rem else 0)
             remaining = 0
             break
-    alloc_col = F.coalesce(
-        *[
-            F.when(F.col(by) == F.lit(s), F.lit(a))
-            for s, a in allocs.items()
-        ]
-        + [F.lit(0)]
-    ) if allocs else F.lit(0)
-    return per.select(
+    # fold the solve back via a broadcast join, NOT a when-chain: a
+    # chain is O(#sources) expression depth and stalls analysis at
+    # thousands of sources (the realistic corpus shape)
+    spark = documents.sparkSession
+    alloc_df = spark.createDataFrame(
+        [(s, a) for s, a in allocs.items()] or [(None, 0)],
+        f"{by} string, alloc_tokens bigint",
+    ).where(F.col(by).isNotNull())
+    return per.join(F.broadcast(alloc_df), by, "left").select(
         by,
         "n_docs",
         "n_tokens",
-        alloc_col.cast("bigint").alias("alloc_tokens"),
+        F.coalesce("alloc_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("alloc_tokens"),
     ).select(
         by,
         "n_docs",

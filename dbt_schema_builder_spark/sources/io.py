@@ -295,6 +295,9 @@ def zorder_value_exact(
         )
     cells = 2 ** bits
     n = df.count()
+    if n == 0:
+        # (_cb * cells) div 0 would yield silent NULL cells
+        raise ValueError("zorder_value_exact: empty input")
     keyed = df
     for idx, c in enumerate(cols):
         w = Window.orderBy("_v").rowsBetween(

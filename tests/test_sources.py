@@ -443,3 +443,13 @@ def test_raw_files_to_packed_sequences_end_to_end(spark, tmp_path):
     assert len(rows) == 3
     # deterministic chunk ids, tokens conserved within each stratum
     assert all(r.chunk_id >= 0 for r in rows)
+
+
+def test_zorder_exact_rejects_empty_input(spark):
+    import pytest
+
+    from dbt_schema_builder_spark.sources.io import zorder_value_exact
+
+    empty = spark.createDataFrame([], "a int, b int")
+    with pytest.raises(ValueError, match="empty input"):
+        zorder_value_exact(empty, ["a", "b"], bits=3)
