@@ -529,3 +529,17 @@ def test_learn_bpe_merges_counts_out(spark):
     assert len(counts) == len(merges) == 3
     assert merges[0] == ("e", "s") and counts[0] == 9
     assert merges[1] == ("es", "t") and counts[1] == 9
+
+
+def test_learn_bpe_counts_out_tracks_early_stop(spark):
+    """counts_out must stay parallel to merges when learning stops
+    early (pairs exhausted before n_merges)."""
+    from dbt_schema_builder_spark.operators.text import learn_bpe_merges
+
+    counts: list = []
+    merges, _ = learn_bpe_merges(
+        _docs(spark, ["ab ab"]), n_merges=5, min_pair_count=2,
+        counts_out=counts,
+    )
+    assert merges == [("a", "b")]
+    assert counts == [2]
