@@ -3735,28 +3735,40 @@ def _semantic_dedup_ivf_oracle_sql(threshold: float = 0.4) -> str:
 def _bpe_learn_oracle_sql(n_steps: int) -> str:
     """Independent DuckDB re-derivation of the BPE TRAINING loop
     (q_bpe_learn): iteration i segments every vocabulary word with the
-    merges chosen by iterations 1..i-1 — applied via the chained-
-    replace identity with the PREVIOUS argmax rows as scalar
-    subqueries, never frozen literals — then recomputes the weighted
-    adjacent-pair counts and takes the same (cnt DESC, a, b) argmax.
-    Symbol strings keep their trailing separator, so with L = len of
-    the split list (last element ''), symbols are l[1..L-1] and the
-    pairs are (l[i], l[i+1]) for i in 1..L-2."""
+    merges chosen by iterations 1..i-1 — with the PREVIOUS argmax rows
+    as scalar subqueries, never frozen literals — then recomputes the
+    weighted adjacent-pair counts and takes the same (cnt DESC, a, b)
+    argmax.
+
+    Merge application is BOUNDARY-ANCHORED chained replace (r6 fix):
+    every symbol boundary carries a DOUBLE separator and the pattern
+    sep+a+sep+sep+b+sep consumes only the inner halves, so a merge's
+    left element can never match the suffix of a neighboring symbol
+    (plain single-sep replace turned 'bc','a' + merge (c,a) into 'bca'
+    — diverging from the fold, which correctly sees symbols
+    ['bc','a']). The outer halves survive each replacement, so
+    consecutive same-pair runs still merge left-to-right
+    non-overlapping exactly like the fold ('a a a a' -> 'aa','aa').
+    With L = len(string_split(s, sep2)) (first and last elements ''),
+    symbols are l[2..L-1] and pairs are (l[i], l[i+1]) for i in
+    2..L-2."""
     sep = chr(31)
+    sep2 = sep + sep
     ctes = [
         "WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') "
         "AS t FROM documents), "
         "words AS (SELECT w, COUNT(*) AS n FROM "
         "(SELECT unnest(t) AS w FROM toks) GROUP BY w), "
-        f"s0 AS (SELECT regexp_replace(w, '(.)', '\\1{sep}', 'g') AS s, "
+        f"s0 AS (SELECT '{sep2}' || "
+        f"regexp_replace(w, '(.)', '\\1{sep2}', 'g') AS s, "
         "n FROM words)"
     ]
     for i in range(1, n_steps + 1):
         ctes.append(
             f"p{i} AS (SELECT l[g.i] AS a, l[g.i+1] AS b, "
             "SUM(n) AS cnt FROM "
-            f"(SELECT string_split(s, '{sep}') AS l, n FROM s{i-1}) q, "
-            "LATERAL unnest(generate_series(1, greatest(len(l)-2, 0))) "
+            f"(SELECT string_split(s, '{sep2}') AS l, n FROM s{i-1}) q, "
+            "LATERAL unnest(generate_series(2, greatest(len(l)-2, 1))) "
             "AS g(i) GROUP BY l[g.i], l[g.i+1])"
         )
         ctes.append(
@@ -3766,8 +3778,10 @@ def _bpe_learn_oracle_sql(n_steps: int) -> str:
         if i < n_steps:
             ctes.append(
                 f"s{i} AS (SELECT replace(s, "
-                f"(SELECT a || '{sep}' || b FROM m{i}), "
-                f"(SELECT a || b FROM m{i})) AS s, n FROM s{i-1})"
+                f"(SELECT '{sep}' || a || '{sep2}' || b || '{sep}' "
+                f"FROM m{i}), "
+                f"(SELECT '{sep}' || a || b || '{sep}' FROM m{i})) "
+                f"AS s, n FROM s{i-1})"
             )
     selects = " UNION ALL ".join(
         f"SELECT {i} AS step, a, b, CAST(cnt AS BIGINT) AS cnt FROM m{i}"

@@ -639,6 +639,14 @@ def source_mix_waterfill(
     rows = sorted(
         per.select(by, "n_tokens").collect(), key=lambda r: (r[1], r[0])
     )
+    if any(r[0] is None or r[1] is None for r in rows):
+        # a NULL group would be debited budget in the solve and then
+        # silently dropped by the join-back (sum(alloc) != budget with
+        # no error) — refuse loudly, like the z-order null guard
+        raise ValueError(
+            f"source_mix_waterfill: NULL {by} group (or all-NULL "
+            "texts) — coalesce or filter before allocating"
+        )
     m = len(rows)
     remaining, level = int(budget_tokens), 0
     allocs: dict = {}
@@ -662,9 +670,9 @@ def source_mix_waterfill(
     # thousands of sources (the realistic corpus shape)
     spark = documents.sparkSession
     alloc_df = spark.createDataFrame(
-        [(s, a) for s, a in allocs.items()] or [(None, 0)],
+        [(s, a) for s, a in allocs.items()] or [("", 0)],
         f"{by} string, alloc_tokens bigint",
-    ).where(F.col(by).isNotNull())
+    )
     return per.join(F.broadcast(alloc_df), by, "left").select(
         by,
         "n_docs",

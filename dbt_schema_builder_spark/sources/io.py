@@ -76,7 +76,11 @@ def read_binary_files(
         F.col("path").alias("asset_path"),
         F.col("content").alias("payload"),
         F.col("length").alias("n_bytes"),
-        (F.unix_timestamp("modificationTime") * 1000).alias("modified_ms"),
+        # unix_millis keeps sub-second precision (unix_timestamp
+        # truncates to seconds, which breaks latest-wins merges on
+        # same-second rewrites); modificationTime is a regular LTZ
+        # timestamp, so the NTZ epoch-math restriction does not apply
+        F.unix_millis("modificationTime").alias("modified_ms"),
     )
 
 
@@ -105,9 +109,19 @@ def read_text_corpus(
         df = spark.read.text(path, wholetext=True)
     else:
         df = spark.read.text(path)
+    return text_corpus_rows(df, source)
+
+
+def text_corpus_rows(raw: DataFrame, source: str) -> DataFrame:
+    """Shared projection turning a raw text reader's ``value`` column
+    into the documents shape. ONE definition, consumed by both
+    ``read_text_corpus`` and ``streaming.stream_text_corpus`` — the
+    content-addressed doc_id identity across the batch/stream boundary
+    is load-bearing for history-backed dedup, so the keying must not
+    be able to drift between the two readers."""
     txt = F.col("value")
     return (
-        df.where(F.length(F.trim(txt)) > 0)
+        raw.where(F.length(F.trim(txt)) > 0)
         .select(
             F.xxhash64(txt).alias("doc_id"),
             txt.alias("text"),
@@ -120,11 +134,16 @@ def read_text_corpus(
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro read — gated: the spark-avro module is external since
-    Spark 2.4 and is not on this build's classpath; raise a actionable
-    error instead of Spark's generic one."""
+    Spark 2.4 and is not on this build's classpath; raise an actionable
+    error instead of Spark's generic one. Only the missing-module
+    failure is translated — a missing path or corrupt file on a
+    cluster that HAS the module must surface as itself, not as a bogus
+    packaging hint."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException without the module
+    except Exception as e:
+        if "Failed to find data source" not in str(e):
+            raise
         raise RuntimeError(
             "Avro support needs the external spark-avro package on the "
             "classpath (--packages org.apache.spark:spark-avro_2.13:<ver>); "
@@ -252,7 +271,10 @@ def write_zordered(
 
 
 def zorder_value_exact(
-    df: DataFrame, cols: list[str], bits: int = 4
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 4,
+    n_rows: int | None = None,
 ) -> "tuple[DataFrame, str]":
     """Exact-quantile twin of ``zorder_value`` — same Morton interleave,
     but the equi-depth cells come from the exact VALUE HISTOGRAM
@@ -294,7 +316,7 @@ def zorder_value_exact(
             "coalesce or filter them first"
         )
     cells = 2 ** bits
-    n = df.count()
+    n = df.count() if n_rows is None else int(n_rows)
     if n == 0:
         # (_cb * cells) div 0 would yield silent NULL cells
         raise ValueError("zorder_value_exact: empty input")
@@ -372,8 +394,14 @@ def zorder_layout_report(
 
     from pyspark.sql import Window
 
-    keyed, zcol = zorder_value_exact(df.select(*cols), cols, bits=bits)
     n = df.count()
+    keyed, zcol = zorder_value_exact(
+        df.select(*cols), cols, bits=bits, n_rows=n
+    )
+    # persist: the keyed frame feeds the filemap aggregation AND the
+    # partitioned write (whose join re-derives filemap's lineage too) —
+    # unpersisted, the cell-assignment subtree executed ~3x (review r6)
+    keyed = keyed.persist()
     w = Window.orderBy("_z").rowsBetween(Window.unboundedPreceding, -1)
     filemap = (
         keyed.groupBy(F.col(zcol).alias("_z"))
@@ -394,6 +422,7 @@ def zorder_layout_report(
         .partitionBy("_file_id")
         .parquet(path)
     )
+    keyed.unpersist()
     agg: dict = {}
     for p in _glob.glob(
         _os.path.join(path, "_file_id=*", "*.parquet")

@@ -419,15 +419,6 @@ def stream_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     a temp name, rename in), and at 100 TB the listing cost says use
     fewer, bigger files per trigger (or a notification-based source)
     — the same trade documented on ``stream_events``."""
-    raw = spark.readStream.text(path)
-    txt = F.col("value")
-    return (
-        raw.where(F.length(F.trim(txt)) > 0)
-        .select(
-            F.xxhash64(txt).alias("doc_id"),
-            txt.alias("text"),
-            F.lit("und").alias("lang"),
-            F.lit("stream").alias("source"),
-            F.length(txt).alias("n_chars"),
-        )
-    )
+    from ..sources.io import text_corpus_rows
+
+    return text_corpus_rows(spark.readStream.text(path), "stream")

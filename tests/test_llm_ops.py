@@ -1485,3 +1485,17 @@ def test_source_mix_waterfill_exact_allocation(spark):
         for r in text.source_mix_waterfill(docs, budget_tokens=301).collect()
     }
     assert sum(out2.values()) == 301
+
+
+def test_source_mix_waterfill_rejects_null_source(spark):
+    """A NULL source group would be debited budget in the solve and
+    silently zeroed by the fold-back — refuse loudly instead."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", None, 5), (2, "d e", "en", "web", 3)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    with pytest.raises(ValueError, match="NULL source"):
+        text.source_mix_waterfill(docs, budget_tokens=4)

@@ -315,9 +315,15 @@ def test_sliding_chunks_tile_exactly(spark, text_list, size, overlap):
 
 # BPE-learn differential: corpora built from words long enough that 3
 # merge iterations always find a pair (the anchor word alone guarantees
-# it), so the unrolled oracle CTEs never hit an empty argmax
+# it), so the unrolled oracle CTEs never hit an empty argmax. The
+# vocabulary deliberately includes boundary-fragment shapes ('bca',
+# 'bcba', ...) where a merge's left element can end up a SUFFIX of an
+# earlier merged symbol — the case where un-anchored single-separator
+# replace diverged from the fold (caught by review in r6; the oracle
+# now uses boundary-anchored double separators)
 bpe_words = st.sampled_from(
-    ["abcabc", "bcabca", "cabcab", "aabb", "abab", "baba", "abc"]
+    ["abcabc", "bcabca", "cabcab", "aabb", "abab", "baba", "abc",
+     "bca", "bcba", "cab", "bcbca", "aaa", "aaaa"]
 )
 bpe_corpora = st.lists(bpe_words, min_size=3, max_size=20).map(
     lambda ws: ws + ["abcabcabc"]
@@ -479,5 +485,41 @@ def test_dsir_matches_sql_oracle_on_fixture_corpus(spark, tables, sf_dir):
     want = {
         tuple(r)
         for r in con.execute(_dsir_oracle_sql("lang = 'en'")).fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_learn_oracle_is_boundary_anchored(spark):
+    """The r6 review scenario, pinned deterministically: a corpus that
+    learns (b,c) first and then faces (c,a) — the fold keeps symbols
+    ['bc','a'] (no merge: 'bc' != 'c'), and the boundary-anchored
+    oracle must agree step for step. The un-anchored single-separator
+    oracle merged across the symbol boundary here ('bca') and chose a
+    different trajectory."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _bpe_learn_oracle_sql
+
+    # bc pairs dominate round 1; then ca/ab compete over words where
+    # every 'c' is locked inside the merged 'bc' symbol
+    corpus = " ".join(["bc"] * 6 + ["bca"] * 3 + ["abca"] * 2)
+    counts: list = []
+    merges, _ = text.learn_bpe_merges(
+        _docs(spark, [corpus]), n_merges=3, min_pair_count=1,
+        counts_out=counts,
+    )
+    assert merges[0] == ("b", "c")
+    got = {
+        (i + 1, a, b, c)
+        for i, ((a, b), c) in enumerate(zip(merges, counts))
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [0], "text": [corpus]})
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_bpe_learn_oracle_sql(3)).fetchall()
     }
     assert got == want
