@@ -1745,6 +1745,14 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_pair_count=2,
         counts_out=counts,
     )
+    # the oracle unrolls exactly _BPE_LEARN_STEPS argmax CTEs; an early
+    # stop (min_pair_count) would otherwise surface only as an opaque
+    # driver hash mismatch on a corpus/sf change (r6 ADVICE)
+    assert len(merges) == _BPE_LEARN_STEPS, (
+        f"learn_bpe_merges stopped early ({len(merges)} of "
+        f"{_BPE_LEARN_STEPS} merges) — the q_bpe_learn oracle unrolls a "
+        "fixed step count; lower _BPE_LEARN_STEPS for this corpus"
+    )
     rows = [
         (i + 1, a, b, c)
         for i, ((a, b), c) in enumerate(zip(merges, counts))
@@ -1752,6 +1760,17 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step INT, a STRING, b STRING, cnt BIGINT"
     )
+
+
+def _per_sf_scratch(sf_dir: str, name: str) -> str:
+    """Deterministic per-(query, sf) scratch dir (r6 ADVICE: mkdtemp per
+    invocation leaked unbounded /tmp data across bench/driver reruns —
+    overwrite-mode writes make a fixed path idempotent instead)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
 
 
 def q_evolving_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1763,13 +1782,12 @@ def q_evolving_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     is total. The oracle is the nation table unioned with itself, -1
     standing in for the missing column — exactly what the reader must
     reconstruct from the two files."""
-    import tempfile
-
     from dbt_schema_builder_spark.sources.io import read_parquet_evolving
 
     nation = _t(spark, sf_dir, "nation")
-    # left on disk for the caller's lazy collect; /tmp-scoped
-    path = tempfile.mkdtemp(prefix="spark_graft_evolving_")
+    # left on disk for the caller's lazy collect; deterministic per-sf
+    # path + overwrite mode => reruns are idempotent, no /tmp growth
+    path = _per_sf_scratch(sf_dir, "evolving")
     nation.select(
         "n_nationkey", "n_name", F.lit(1).alias("batch")
     ).coalesce(1).write.mode("overwrite").parquet(path + "/b1")
@@ -1798,12 +1816,13 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical layout (a strictly stronger claim than the r4
     timing-based pin). bits=4 x 2 dims -> <=256 distinct z values;
     8 file buckets."""
-    import tempfile
-
     from dbt_schema_builder_spark.sources.io import zorder_layout_report
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
-    path = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    # deterministic per-sf path: the report's write is mode("overwrite")
+    # over the whole path, so reruns replace (not accumulate) the
+    # data-sized clustered copy (r6 ADVICE)
+    path = _per_sf_scratch(sf_dir, "zorder")
     return zorder_layout_report(
         spark,
         ev,
@@ -1814,6 +1833,34 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights driver-gated (promoted r7, staged r6):
+    two add-one-smoothed unigram LMs over a shared union vocabulary —
+    target = the English slice of the same corpus — with the per-TOKEN
+    log-ratio rounded once to integer milli-units in the vocab-bounded
+    LM table, so each document's weight_milli is an exact int64 dot
+    product (partition-order independent; the _det_avg discipline one
+    level up). Oracle: ``_dsir_oracle_sql`` replays the same integer
+    pipeline in DuckDB (differential-tested on random corpora in r6)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dsir_importance(docs, docs.where("lang = 'en'"))
+
+
+_WATERFILL_BUDGET = 100_000
+
+
+def q_source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling source allocation driver-gated (promoted r7, staged
+    r6): max-min fair token budget across sources — small sources taken
+    whole, the remainder split at the water level, all in integer
+    arithmetic whose driver-side solve (sources-bounded collect, the
+    kmeans convention) collapses to closed-form window SQL in the
+    oracle (``_waterfill_oracle_sql``, differential-tested r6)."""
+    return text.source_mix_waterfill(
+        _t(spark, sf_dir, "documents"), budget_tokens=_WATERFILL_BUDGET
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1821,20 +1868,69 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-6 window (the round-5 window banked green rows for ALL its
-    keys, so every slot was free): (a) the 43 keys whose latest driver row
-    was round 3 — the verdict's rotation ask; (b) the two keys whose
-    oracle SQL changed this round (q_ppjoin_jaccard re-pinned at t=0.8,
-    q_semantic_dedup's CAST fix) — changed oracles must re-earn green
-    rows; (c) the four new r6 keys (bounded SemDeDup, BPE learning,
-    evolving reader, z-order layout); (d) one spare slot refreshing
-    q_approx_distinct (r4). Every key below the boundary carries a green
-    round-4/5 row (tests/test_query_window.py audits this)."""
+    keys. Round-7 window (the round-6 window banked green r06 rows for ALL
+    50 of its keys, so every slot was free): (a) the 48 keys whose latest
+    driver row was round 4 — the verdict's rotation ask, their evidence
+    predating the r5 streaming/oracle changes and two r6 session-layer
+    refactors; (b) the two r6-staged promotions (DSIR importance,
+    waterfilling allocation) whose oracles were differential-tested last
+    round. 48 + 2 = exactly 50. Every key below the boundary carries a
+    green round-5/6 row (tests/test_query_window.py audits this)."""
     return {
-        # (a) the 43 keys whose latest driver row is round 3 — the
-        # verdict's rotation ask: their evidence predates the r4
-        # LSH-width fix, the r5 streaming changes, and two session-
-        # layer refactors
+        # (a) the 48 keys whose latest driver row is round 4
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_user_state": q_stream_user_state,
+        "q_tumbling_window": q_tumbling_window,
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
+        "q_dupe_detection": q_dupe_detection,
+        "q_metadata_merge_join": q_metadata_merge_join,
+        "q_rollup": q_rollup,
+        "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_ivf_topk": q_ivf_topk,
+        "q_catalog_scan": q_catalog_scan,
+        "q_cluster_safe_split": q_cluster_safe_split,
+        "q_centroid_outliers": q_centroid_outliers,
+        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "q_shared_ngram_fraction": q_shared_ngram_fraction,
+        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "q_pq_topk": q_pq_topk,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_keep_canonical": q_keep_canonical,
+        "q_stream_dedup_history": q_stream_dedup_history,
+        "q_frame_dedup": q_frame_dedup,
+        "q_gapfill_locf": q_gapfill_locf,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
+        "q_mad_outliers": q_mad_outliers,
+        "q_bm25_search": q_bm25_search,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_pagerank": q_pagerank,
+        "q_gapfill_interp": q_gapfill_interp,
+        "q_rolling_active": q_rolling_active,
+        "q_interval_coverage": q_interval_coverage,
+        "q_source_kl": q_source_kl,
+        "q_containment": q_containment,
+        "q_transition_matrix": q_transition_matrix,
+        "q_conversion_latency": q_conversion_latency,
+        "q_cumulative_users": q_cumulative_users,
+        "q_scd2": q_scd2,
+        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
+        "q_knn_label_agreement": q_knn_label_agreement,
+        "q_trend_slope": q_trend_slope,
+        "q_categorical_profile": q_categorical_profile,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_bigram_logprob": q_bigram_logprob,
+        # (b) r7 promotions: oracles staged + differential-tested in r6
+        "q_dsir_importance": q_dsir_importance,
+        "q_source_mix_waterfill": q_source_mix_waterfill,
+        # ---- driver window boundary (position 50 = q_source_mix_waterfill)
+        # every key below carries a green round-5/6 driver row
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_session_window": q_session_window,
         "q_near_dup": q_near_dup,
@@ -1878,22 +1974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
-        # (b) keys whose oracle SQL changed in r6 and must re-earn
-        # green rows: ppjoin re-pinned at its honest t=0.8 regime,
-        # semantic_dedup's CAST-AS-DOUBLE threshold fix
         "q_ppjoin_jaccard": q_ppjoin_jaccard,
         "q_semantic_dedup": q_semantic_dedup,
-        # (c) new r6 keys: the bounded-SemDeDup gate + the three
-        # tests-only promotions (BPE learning, evolving reader,
-        # z-order physical layout)
         "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
         "q_bpe_learn": q_bpe_learn,
         "q_evolving_read": q_evolving_read,
         "q_zorder_layout": q_zorder_layout,
-        # (d) one spare slot: refresh the envelope-pattern key
         "q_approx_distinct": q_approx_distinct,
-        # ---- driver window boundary (position 50 = q_approx_distinct)
-        # every key below carries a green round-4/5 driver row
         "q_unigram_logprob": q_unigram_logprob,
         "q_winnowing": q_winnowing,
         "q_stratified_sample": q_stratified_sample,
@@ -1943,54 +2030,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_multimodal_features": q_multimodal_features,
         "q_audio_features": q_audio_features,
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_user_state": q_stream_user_state,
-        "q_tumbling_window": q_tumbling_window,
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
-        "q_dupe_detection": q_dupe_detection,
-        "q_metadata_merge_join": q_metadata_merge_join,
-        "q_rollup": q_rollup,
-        "q_window_rank": q_window_rank,
-        "q_window_running": q_window_running,
-        "q_topk": q_topk,
-        "q_set_ops": q_set_ops,
-        "q_ivf_topk": q_ivf_topk,
-        "q_catalog_scan": q_catalog_scan,
-        "q_cluster_safe_split": q_cluster_safe_split,
-        "q_centroid_outliers": q_centroid_outliers,
-        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
-        "q_shared_ngram_fraction": q_shared_ngram_fraction,
-        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "q_pq_topk": q_pq_topk,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_keep_canonical": q_keep_canonical,
-        "q_stream_dedup_history": q_stream_dedup_history,
-        "q_frame_dedup": q_frame_dedup,
-        "q_gapfill_locf": q_gapfill_locf,
-        "q_funnel": q_funnel,
-        "q_cohort_retention": q_cohort_retention,
-        "q_mad_outliers": q_mad_outliers,
-        "q_bm25_search": q_bm25_search,
-        "q_pmi_pairs": q_pmi_pairs,
-        "q_pagerank": q_pagerank,
-        "q_gapfill_interp": q_gapfill_interp,
-        "q_rolling_active": q_rolling_active,
-        "q_interval_coverage": q_interval_coverage,
-        "q_source_kl": q_source_kl,
-        "q_containment": q_containment,
-        "q_transition_matrix": q_transition_matrix,
-        "q_conversion_latency": q_conversion_latency,
-        "q_cumulative_users": q_cumulative_users,
-        "q_scd2": q_scd2,
-        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
-        "q_knn_label_agreement": q_knn_label_agreement,
-        "q_trend_slope": q_trend_slope,
-        "q_categorical_profile": q_categorical_profile,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -3613,6 +3652,9 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": _zorder_layout_oracle_sql(
             _ZORDER_BITS, _ZORDER_FILES
         ),
+        # round-7 promotions (generators staged + differential-tested r6)
+        "q_dsir_importance": _dsir_oracle_sql(),
+        "q_source_mix_waterfill": _waterfill_oracle_sql(_WATERFILL_BUDGET),
     })
 
 
@@ -3866,8 +3908,8 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
 
 
 def _dsir_oracle_sql(target_pred: str = "lang = 'en'") -> str:
-    """r7 promotion staging (NOT yet wired into oracle_sql — the r6
-    window is full): DuckDB replay of text.dsir_importance. The only
+    """DuckDB replay of text.dsir_importance (staged r6, wired to
+    q_dsir_importance in the r7 window). The only
     cross-engine risk is ln(): JVM Math.log vs libm may differ in the
     last ulp, which can flip the per-token milli rounding only when the
     log-ratio lands within ~1e-13 of a .0005 boundary — watched by the
@@ -3897,8 +3939,9 @@ def _dsir_oracle_sql(target_pred: str = "lang = 'en'") -> str:
 
 
 def _waterfill_oracle_sql(budget_tokens: int) -> str:
-    """r7 promotion staging: closed-form SQL replay of
-    text.source_mix_waterfill's driver-side integer solve. The loop's
+    """Closed-form SQL replay of text.source_mix_waterfill's
+    driver-side integer solve (staged r6, wired to
+    q_source_mix_waterfill in the r7 window). The loop's
     state collapses to window arithmetic: sort sources ascending by
     (tokens, name); a source is taken WHOLE iff its total fits the
     fair share of the budget left after all smaller sources are taken
@@ -3940,6 +3983,41 @@ def _waterfill_oracle_sql(budget_tokens: int) -> str:
         "CASE WHEN rn - (SELECT k FROM kk) < (SELECT rem FROM fl) "
         "THEN 1 ELSE 0 END END) // n_tokens END AS BIGINT) "
         "AS rate_milli FROM ord"
+    )
+
+
+def _substring_spans_oracle_sql(
+    min_len: int = 20, k: int | None = None, scope: str = "cross_doc"
+) -> str:
+    """r8 promotion staging: DuckDB replay of
+    dedup.duplicate_substring_spans. Grams are replayed as STRINGS
+    (the operator keys on xxhash64 longs — the same
+    collision-negligible equivalence the Jaccard family's oracles
+    already accept); duplication is the identical MIN/MAX-doc (or
+    COUNT) HAVING, islands the same pos - ROW_NUMBER trick, all
+    surfaced values integers. Differential-tested on random corpora
+    (tests/test_llm_ops_properties.py) ahead of the driver gate."""
+    kk = int(min_len if k is None else k)
+    having = (
+        "MIN(doc_id) <> MAX(doc_id)"
+        if scope == "cross_doc"
+        else "COUNT(*) >= 2"
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        "'\\s+') AS t FROM documents), "
+        "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        f"array_to_string(list_slice(t, i, i + {kk} - 1), ' ') AS gram "
+        f"FROM toks, unnest(range(1, len(t) - {kk} + 2)) AS u(i)), "
+        f"d AS (SELECT gram FROM g GROUP BY gram HAVING {having}), "
+        "h AS (SELECT g.doc_id, g.pos, g.pos - ROW_NUMBER() OVER "
+        "(PARTITION BY g.doc_id ORDER BY g.pos) AS grp "
+        "FROM g JOIN d USING (gram)), "
+        "s AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos, "
+        f"CAST(COUNT(*) + {kk} - 1 AS BIGINT) AS span_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_grams FROM h GROUP BY doc_id, grp) "
+        "SELECT doc_id, start_pos, span_tokens, n_grams FROM s "
+        f"WHERE span_tokens >= {int(min_len)}"
     )
 
 

@@ -22,7 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dbt_schema_builder_spark.session import get_spark  # noqa: E402
+from dbt_schema_builder_spark.session import (  # noqa: E402
+    get_spark,
+    release_caches,
+)
 
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -46,6 +49,16 @@ R2_COMPARABLE = R1_COMPARABLE + (
     "q_percentile_filter", "q_cap_per_source", "q_merge_latest",
     "q_oov_rate", "q_dedup_stats",
 )
+
+# Drift anchor (r6 verdict #7): the r1-comparable subtotal recorded in
+# round 1 (BASELINE.md). Two same-day r6 closeout passes differed
+# 1.15-1.22x WHOLESALE (host drift, uniform across untouched queries);
+# the compact line now prints drift_ratio = r1_subtotal / this anchor so
+# cross-round comparisons can divide the drift out instead of being
+# host-drift hostage. The anchor is a RECORDED measurement — never
+# re-measure it; update only if R1_COMPARABLE itself changes (it must
+# not).
+R1_RECORDED_SUBTOTAL_SEC = 16.4
 
 # Headline set: the shuffle/join/window-heavy queries that dominate at scale.
 HEADLINE = [
@@ -153,6 +166,9 @@ HEADLINE = [
     "q_bpe_learn",
     "q_evolving_read",
     "q_zorder_layout",
+    # round 7: promoted r6 tests-only operators (were x_ bench-only)
+    "q_dsir_importance",
+    "q_source_mix_waterfill",
 ]
 
 
@@ -178,34 +194,25 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
     )
 
 
-def _dsir(spark, sf_dir):
-    """DSIR importance weights (r6 tests-only op, r7 promotion
-    candidate): target = the English slice."""
-    from dbt_schema_builder_spark.operators import text
+# Bench-only entries: operator branches worth timing that aren't their own
+# queries() key (their semantics are covered by existing oracle keys).
+# x_dsir_importance / x_source_mix_waterfill graduated to HEADLINE keys
+# (q_dsir_importance / q_source_mix_waterfill) with the r7 promotion.
+def _substring_dedup(spark, sf_dir):
+    """Exact substring-level dedup spans (r7 operator, r8 promotion
+    candidate): cross-doc duplicated >=20-token spans."""
+    from dbt_schema_builder_spark.operators import dedup
     from dbt_schema_builder_spark.session import read_table
 
-    docs = read_table(spark, f"{sf_dir}/documents.parquet")
-    return text.dsir_importance(docs, docs.where("lang = 'en'"))
-
-
-def _waterfill(spark, sf_dir):
-    """Waterfilling source allocation (r6 tests-only op)."""
-    from dbt_schema_builder_spark.operators import text
-    from dbt_schema_builder_spark.session import read_table
-
-    return text.source_mix_waterfill(
-        read_table(spark, f"{sf_dir}/documents.parquet"),
-        budget_tokens=100_000,
+    return dedup.duplicate_substring_spans(
+        read_table(spark, f"{sf_dir}/documents.parquet"), min_len=20
     )
 
 
-# Bench-only entries: operator branches worth timing that aren't their own
-# queries() key (their semantics are covered by existing oracle keys).
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
-    "x_dsir_importance": _dsir,
-    "x_source_mix_waterfill": _waterfill,
+    "x_substring_dedup": _substring_dedup,
 }
 
 
@@ -242,11 +249,15 @@ def main() -> None:
             ).save()
             samples[name].append(time.perf_counter() - t0)
             # drop persisted frames the query left behind: operators
-            # persist() subtrees consumed multiple times and never
-            # unpersist (lazy consumers); across 50 queries x N passes
-            # the accumulated blocks showed up as ~1.3x phantom
-            # slowdowns on unrelated small queries (measured: 0.35 s
-            # in-suite vs 0.20 s isolated for q_exact_dedup)
+            # persist() subtrees consumed multiple times and can't
+            # unpersist before their lazy consumer runs; across 50
+            # queries x N passes the accumulated blocks showed up as
+            # ~1.3x phantom slowdowns on unrelated small queries
+            # (measured: 0.35 s in-suite vs 0.20 s isolated for
+            # q_exact_dedup). release_caches() is the scoped operator
+            # contract (r7); clearCache() additionally drops view
+            # caches the trifecta queries register
+            release_caches(spark)
             spark.catalog.clearCache()
     timings = {
         n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
@@ -293,6 +304,13 @@ def main() -> None:
                 ),
                 "r2_subtotal": round(
                     sum(timings[n] for n in r2_names if n in timings), 3
+                ),
+                # host-drift canary: divide any cross-round per-query
+                # comparison by this before calling it a regression
+                "drift_ratio": round(
+                    sum(timings[n] for n in r1_names if n in timings)
+                    / R1_RECORDED_SUBTOTAL_SEC,
+                    3,
                 ),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",

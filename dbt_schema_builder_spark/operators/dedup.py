@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import track_persist
+
 from .text import tokens
 
 # Prime just above 2^32 for the universal-hash family
@@ -196,6 +198,16 @@ def jaccard_prefix_pairs(
     Use it for high-threshold near-dup mining on duplication-heavy
     corpora; use ``ngram_jaccard_pairs`` (optionally df-capped) for
     weak-threshold sweeps on organic data.
+
+    Precondition (r6 ADVICE, latent): the final filter (and the shared
+    driver oracle) accept ROUND(j, 4) >= t, but the prefix lemma prunes
+    on TRUE j >= t — a pair whose true Jaccard lies in [t - 5e-5, t)
+    would round up past the filter yet may have been pruned from the
+    candidate set. With 4-decimal rounding that gap is reachable only
+    when |union| >= ~1e4 shingles (j granularity 1/|union|); the
+    engine's shingle sets are document-n-gram sized (hundreds), so the
+    identity holds. If you feed sets with unions >= 1e4, filter on the
+    unrounded jaccard instead (and change the oracle with it).
     """
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     # persist: the sized sets feed the prefix index AND both verify joins
@@ -207,7 +219,7 @@ def jaccard_prefix_pairs(
                 _shingles_from(F.col("toks"), n), lambda s: F.xxhash64(s)
             ).alias("sh_arr"),
         )
-        .persist()
+        .transform(track_persist)
     )
     dfs = (
         sized.select("doc_id", F.explode("sh_arr").alias("sh"))
@@ -454,7 +466,7 @@ def incremental_dedup_bloom(
         m_bits = max(1024, 1 << (10 * max(seen.count(), 1)).bit_length())
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     # persist: the keyed batch feeds the probe AND both output branches
-    keyed = new_docs.withColumn("content_md5", F.md5(norm)).persist()
+    keyed = new_docs.withColumn("content_md5", F.md5(norm)).transform(track_persist)
     words = bloom_bits(seen, m_bits=m_bits, k=k)
     if m_bits <= (1 << 30):
         # packed words: <=16M long rows even at a 2^30-bit filter —
@@ -484,7 +496,7 @@ def incremental_dedup_bloom(
         )
         .select("doc_id")
         .distinct()
-        .persist()
+        .transform(track_persist)
     )
     maybe_seen = keyed.join(definite_new, "doc_id", "left_anti")
     seen_keys = seen.select("content_md5").distinct()
@@ -525,7 +537,7 @@ def shared_ngram_fraction(
         F.explode_outer(
             F.transform("grams", lambda g: F.xxhash64(g))
         ).alias("gh"),
-    ).persist()
+    ).transform(track_persist)
     dfs = (
         exploded.where(F.col("gh").isNotNull())
         .select("doc_id", "gh")
@@ -614,7 +626,7 @@ def tfidf_ngram_cosine_pairs(
     # index (two consumers of the tokenize+gram+count pipeline)
     tf = grams.groupBy("doc_id", "gh").agg(
         F.count(F.lit(1)).alias("tf")
-    ).persist()
+    ).transform(track_persist)
     dfs = tf.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.count()  # one scalar to the driver
     weighted = tf.join(dfs, "gh")  # AQE broadcasts the vocab-bounded dfs
@@ -777,7 +789,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # persist: the signature pipeline (explode + 32-way min agg) feeds
     # both sides of the self-join and would otherwise run twice
-    sig = minhash_signatures(documents, num_hashes, n, shingle_hash).persist()
+    sig = minhash_signatures(documents, num_hashes, n, shingle_hash).transform(track_persist)
     banded = sig.select(
         "doc_id",
         "signature",
@@ -862,7 +874,7 @@ def dedup_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .persist()
+        .transform(track_persist)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -1116,7 +1128,7 @@ def source_overlap_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
         # persist the tokenize+shingle+md5 pipeline runs three times
         # (measured 3x the query cost; same persist-beats-ReuseExchange
         # finding as the MinHash banded self-join)
-        .persist()
+        .transform(track_persist)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -1261,4 +1273,162 @@ def containment_pairs(
         F.expr("(n_inter * 1000) div least(size_a, size_b)").alias(
             "containment_milli"
         ),
+    )
+
+
+def duplicate_substring_spans(
+    documents: DataFrame,
+    min_len: int = 20,
+    k: int | None = None,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Exact substring-level dedup (the suffix-array modality of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): surface, per document, every maximal token span covered
+    by duplicated length-``k`` windows — the memorization-risk spans a
+    curation pipeline cuts OUT of documents rather than dropping the
+    documents whole. This is the operator ``chunk_dedup`` (fixed-stride
+    chunks) and winnowing (whole-doc near-dup) both miss: repeated
+    spans at ARBITRARY offsets across documents.
+
+    Semantics, stated exactly: position ``i`` of a doc is *duplicated*
+    when its positional ``k``-token gram also occurs elsewhere —
+    ``scope="cross_doc"``: in at least one OTHER document;
+    ``scope="any"``: anywhere else including the same document (the
+    paper's count). Maximal runs of consecutive duplicated positions
+    merge into spans of ``n_grams + k - 1`` tokens; spans shorter than
+    ``min_len`` are dropped. With ``k == min_len`` (the default) every
+    emitted length-k window is an EXACT duplicated substring and the
+    span is their union — the paper's removal set. With ``k < min_len``
+    the span guarantee weakens to "every k-window duplicated"
+    (different windows may match different partners); cheaper index,
+    standard approximation — the docstring contract makes that the
+    caller's explicit choice, like ``max_df``.
+
+    Spark shape, not a suffix array: a distributed suffix array over
+    100 TB is a research project; positional-gram run-merging gives the
+    same removal set for span length >= k with only hash aggregations
+    and one bounded window. Pipeline: tokenize once behind a
+    repartition exchange (``_tokenized`` — the CPU-per-row rule), one
+    posexplode to (doc_id, pos, gram-hash) rows, ONE map-side-combined
+    aggregation on the 8-byte gram hash computing (count, min_doc,
+    max_doc) — cross-doc duplication is min != max, no count-distinct
+    shuffle — a semi join of positions against the duplicated hashes
+    (AQE-planned; no fan-out, output <= positions), then the
+    pos - row_number island trick per doc. The island window partitions
+    by doc_id: per-doc sort, doc-bounded, never corpus-wide. Gram keys
+    are xxhash64 longs (the join-on-longs rule); a collision would need
+    ~2^32 distinct grams per false pair (negligible; same equivalence
+    the Jaccard family already accepts vs its string-keyed oracle).
+
+    Returns (doc_id, start_pos, span_tokens, n_grams), one row per
+    maximal span, all integers — exactly replayable in SQL (the r8
+    promotion oracle replays gram STRINGS, pos - ROW_NUMBER islands,
+    and the same HAVING on min/max doc_id).
+    """
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(
+            f"duplicate_substring_spans: scope must be 'cross_doc' or "
+            f"'any', got {scope!r}"
+        )
+    kk = int(min_len if k is None else k)
+    if kk < 1 or int(min_len) < kk:
+        raise ValueError(
+            f"duplicate_substring_spans: need 1 <= k <= min_len, got "
+            f"k={kk}, min_len={min_len}"
+        )
+    from pyspark.sql.window import Window
+
+    grams = (
+        _tokenized(documents)
+        .select(
+            "doc_id",
+            F.posexplode(_position_grams(F.col("toks"), kk)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.xxhash64("gram").alias("gh"),
+        )
+        .transform(track_persist)
+    )
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("doc_id").alias("d0"),
+        F.max("doc_id").alias("d1"),
+    )
+    dup = stats.where(
+        (F.col("d0") != F.col("d1"))
+        if scope == "cross_doc"
+        else (F.col("c") >= 2)
+    ).select("gh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = grams.join(dup, "gh", "left_semi").select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_pos"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            (F.col("n_grams") + F.lit(kk - 1))
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+        )
+        .where(F.col("span_tokens") >= int(min_len))
+    )
+
+
+def duplicate_span_stats(
+    documents: DataFrame,
+    min_len: int = 20,
+    k: int | None = None,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Per-document rollup of ``duplicate_substring_spans``: how much of
+    each document is covered by duplicated spans — the number a curation
+    dashboard actually plots, and the threshold a cut/keep policy gates
+    on (docs that are mostly duplicated spans get dropped whole; docs
+    with a small flagged fraction get the spans excised).
+
+    Spans from one doc never overlap (maximal islands are disjoint by
+    construction), so covered tokens = sum(span_tokens) exactly — no
+    interval union pass needed. dup_rate_milli = (1000 * dup_tokens)
+    div n_tokens: integer, truncating, engine-agnostic. Docs with no
+    qualifying span are INCLUDED with zeros (left join against
+    ``token_count``-style totals) so the output is a total function of
+    the corpus — rate histograms don't silently drop the clean mass.
+
+    Returns (doc_id, n_tokens, dup_tokens, n_spans, dup_rate_milli).
+    """
+    spans = duplicate_substring_spans(
+        documents, min_len=min_len, k=k, scope=scope
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    totals = documents.select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+            "dup_tokens"
+        ),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000 * COALESCE(dup_tokens, 0)) div n_tokens END"
+        ).alias("dup_rate_milli"),
     )

@@ -27,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..session import track_persist
 from pyspark.sql.window import Window
 
 
@@ -290,7 +292,7 @@ def kmeans(
     iteration). Deterministic init (first k vec_ids). Returns the final
     (vec_id, centroid_id)."""
     spark = embeddings.sparkSession
-    embeddings = embeddings.persist()
+    embeddings = embeddings.transform(track_persist)
     centroids = (
         embeddings.orderBy("vec_id")
         .limit(k)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..session import track_persist
 from pyspark.sql.window import Window
 
 # Tiny high-frequency stopword set used for quality scoring and the
@@ -485,7 +487,7 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     # the scoring join — without it the tokenize re-runs per consumer
     toks = documents.select(
         "doc_id", F.explode(tokens()).alias("token")
-    ).persist()
+    ).transform(track_persist)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
@@ -533,7 +535,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     t = (
         documents.select("doc_id", tokens().alias("toks"))
         .repartition(parallelism)
-        .persist()
+        .transform(track_persist)
     )
     n1 = F.greatest(F.size("toks") - 1, F.lit(0))
     pairs = F.zip_with(
@@ -546,7 +548,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
     # the Zipf-small count table also has two consumers (context roll-up
     # + the scoring join); persisting it avoids a second explode+shuffle
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).transform(track_persist)
     cc = bc.groupBy("w1").agg(F.sum("cb").alias("cctx"))
     vocab = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
@@ -628,13 +630,20 @@ def source_mix_waterfill(
     (1000 * alloc) div total (truncating, positive operands — the
     engine-agreement regime).
     """
+    if int(budget_tokens) < 0:
+        # a negative budget makes Python floor-division (toward -inf)
+        # diverge from the oracle's truncating `//` — and is meaningless
+        raise ValueError(
+            f"source_mix_waterfill: budget_tokens must be >= 0, "
+            f"got {budget_tokens}"
+        )
     per = (
         documents.groupBy(by)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(tokens())).cast("bigint").alias("n_tokens"),
         )
-        .persist()
+        .transform(track_persist)
     )
     rows = sorted(
         per.select(by, "n_tokens").collect(), key=lambda r: (r[1], r[0])
@@ -669,9 +678,20 @@ def source_mix_waterfill(
     # chain is O(#sources) expression depth and stalls analysis at
     # thousands of sources (the realistic corpus shape)
     spark = documents.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # schema for the fold-back join derives from the grouping column's
+    # actual type — a hard-coded STRING failed non-string `by` columns
+    # at createDataFrame with an unhelpful error (r6 ADVICE)
+    by_field = per.schema[by]
     alloc_df = spark.createDataFrame(
-        [(s, a) for s, a in allocs.items()] or [("", 0)],
-        f"{by} string, alloc_tokens bigint",
+        [(s, a) for s, a in allocs.items()],
+        StructType(
+            [
+                StructField(by, by_field.dataType, by_field.nullable),
+                StructField("alloc_tokens", LongType(), False),
+            ]
+        ),
     )
     return per.join(F.broadcast(alloc_df), by, "left").select(
         by,
@@ -1035,7 +1055,7 @@ def bm25_search(
     tf = (
         q.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(track_persist)
     )
     # df rolls up from the tf table (tf rows are distinct (doc, term)) —
     # one corpus tokenize pass serves both, instead of two scans
@@ -1092,7 +1112,7 @@ def pmi_pairs(
     """
     d = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
-    ).persist()
+    ).transform(track_persist)
     dfreq = d.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
     vr = Window.orderBy(F.col("dfc").desc(), F.col("token"))
     vocab = (
@@ -1156,7 +1176,7 @@ def source_kl(documents: DataFrame) -> DataFrame:
         documents.select("source", F.explode(tokens()).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c_st"))
-        .persist()
+        .transform(track_persist)
     )
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     g_tot = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
@@ -1422,7 +1442,7 @@ def dsir_importance(
     """
     toks = documents.select(
         "doc_id", F.explode(tokens()).alias("token")
-    ).persist()
+    ).transform(track_persist)
     raw_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_counts = (
         target.select(F.explode(tokens()).alias("token"))
@@ -1441,7 +1461,7 @@ def dsir_importance(
             F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
             F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
         )
-        .persist()
+        .transform(track_persist)
     )
     totals = lm.agg(
         F.sum("c_raw").alias("n_raw"),

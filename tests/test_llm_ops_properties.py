@@ -523,3 +523,204 @@ def test_bpe_learn_oracle_is_boundary_anchored(spark):
         for r in con.execute(_bpe_learn_oracle_sql(3)).fetchall()
     }
     assert got == want
+
+
+ss_words = st.sampled_from(["a", "b", "c"])
+ss_texts = st.lists(ss_words, min_size=1, max_size=16).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(ss_texts, min_size=1, max_size=8),
+    min_len=st.integers(2, 5),
+    cross=st.booleans(),
+)
+def test_substring_spans_match_oracle_generator(
+    spark, texts, min_len, cross
+):
+    """r7 differential (staged for the r8 promotion): the xxhash64-keyed
+    positional-gram run merge vs the string-keyed DuckDB replay, on
+    random 3-letter corpora where duplicated grams, island merges,
+    within-doc-only repeats, and sub-min_len runs all occur. k = min_len
+    (the exact-substring regime) and k < min_len (the approximation
+    regime) both exercised via the min_len draw with k fixed at 2."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _substring_spans_oracle_sql
+
+    scope = "cross_doc" if cross else "any"
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.duplicate_substring_spans(
+            docs, min_len=min_len, k=2, scope=scope
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _substring_spans_oracle_sql(min_len, k=2, scope=scope)
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r7: differential coverage for the r5-promotion oracles (fixed-corpus
+# only until now — random shapes exercise ties, empty-ish docs, boundary
+# ratios the synthetic corpus lacks)
+# ---------------------------------------------------------------------------
+
+gq_words = st.sampled_from(
+    ["word", "a", "lengthyworditself", "@@", "#", "x9", "na", "of", ". ."]
+)
+gq_texts = st.lists(gq_words, min_size=1, max_size=40).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(gq_texts, min_size=1, max_size=8))
+def test_gopher_rules_match_inline_oracle_on_random_docs(spark, texts):
+    """The q_gopher_rules inline oracle vs text.gopher_quality_rules on
+    random corpora mixing symbol-heavy, short, and duplicate-token docs
+    — the boundary shapes (alpha ratio at exactly 0.7, dup fraction at
+    0.3) the fixed corpus never hits."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in text.gopher_quality_rules(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(oracle_sql()["q_gopher_rules"]).fetchall()
+    }
+    assert got == want
+
+
+cc_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+cc_texts = st.lists(cc_words, min_size=1, max_size=10).map(" ".join)
+cc_langs = st.sampled_from(["en", "de"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(cc_texts, cc_langs), min_size=2, max_size=10
+    )
+)
+def test_ccnet_buckets_match_inline_oracle_on_random_docs(spark, rows):
+    """The q_ccnet_buckets inline oracle vs text.ccnet_buckets on random
+    tiny-vocab corpora: identical docs force score TIES (the doc_id
+    tie-break), and 1-2 doc languages sit exactly on percent_rank's
+    boundary fractions."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+
+    docs = spark.createDataFrame(
+        [
+            (i, t, lang, "s", len(t))
+            for i, (t, lang) in enumerate(rows)
+        ],
+        DOC_SCHEMA,
+    )
+    got = {tuple(r) for r in text.ccnet_buckets(docs).collect()}
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [t for t, _ in rows],
+                "lang": [l for _, l in rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(oracle_sql()["q_ccnet_buckets"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(0, 200), min_size=1, max_size=30, unique=True
+    ),
+    data=st.data(),
+)
+def test_snapshot_diff_matches_inline_oracle_on_random_events(
+    spark, ids, data
+):
+    """The q_snapshot_diff inline oracle (direct value comparison) vs
+    the md5-row-signature operator through the same %5/%7 derivation,
+    on random event sets — including ids where the %5 slices leave one
+    side empty and values that collide across rows."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+    from dbt_schema_builder_spark.sources.io import snapshot_diff
+
+    values = [
+        data.draw(
+            st.floats(
+                min_value=0.0,
+                max_value=1000.0,
+                allow_nan=False,
+                allow_infinity=False,
+            )
+        )
+        for _ in ids
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, i % 7, "click", v)
+            for i, v in zip(ids, values)
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    old = ev.where("event_id % 5 != 4")
+    new = ev.where("event_id % 5 != 0").withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+    got = {
+        tuple(r) for r in snapshot_diff(old, new, ["event_id"]).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": pd.Series(ids, dtype="int64"),
+                "user_id": pd.Series([i % 7 for i in ids], dtype="int64"),
+                "event_type": "click",
+                "value": pd.Series(values, dtype="float64"),
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(oracle_sql()["q_snapshot_diff"]).fetchall()
+    }
+    assert got == want

@@ -503,3 +503,148 @@ def test_stream_text_corpus_keys_match_batch_ingest(spark, tmp_path):
     )
     texts = {r.text for r in out.collect()}
     assert texts == {"fresh line one"}
+
+
+# ---------------------------------------------------------------------------
+# emit-on-timer (r7: the emission-volume lever, SCALE.md r6's named gap)
+# ---------------------------------------------------------------------------
+
+
+def _per_user_file_touches(spark, events_dir_multifile, where=None):
+    """How many (user, file) pairs the staged drain contains = the exact
+    update-mode emission count for a 1-file-per-trigger drain."""
+    from dbt_schema_builder_spark.sources.io import list_data_files
+
+    touches = 0
+    for uri, _sz in list_data_files(spark, events_dir_multifile):
+        df = spark.read.parquet(uri)
+        if where is not None:
+            df = df.where(where)
+        touches += df.select("user_id").distinct().count()
+    return touches
+
+
+def test_user_state_emit_on_timer_collapses_volume(
+    spark, tables, events_dir_multifile, tmp_path
+):
+    """emit='timer': nothing per update; one row per user per quiet
+    period, running totals kept in state. After the drain goes quiet
+    every user's timer fires once, so the upsert sink must converge to
+    EXACTLY the batch aggregate — and the emission log must be smaller
+    than update mode's users x touching-files volume (the lever this
+    mode exists for)."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_upsert_to_memory,
+    )
+
+    batch = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in tables["events"]
+        .withColumn("vm", F.round(F.col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum("vm") / 1e6).alias("tv"))
+        .collect()
+    }
+
+    stream = streaming_user_state(
+        stream_events(spark, events_dir_multifile, max_files_per_trigger=1),
+        timeout_minutes=0.02,  # 1.2 s quiet period
+        emit="timer",
+    )
+
+    def done(upserts, log):
+        return len(upserts) == len(batch) and all(
+            (r.n_events, round(r.total_value, 6)) == batch[u]
+            for (u,), r in upserts.items()
+        )
+
+    upserts, log = run_stream_upsert_to_memory(
+        stream,
+        ["user_id"],
+        stop_when=done,
+        timeout_sec=120.0,
+        checkpoint_dir=str(tmp_path / "ckpt_user_timer"),
+    )
+    got = {
+        u: (r.n_events, round(r.total_value, 6))
+        for (u,), r in upserts.items()
+    }
+    assert got == batch
+    update_mode_volume = _per_user_file_touches(
+        spark, events_dir_multifile
+    )
+    assert len(batch) <= len(log) < update_mode_volume, (
+        f"timer emissions {len(log)} should sit in "
+        f"[{len(batch)}, {update_mode_volume})"
+    )
+
+
+def test_funnel_emit_on_timer_matches_batch_chain(
+    spark, tables, events_dir_multifile, tmp_path
+):
+    """Funnel emit='timer': state is kept across flushes (a chain needs
+    full history), so the final upsert per user equals the batch
+    funnel's furthest stage; emission volume again collapses below the
+    update-mode touches."""
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_upsert_to_memory,
+        streaming_funnel,
+    )
+
+    batch_counts = {
+        r["stage"]: r["n_users"]
+        for r in timeseries.funnel(tables["events"]).collect()
+    }
+    n_funnel_users = (
+        tables["events"]
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+
+    stream = streaming_funnel(
+        stream_events(spark, events_dir_multifile, max_files_per_trigger=1),
+        timeout_minutes=0.02,
+        emit="timer",
+    )
+
+    def done(upserts, log):
+        if len(upserts) < n_funnel_users:
+            return False
+        stages = [r.stage for r in upserts.values()]
+        return all(
+            batch_counts[i] == sum(1 for s in stages if s >= i)
+            for i in (1, 2, 3)
+        )
+
+    upserts, log = run_stream_upsert_to_memory(
+        stream,
+        ["user_id"],
+        stop_when=done,
+        timeout_sec=120.0,
+        checkpoint_dir=str(tmp_path / "ckpt_funnel_timer"),
+    )
+    stages = [r.stage for r in upserts.values()]
+    for i in (1, 2, 3):
+        assert batch_counts[i] == sum(1 for s in stages if s >= i)
+    update_mode_volume = _per_user_file_touches(
+        spark,
+        events_dir_multifile,
+        where=F.col("event_type").isin("view", "click", "purchase"),
+    )
+    assert n_funnel_users <= len(log) < update_mode_volume
+
+
+def test_emit_timer_parameter_validation(spark, tables):
+    from dbt_schema_builder_spark.streaming import streaming_funnel
+
+    ev = tables["events"]
+    with pytest.raises(ValueError, match="timeout_minutes"):
+        streaming_user_state(ev, emit="timer")
+    with pytest.raises(ValueError, match="emit must be"):
+        streaming_user_state(ev, emit="nope")
+    with pytest.raises(ValueError, match="timeout_minutes"):
+        streaming_funnel(ev, emit="timer")
+    with pytest.raises(ValueError, match="emit must be"):
+        streaming_funnel(ev, emit="nope")

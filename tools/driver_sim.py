@@ -81,5 +81,11 @@ for name, fn in sorted(qs.items()):
         print(f"  MATCH {name}: {len(srows)} rows"); ok += 1
     except Exception as e:
         print(f"  FAIL {name}: {e}"); traceback.print_exc(limit=2); fail += 1
+    finally:
+        # scoped operator-cache release (the r7 session contract):
+        # 149 queries back-to-back would otherwise accumulate every
+        # operator's persisted subtree for the whole run
+        from dbt_schema_builder_spark.session import release_caches
+        release_caches(spark)
 print(f"t2: {ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)

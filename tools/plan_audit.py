@@ -104,6 +104,16 @@ NOTES = {
         "write, then a driver-side pyarrow FOOTER report (plan shown = the "
         "report's local scan; the write plan is repartition + sort)"
     ),
+    # round 7
+    "q_dsir_importance": (
+        "one tokenize pass per corpus; vocab-bounded LM table persisted + "
+        "broadcast into the scoring join; integer-milli dot product, "
+        "map-side-combined per-doc sums"
+    ),
+    "q_source_mix_waterfill": (
+        "one per-source rollup exchange; sources-bounded driver solve; "
+        "broadcast alloc fold-back (never a when-chain)"
+    ),
 }
 
 

@@ -45,11 +45,6 @@ def timed(fn):
     return time.perf_counter() - t0
 
 
-def median3(mk):
-    mk()  # warmup
-    return statistics.median(timed(mk) for _ in range(3))
-
-
 def interleaved(name, mk1, mkN):
     mk1(), mkN()  # warmup both
     s1, sN = [], []

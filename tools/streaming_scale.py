@@ -110,3 +110,59 @@ for op in OPS:
         a, b = out[f"{op}_1x_{label}"], out[f"{op}_10x_{label}"]
         out[f"ratio_{op}_{label}"] = round(b["wall_s"] / max(a["wall_s"], 1e-9), 2)
 print(json.dumps(out, indent=1))
+
+# ---------------------------------------------------------------------------
+# r7: emit-on-timer emission-volume collapse (the r6 SCALE.md lever,
+# verdict item #3). Same mft=1 incremental drain, but the stateful pair
+# emits only when a user's quiet period (1.2 s) ends — emitted rows
+# should collapse from users x touching-batches toward one per user.
+# ---------------------------------------------------------------------------
+from dbt_schema_builder_spark.streaming import (  # noqa: E402
+    run_stream_upsert_to_memory,
+)
+
+TIMER_OPS = {
+    "user_state": lambda src: streaming_user_state(
+        src, timeout_minutes=0.02, emit="timer"
+    ),
+    "funnel": lambda src: streaming_funnel(
+        src, timeout_minutes=0.02, emit="timer"
+    ),
+}
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def drain_timer(op_name, events_dir):
+    df0 = spark.read.parquet(events_dir)
+    if op_name == "funnel":
+        df0 = df0.where(F.col("event_type").isin(*FUNNEL_STEPS))
+    n_users = df0.select("user_id").distinct().count()
+    src = stream_events(spark, events_dir, max_files_per_trigger=1)
+    df = TIMER_OPS[op_name](src)
+    t0 = time.perf_counter()
+    upserts, log = run_stream_upsert_to_memory(
+        df,
+        ["user_id"],
+        stop_when=lambda u, l: len(u) >= n_users,
+        timeout_sec=600.0,
+    )
+    wall = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return {
+        "wall_s": round(wall, 2),
+        "users": n_users,
+        "upserted": len(upserts),
+        "emitted": len(log),
+    }
+
+
+for op in TIMER_OPS:
+    for scale, d in dirs.items():
+        key = f"{op}_{scale}_timer"
+        out[key] = drain_timer(op, d)
+        upd = out[f"{op}_{scale}_mft1"]["emitted"]
+        out[key]["collapse_vs_mft1_update"] = round(
+            out[key]["emitted"] / max(upd, 1), 3
+        )
+        print(key, out[key], flush=True)
+print(json.dumps(out, indent=1))
