@@ -1861,6 +1861,22 @@ def q_source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup driver-gated (new r7): per document,
+    every maximal token span covered by duplicated 20-token windows
+    appearing in at least one OTHER document (Lee et al. 2022's
+    memorization-risk removal set — cross-doc repeats at arbitrary
+    offsets, which fixed-stride chunk_dedup structurally misses). All
+    surfaces are integers; the oracle replays gram STRINGS where the
+    operator keys on xxhash64 longs (the same collision-negligible
+    equivalence the Jaccard oracles accept), the identical min/max-doc
+    duplication test, and the same pos - ROW_NUMBER island merge.
+    Differential-tested on random corpora before gating."""
+    return dedup.duplicate_substring_spans(
+        _t(spark, sf_dir, "documents"), min_len=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1869,20 +1885,25 @@ def q_source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
     keys. Round-7 window (the round-6 window banked green r06 rows for ALL
-    50 of its keys, so every slot was free): (a) the 48 keys whose latest
-    driver row was round 4 — the verdict's rotation ask, their evidence
-    predating the r5 streaming/oracle changes and two r6 session-layer
-    refactors; (b) the two r6-staged promotions (DSIR importance,
-    waterfilling allocation) whose oracles were differential-tested last
-    round. 48 + 2 = exactly 50. Every key below the boundary carries a
-    green round-5/6 row (tests/test_query_window.py audits this)."""
+    50 of its keys, so every slot was free): (a) 47 of the 48 keys whose
+    latest driver row was round 4 — the verdict's rotation ask, their
+    evidence predating the r5 streaming/oracle changes and two r6
+    session-layer refactors; (b) the two r6-staged promotions (DSIR
+    importance, waterfilling allocation) whose oracles were
+    differential-tested last round; (c) the new r7 substring-dedup
+    operator, gated this round rather than staged (its oracle generator
+    is differential-tested; the verdict's top "what's missing" item).
+    47 + 2 + 1 = exactly 50; the one displaced rotation
+    (q_dupe_detection — unchanged since r1, lowest-churn of the 48)
+    keeps its green r4 row below the boundary. Every key below the
+    boundary carries a green round-4/5/6 row
+    (tests/test_query_window.py audits this)."""
     return {
-        # (a) the 48 keys whose latest driver row is round 4
+        # (a) 47 keys whose latest driver row is round 4
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_user_state": q_stream_user_state,
         "q_tumbling_window": q_tumbling_window,
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
-        "q_dupe_detection": q_dupe_detection,
         "q_metadata_merge_join": q_metadata_merge_join,
         "q_rollup": q_rollup,
         "q_window_rank": q_window_rank,
@@ -1929,8 +1950,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) r7 promotions: oracles staged + differential-tested in r6
         "q_dsir_importance": q_dsir_importance,
         "q_source_mix_waterfill": q_source_mix_waterfill,
-        # ---- driver window boundary (position 50 = q_source_mix_waterfill)
-        # every key below carries a green round-5/6 driver row
+        # (c) new r7 operator, differential-tested then gated same round
+        "q_substring_dedup": q_substring_dedup,
+        # ---- driver window boundary (position 50 = q_substring_dedup)
+        # every key below carries a green round-4/5/6 driver row
+        "q_dupe_detection": q_dupe_detection,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_session_window": q_session_window,
         "q_near_dup": q_near_dup,
@@ -3655,6 +3679,8 @@ def oracle_sql() -> dict[str, str]:
         # round-7 promotions (generators staged + differential-tested r6)
         "q_dsir_importance": _dsir_oracle_sql(),
         "q_source_mix_waterfill": _waterfill_oracle_sql(_WATERFILL_BUDGET),
+        # round-7 new operator (generator differential-tested this round)
+        "q_substring_dedup": _substring_spans_oracle_sql(20),
     })
 
 
@@ -3998,6 +4024,18 @@ def _substring_spans_oracle_sql(
     surfaced values integers. Differential-tested on random corpora
     (tests/test_llm_ops_properties.py) ahead of the driver gate."""
     kk = int(min_len if k is None else k)
+    return (
+        _substring_ctes(kk, scope)
+        + "SELECT doc_id, start_pos, span_tokens, n_grams FROM s "
+        + f"WHERE span_tokens >= {int(min_len)}"
+    )
+
+
+def _substring_ctes(kk: int, scope: str) -> str:
+    """Shared CTE prefix for the substring-dedup oracle family (spans +
+    cut): tokenize, positional grams, duplicated-gram set, islands,
+    span rollup. One body, two SELECTs — the spans and cut oracles
+    cannot drift apart (the _with_shared_oracles discipline)."""
     having = (
         "MIN(doc_id) <> MAX(doc_id)"
         if scope == "cross_doc"
@@ -4016,8 +4054,52 @@ def _substring_spans_oracle_sql(
         "s AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos, "
         f"CAST(COUNT(*) + {kk} - 1 AS BIGINT) AS span_tokens, "
         "CAST(COUNT(*) AS BIGINT) AS n_grams FROM h GROUP BY doc_id, grp) "
-        "SELECT doc_id, start_pos, span_tokens, n_grams FROM s "
-        f"WHERE span_tokens >= {int(min_len)}"
+    )
+
+
+def _cut_spans_oracle_sql(
+    min_len: int = 20, k: int | None = None, scope: str = "cross_doc"
+) -> str:
+    """r8 promotion staging: DuckDB replay of dedup.cut_duplicate_spans
+    — the same span CTEs (shared prefix, cannot drift from the spans
+    oracle), first-gram canonical doc via MIN(doc_id) over the gram's
+    carriers, disjoint cut ranges excised by NOT EXISTS, rebuild via
+    ORDER BY pos string_agg. Every doc appears (clean ones verbatim in
+    token space, fully-cut ones empty)."""
+    kk = int(min_len if k is None else k)
+    return (
+        _substring_ctes(kk, scope)
+        + (
+            ", sf AS (SELECT s.doc_id, s.start_pos, s.span_tokens, "
+            "g2.gram AS gram0 FROM s JOIN g g2 ON g2.doc_id = s.doc_id "
+            f"AND g2.pos = s.start_pos WHERE s.span_tokens >= {int(min_len)}), "
+            "canon AS (SELECT gram, MIN(doc_id) AS canon_doc FROM g "
+            "GROUP BY gram), "
+            "cut AS (SELECT sf.doc_id, sf.start_pos AS cs, "
+            "sf.start_pos + sf.span_tokens - 1 AS ce FROM sf "
+            "JOIN canon ON canon.gram = sf.gram0 "
+            "WHERE sf.doc_id <> canon.canon_doc), "
+            "pt AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token, "
+            "CAST(len(t) AS BIGINT) AS nb "
+            "FROM toks, unnest(range(1, len(t) + 1)) AS u(i)), "
+            "kept AS (SELECT pt.* FROM pt WHERE NOT EXISTS "
+            "(SELECT 1 FROM cut WHERE cut.doc_id = pt.doc_id "
+            "AND pt.pos BETWEEN cut.cs AND cut.ce)), "
+            "reb AS (SELECT doc_id, MAX(nb) AS nb, "
+            "CAST(COUNT(*) AS BIGINT) AS na, "
+            "string_agg(token, ' ' ORDER BY pos) AS ta "
+            "FROM kept GROUP BY doc_id), "
+            "nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ncs "
+            "FROM cut GROUP BY doc_id) "
+            "SELECT dd.doc_id, "
+            "CAST(COALESCE(reb.nb, len(regexp_split_to_array(trim(dd.text), "
+            "'\\s+'))) AS BIGINT) AS n_tokens_before, "
+            "CAST(COALESCE(reb.na, 0) AS BIGINT) AS n_tokens_after, "
+            "CAST(COALESCE(nc.ncs, 0) AS BIGINT) AS n_cut_spans, "
+            "COALESCE(reb.ta, '') AS text_after "
+            "FROM documents dd LEFT JOIN reb ON reb.doc_id = dd.doc_id "
+            "LEFT JOIN nc ON nc.doc_id = dd.doc_id"
+        )
     )
 
 

@@ -169,6 +169,8 @@ HEADLINE = [
     # round 7: promoted r6 tests-only operators (were x_ bench-only)
     "q_dsir_importance",
     "q_source_mix_waterfill",
+    # round 7: new substring-level dedup, gated same round
+    "q_substring_dedup",
 ]
 
 
@@ -198,13 +200,13 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
 # queries() key (their semantics are covered by existing oracle keys).
 # x_dsir_importance / x_source_mix_waterfill graduated to HEADLINE keys
 # (q_dsir_importance / q_source_mix_waterfill) with the r7 promotion.
-def _substring_dedup(spark, sf_dir):
-    """Exact substring-level dedup spans (r7 operator, r8 promotion
-    candidate): cross-doc duplicated >=20-token spans."""
+def _cut_spans(spark, sf_dir):
+    """The substring-dedup removal transform (r7 operator, r8 promotion
+    candidate): excise non-canonical duplicated >=20-token spans."""
     from dbt_schema_builder_spark.operators import dedup
     from dbt_schema_builder_spark.session import read_table
 
-    return dedup.duplicate_substring_spans(
+    return dedup.cut_duplicate_spans(
         read_table(spark, f"{sf_dir}/documents.parquet"), min_len=20
     )
 
@@ -212,7 +214,7 @@ def _substring_dedup(spark, sf_dir):
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
-    "x_substring_dedup": _substring_dedup,
+    "x_cut_duplicate_spans": _cut_spans,
 }
 
 

@@ -1281,6 +1281,7 @@ def duplicate_substring_spans(
     min_len: int = 20,
     k: int | None = None,
     scope: str = "cross_doc",
+    emit_gram: bool = False,
 ) -> DataFrame:
     """Exact substring-level dedup (the suffix-array modality of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
@@ -1322,9 +1323,13 @@ def duplicate_substring_spans(
     the Jaccard family already accepts vs its string-keyed oracle).
 
     Returns (doc_id, start_pos, span_tokens, n_grams), one row per
-    maximal span, all integers — exactly replayable in SQL (the r8
-    promotion oracle replays gram STRINGS, pos - ROW_NUMBER islands,
-    and the same HAVING on min/max doc_id).
+    maximal span, all integers — exactly replayable in SQL (the r7
+    oracle replays gram STRINGS, pos - ROW_NUMBER islands, and the
+    same HAVING on min/max doc_id). With ``emit_gram=True`` two
+    columns are appended for composition (``cut_duplicate_spans``):
+    ``gh0`` — the span's first gram hash — and ``canon_doc`` — the
+    smallest doc_id containing that gram, straight from the
+    duplication aggregate (no second corpus pass).
     """
     if scope not in ("cross_doc", "any"):
         raise ValueError(
@@ -1363,18 +1368,20 @@ def duplicate_substring_spans(
         (F.col("d0") != F.col("d1"))
         if scope == "cross_doc"
         else (F.col("c") >= 2)
-    ).select("gh")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = grams.join(dup, "gh", "left_semi").select(
+    islands = grams.join(dup.select("gh"), "gh", "left_semi").select(
         "doc_id",
         "pos",
+        "gh",
         (F.col("pos") - F.row_number().over(w)).alias("grp"),
     )
-    return (
+    spans = (
         islands.groupBy("doc_id", "grp")
         .agg(
             F.min("pos").cast("bigint").alias("start_pos"),
             F.count(F.lit(1)).alias("n_grams"),
+            F.min_by("gh", "pos").alias("gh0"),
         )
         .select(
             "doc_id",
@@ -1383,8 +1390,15 @@ def duplicate_substring_spans(
             .cast("bigint")
             .alias("span_tokens"),
             F.col("n_grams").cast("bigint").alias("n_grams"),
+            "gh0",
         )
         .where(F.col("span_tokens") >= int(min_len))
+    )
+    if not emit_gram:
+        return spans.drop("gh0")
+    canon = dup.select(F.col("gh").alias("gh0"), F.col("d0").alias("canon_doc"))
+    return spans.join(canon, "gh0").select(
+        "doc_id", "start_pos", "span_tokens", "n_grams", "gh0", "canon_doc"
     )
 
 
@@ -1431,4 +1445,99 @@ def duplicate_span_stats(
             "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
             "ELSE (1000 * COALESCE(dup_tokens, 0)) div n_tokens END"
         ).alias("dup_rate_milli"),
+    )
+
+
+def cut_duplicate_spans(
+    documents: DataFrame,
+    min_len: int = 20,
+    k: int | None = None,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """The removal half of the substring-dedup modality: rebuild each
+    document with its duplicated spans (``duplicate_substring_spans``)
+    EXCISED, keeping one canonical occurrence per duplicate so the
+    corpus retains every substring exactly once — Lee et al. 2022's
+    actual training-set transform, not just the report.
+
+    Canonical-occurrence rule, deterministic and join-local: a span is
+    KEPT (not cut) iff its document is the MINIMUM doc_id among the
+    documents containing the span's FIRST k-gram (that minimum is the
+    ``d0`` the duplication aggregate already computes — no second
+    corpus pass). Every other occurrence is cut. Like
+    ``keep_canonical``'s smallest-doc_id rule, one level down: ties
+    cannot happen (doc_id is unique), so the kept set is a pure
+    function of the data.
+
+    Shape: the span pipeline's stages plus one anti-join of exploded
+    token positions against the cut spans' position ranges — expressed
+    as a range join on (doc_id, pos between start and end), which AQE
+    plans as a broadcast when the cut-span side is small (the common
+    case: flagged spans are a sliver of the corpus). Token order is
+    rebuilt with an array_agg over (pos) struct sort — per-doc bounded,
+    no window.
+
+    Returns (doc_id, n_tokens_before, n_tokens_after, n_cut_spans,
+    text_after) — integers plus the rebuilt text, exactly replayable
+    in SQL (the staged oracle rebuilds with string_agg over the same
+    kept positions).
+    """
+    spans = duplicate_substring_spans(
+        documents, min_len=min_len, k=k, scope=scope, emit_gram=True
+    )
+    cut = spans.where(F.col("doc_id") != F.col("canon_doc")).select(
+        "doc_id",
+        F.col("start_pos").alias("cut_start"),
+        (F.col("start_pos") + F.col("span_tokens") - 1).alias("cut_end"),
+    )
+    toks = _tokenized(documents)
+    pos_tokens = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens_before"),
+        F.posexplode("toks").alias("pos0", "token"),
+    ).select(
+        "doc_id",
+        "n_tokens_before",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "token",
+    )
+    kept = pos_tokens.join(
+        cut,
+        (pos_tokens["doc_id"] == cut["doc_id"])
+        & (F.col("pos") >= F.col("cut_start"))
+        & (F.col("pos") <= F.col("cut_end")),
+        "left_anti",
+    )
+    n_cut = cut.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cut_spans")
+    )
+    rebuilt = kept.groupBy("doc_id", "n_tokens_before").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text_after"),
+    )
+    # left join from the full doc list: a doc whose EVERY token was cut
+    # still appears (empty text), and clean docs appear verbatim
+    base = documents.select("doc_id", "text")
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .join(n_cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "n_tokens_before", F.size(tokens())
+            ).cast("bigint").alias("n_tokens_before"),
+            F.coalesce("n_tokens_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+            F.coalesce("n_cut_spans", F.lit(0))
+            .cast("bigint")
+            .alias("n_cut_spans"),
+            F.coalesce("text_after", F.lit("")).alias("text_after"),
+        )
     )

@@ -1596,3 +1596,49 @@ def test_duplicate_span_stats_total_and_exact(spark):
         2: (28, 25, 1, 892),
         3: (3, 0, 0, 0),
     }
+
+
+def test_cut_duplicate_spans_keeps_one_canonical_occurrence(spark):
+    """The removal transform: the smallest doc_id containing a span's
+    first gram keeps it; every other occurrence is excised; clean docs
+    survive verbatim in token space."""
+    span = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma"),
+            (2, "x y z " + span),
+            (3, "clean words only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (
+            r.n_tokens_before,
+            r.n_tokens_after,
+            r.n_cut_spans,
+            r.text_after,
+        )
+        for r in dedup.cut_duplicate_spans(docs, min_len=20).collect()
+    }
+    assert out[1][1] == 28 and out[1][2] == 0  # canonical: untouched
+    assert out[2] == (28, 3, 1, "x y z")  # span excised
+    assert out[3] == (3, 3, 0, "clean words only")
+    # corpus-level invariant: each duplicated span's tokens survive
+    # exactly once across the corpus
+    total_after = sum(v[1] for v in out.values())
+    assert total_after == 28 + 3 + 3
+
+
+def test_cut_duplicate_spans_fully_cut_doc_surfaces_empty(spark):
+    """A doc that is one big duplicated span (and not canonical) comes
+    back empty rather than disappearing."""
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, span), (2, span)], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens_after, r.text_after)
+        for r in dedup.cut_duplicate_spans(docs, min_len=20).collect()
+    }
+    assert out[1][0] == 20
+    assert out[2] == (0, "")

@@ -724,3 +724,148 @@ def test_snapshot_diff_matches_inline_oracle_on_random_events(
         for r in con.execute(oracle_sql()["q_snapshot_diff"]).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(ss_texts, min_size=1, max_size=8),
+    min_len=st.integers(2, 5),
+)
+def test_cut_spans_match_oracle_generator(spark, texts, min_len):
+    """r7 differential (staged for the r8 promotion): the cut/rebuild
+    transform vs its SQL replay on random tiny-alphabet corpora —
+    canonical-keep ties, fully-cut docs, adjacent islands, and docs
+    shorter than k all occur. Also pins the cross-corpus invariant the
+    operator exists for: spans survive exactly once."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _cut_spans_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.cut_duplicate_spans(
+            docs, min_len=min_len, k=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _cut_spans_oracle_sql(min_len, k=2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+lsh_words = st.sampled_from(["a", "b", "c", "d"])
+lsh_texts = st.lists(lsh_words, min_size=3, max_size=10).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=2, max_size=8))
+def test_minhash_candidates_match_oracle_on_random_corpora(
+    spark, texts
+):
+    """r7 differential: the portable MinHash family + banded LSH vs its
+    DuckDB replay on random tiny-alphabet corpora — identical docs,
+    bands that tie on every slice, and docs with a single shingle all
+    occur here but not in the driver fixture. Spark buckets on
+    xxhash64 of the band slice while the oracle compares slices
+    exactly; equality of the candidate sets is the no-collision
+    assumption made explicit."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _minhash_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.minhash_lsh_candidates(
+            docs, shingle_hash="portable"
+        )
+        .select("doc_a", "doc_b", "n_agree")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r) for r in con.execute(_minhash_oracle_sql()).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=2, max_size=8))
+def test_simhash_near_dup_matches_oracle_on_random_corpora(
+    spark, texts
+):
+    """r7 differential: portable 60-bit SimHash (per-bit votes, 16-bit
+    bands, windowed bucket cap, XOR-popcount Hamming) vs its DuckDB
+    replay on random corpora — zero-vote bit ties (sign of an exactly
+    balanced vote) and all-docs-one-bucket shapes occur at tiny
+    alphabets and would shift the signature if either engine broke the
+    v > 0 convention."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _simhash_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.simhash_near_dup(
+            docs, max_hamming=16, token_hash="portable", max_bucket=200
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r) for r in con.execute(_simhash_oracle_sql()).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=2, max_size=8))
+def test_dedup_clusters_match_recursive_closure_on_random_corpora(
+    spark, texts
+):
+    """r7 differential: iterative label propagation (Spark) vs the
+    recursive-CTE transitive closure (DuckDB) over the same Jaccard
+    pair graph — chains longer than the propagation's early-exit
+    round count, cycles, and multi-component graphs all arise on
+    tiny-alphabet corpora; the driver fixture's pair graph is nearly
+    edge-free by comparison."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _dedup_clusters_oracle_sql
+
+    docs = _docs(spark, texts)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    got = {
+        tuple(r) for r in dedup.dedup_clusters(pairs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_dedup_clusters_oracle_sql(0.2)).fetchall()
+    }
+    assert got == want

@@ -114,6 +114,11 @@ NOTES = {
         "one per-source rollup exchange; sources-bounded driver solve; "
         "broadcast alloc fold-back (never a when-chain)"
     ),
+    "q_substring_dedup": (
+        "positional-gram hashes: one map-side-combined (count, min, max) "
+        "agg on the 8-byte key (no count-distinct), semi-join back, "
+        "doc-bounded island window — never corpus-wide"
+    ),
 }
 
 

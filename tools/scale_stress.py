@@ -222,6 +222,22 @@ OPS = {
     "semantic_dedup(lsh,thr.9)": lambda d, e: similarity.semantic_dedup(
         e, threshold=0.9, strategy="lsh"
     ),
+    # round-7: the substring modality's adversarial case IS the 10x
+    # replica corpus — every replica shares its full >=20-token body
+    # with 9 siblings, so nearly every position sits in a duplicated
+    # gram and the island merge runs at maximal width (output ~1 span
+    # per doc, i.e. corpus-sized — the op's worst legal output). The
+    # gram agg stays map-side-combined on 8-byte keys; nothing
+    # quadratic: candidate volume is positions, not pairs.
+    "substring_spans(L=20)": lambda d, e: dedup.duplicate_substring_spans(
+        d, min_len=20
+    ),
+    # round-7: the removal transform adds the pos-range anti-join +
+    # per-doc rebuild — linear in tokens; on the replica corpus ~90%
+    # of tokens get cut (only the min-doc_id replica keeps its body)
+    "cut_duplicate_spans(L=20)": lambda d, e: dedup.cut_duplicate_spans(
+        d, min_len=20
+    ),
 }
 
 _only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
