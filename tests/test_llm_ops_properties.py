@@ -869,3 +869,114 @@ def test_dedup_clusters_match_recursive_closure_on_random_corpora(
         for r in con.execute(_dedup_clusters_oracle_sql(0.2)).fetchall()
     }
     assert got == want
+
+
+lang_markers = st.sampled_from(
+    # deliberately ambiguous across profiles: "de" hits es+zh, "la"
+    # fr+es, "le" fr+zh — argmax ties are the norm, not the exception
+    ["the", "der", "le", "la", "de", "el", "y", "und", "shi", "zz"]
+)
+lang_texts = st.lists(lang_markers, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(lang_texts, min_size=1, max_size=10))
+def test_lang_id_matches_oracle_on_ambiguous_corpora(spark, texts):
+    """r7 differential: the marker-count argmax vs its DuckDB replay on
+    corpora built FROM the ambiguous markers — score ties across
+    languages (broken by ascending code) and zero-hit docs dominate
+    here; the driver fixture rarely ties."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _lang_id_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {tuple(r) for r in text.lang_id(docs).collect()}
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r) for r in con.execute(_lang_id_oracle_sql()).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=2, max_size=8))
+def test_keep_canonical_matches_closure_on_random_corpora(spark, texts):
+    """r7 differential: the keep/drop action list vs the recursive-CTE
+    closure — singleton fallbacks, whole-corpus single clusters, and
+    representatives that are themselves multi-hop from some members
+    all arise on tiny-alphabet corpora."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _keep_canonical_oracle_sql
+
+    docs = _docs(spark, texts)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    got = {tuple(r) for r in dedup.keep_canonical(docs, pairs).collect()}
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_keep_canonical_oracle_sql(0.2)).fetchall()
+    }
+    assert got == want
+
+
+bpe_symbols = st.sampled_from(["a", "b", "c"])
+bpe_words = st.lists(bpe_symbols, min_size=1, max_size=6).map("".join)
+bpe_texts = st.lists(bpe_words, min_size=1, max_size=8).map(" ".join)
+# pairs over base chars AND composites: cascades (('a','b') then
+# ('ab','c')) and never-matching composites both occur
+bpe_pair = st.tuples(
+    st.sampled_from(["a", "b", "c", "ab", "bc", "ca", "aa"]),
+    st.sampled_from(["a", "b", "c", "ab", "bc", "ca", "aa"]),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(bpe_texts, min_size=1, max_size=6),
+    merges=st.lists(bpe_pair, min_size=1, max_size=4),
+)
+def test_apply_bpe_matches_oracle_on_random_merge_lists(
+    spark, texts, merges
+):
+    """r7 differential: frozen-merge BPE application vs the iterated
+    separator-joined replace replay — on RANDOM merge lists, not just
+    the fixture's: cascaded merges, repeated identical merges,
+    composite pairs that never match, and same-pair runs (aaa with
+    ('a','a')) all occur; the left-to-right non-overlapping identity
+    must hold for every one."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _apply_bpe_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in text.apply_bpe_merges(docs, list(merges))
+        .select("doc_id", "n_subwords", "n_words")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _apply_bpe_oracle_sql(list(merges))
+        ).fetchall()
+    }
+    assert got == want
