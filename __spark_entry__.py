@@ -4103,6 +4103,37 @@ def _cut_spans_oracle_sql(
     )
 
 
+def _span_stats_oracle_sql(
+    min_len: int = 20, k: int | None = None, scope: str = "cross_doc"
+) -> str:
+    """r8 promotion staging: DuckDB replay of dedup.duplicate_span_stats
+    — the same span CTEs (shared prefix, cannot drift from the spans/cut
+    oracles) rolled up per document: covered tokens = SUM(span_tokens)
+    exactly (maximal islands are disjoint), truncating-// milli rate on
+    positive operands (the regime where Spark div and DuckDB // agree),
+    clean docs included with zeros via the left join."""
+    kk = int(min_len if k is None else k)
+    return (
+        _substring_ctes(kk, scope)
+        + (
+            ", sp AS (SELECT doc_id, span_tokens FROM s "
+            f"WHERE span_tokens >= {int(min_len)}), "
+            "pd AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS "
+            "dup_tokens, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sp "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(len(regexp_split_to_array("
+            "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents) "
+            "SELECT tot.doc_id, tot.n_tokens, "
+            "CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens, "
+            "CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans, "
+            "CASE WHEN tot.n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000 * COALESCE(pd.dup_tokens, 0)) // "
+            "tot.n_tokens AS BIGINT) END AS dup_rate_milli "
+            "FROM tot LEFT JOIN pd ON pd.doc_id = tot.doc_id"
+        )
+    )
+
+
 def _with_shared_oracles(d: dict) -> dict:
     """Oracle derivations that must stay coupled to another key's SQL:
     q_ppjoin_jaccard is the prefix-filtered exact-Jaccard twin of

@@ -10,7 +10,7 @@ from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
-from dbt_schema_builder_spark.operators import dedup, text
+from dbt_schema_builder_spark.operators import dedup, similarity, text
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
@@ -977,6 +977,136 @@ def test_apply_bpe_matches_oracle_on_random_merge_lists(
         tuple(r)
         for r in con.execute(
             _apply_bpe_oracle_sql(list(merges))
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(ss_texts, min_size=1, max_size=8),
+    min_len=st.integers(2, 5),
+)
+def test_span_stats_match_oracle_generator(spark, texts, min_len):
+    """r7 differential (staged for the r8 promotion): the per-doc
+    duplicated-coverage rollup vs its SQL replay on random
+    tiny-alphabet corpora — clean docs (zeros row), fully-covered
+    docs (rate 1000), and multi-span docs all occur; the disjointness
+    assumption behind covered = SUM(span_tokens) is exactly what a
+    broken island merge would violate."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _span_stats_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.duplicate_span_stats(
+            docs, min_len=min_len, k=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _span_stats_oracle_sql(min_len, k=2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+# eighth-unit grid: x*1000 = 125k exactly, so the Spark HALF_UP milli
+# conversion, the DuckDB ROUND half-away, and float32 storage all agree
+# bit-for-bit — no representable-tie rounding hazard (CLAUDE.md r3 rule)
+eighth = st.integers(-8, 8).map(lambda i: i / 8.0)
+vec4 = st.lists(eighth, min_size=4, max_size=4)
+
+
+def _embeddings(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def _duck_embeddings(con, vecs):
+    import pandas as pd
+
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        ),
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=st.lists(vec4, min_size=3, max_size=10))
+def test_pq_topk_matches_oracle_on_random_vectors(spark, vecs):
+    """r7 differential: PQ/ADC + exact rerank vs its bit-identical SQL
+    replay on random eighth-unit vectors — duplicate subvectors (argmin
+    code ties), zero vectors, and codebooks containing identical
+    codewords all occur; every tie must break identically (code index,
+    then vec_id) on both engines."""
+    import duckdb
+
+    from __spark_entry__ import _pq_topk_oracle_sql
+
+    emb = _embeddings(spark, vecs)
+    got = {
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, n_queries=2, k=3, subspaces=2, codes=2, rerank=50
+        ).collect()
+    }
+    con = duckdb.connect()
+    _duck_embeddings(con, vecs)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _pq_topk_oracle_sql(
+                subspaces=2, codes=2, sd=2, n_queries=2, k=3, rerank=50
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=st.lists(vec4, min_size=3, max_size=10))
+def test_ivfpq_topk_matches_oracle_on_random_vectors(spark, vecs):
+    """r7 differential: the two-level IVF-PQ pipeline vs its SQL replay
+    on random eighth-unit vectors — coarse-cell assignment ties and
+    probe sets covering the whole corpus both occur at these sizes."""
+    import duckdb
+
+    from __spark_entry__ import _ivfpq_topk_oracle_sql
+
+    emb = _embeddings(spark, vecs)
+    got = {
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            emb, n_queries=2, k=3, cells=2, nprobe=2, subspaces=2,
+            codes=2, rerank=50,
+        ).collect()
+    }
+    con = duckdb.connect()
+    _duck_embeddings(con, vecs)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _ivfpq_topk_oracle_sql(
+                cells=2, nprobe=2, subspaces=2, codes=2, sd=2,
+                n_queries=2, k=3, rerank=50,
+            )
         ).fetchall()
     }
     assert got == want
