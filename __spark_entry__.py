@@ -1748,11 +1748,15 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle unrolls exactly _BPE_LEARN_STEPS argmax CTEs; an early
     # stop (min_pair_count) would otherwise surface only as an opaque
     # driver hash mismatch on a corpus/sf change (r6 ADVICE)
-    assert len(merges) == _BPE_LEARN_STEPS, (
-        f"learn_bpe_merges stopped early ({len(merges)} of "
-        f"{_BPE_LEARN_STEPS} merges) — the q_bpe_learn oracle unrolls a "
-        "fixed step count; lower _BPE_LEARN_STEPS for this corpus"
-    )
+    if len(merges) != _BPE_LEARN_STEPS:
+        # explicit raise, not assert: asserts vanish under python -O,
+        # which would re-open the opaque-hash-mismatch failure mode
+        raise RuntimeError(
+            f"learn_bpe_merges stopped early ({len(merges)} of "
+            f"{_BPE_LEARN_STEPS} merges) — the q_bpe_learn oracle "
+            "unrolls a fixed step count; lower _BPE_LEARN_STEPS for "
+            "this corpus"
+        )
     rows = [
         (i + 1, a, b, c)
         for i, ((a, b), c) in enumerate(zip(merges, counts))
@@ -4062,35 +4066,47 @@ def _cut_spans_oracle_sql(
 ) -> str:
     """r8 promotion staging: DuckDB replay of dedup.cut_duplicate_spans
     — the same span CTEs (shared prefix, cannot drift from the spans
-    oracle), first-gram canonical doc via MIN(doc_id) over the gram's
-    carriers, disjoint cut ranges excised by NOT EXISTS, rebuild via
-    ORDER BY pos string_agg. Every doc appears (clean ones verbatim in
-    token space, fully-cut ones empty)."""
+    oracle), then the operator's POSITION-level keep/cut rule: a token
+    position is flagged when inside a qualifying span's extent,
+    protected when inside the k-window of a duplicated gram's
+    canonical occurrence (lexicographic min (doc_id, pos) — replayed
+    with ROW_NUMBER over the gram's carriers), cut iff flagged and not
+    protected. n_cut_spans counts maximal runs of cut positions (the
+    same pos - ROW_NUMBER island trick); rebuild via ORDER BY pos
+    string_agg. Every doc appears (clean ones verbatim in token space,
+    fully-cut ones empty)."""
     kk = int(min_len if k is None else k)
     return (
         _substring_ctes(kk, scope)
         + (
-            ", sf AS (SELECT s.doc_id, s.start_pos, s.span_tokens, "
-            "g2.gram AS gram0 FROM s JOIN g g2 ON g2.doc_id = s.doc_id "
-            f"AND g2.pos = s.start_pos WHERE s.span_tokens >= {int(min_len)}), "
-            "canon AS (SELECT gram, MIN(doc_id) AS canon_doc FROM g "
-            "GROUP BY gram), "
-            "cut AS (SELECT sf.doc_id, sf.start_pos AS cs, "
-            "sf.start_pos + sf.span_tokens - 1 AS ce FROM sf "
-            "JOIN canon ON canon.gram = sf.gram0 "
-            "WHERE sf.doc_id <> canon.canon_doc), "
+            ", sp AS (SELECT doc_id, start_pos AS cs, "
+            "start_pos + span_tokens - 1 AS ce FROM s "
+            f"WHERE span_tokens >= {int(min_len)}), "
+            "co AS (SELECT doc_id, pos FROM (SELECT g.doc_id, g.pos, "
+            "ROW_NUMBER() OVER (PARTITION BY g.gram "
+            "ORDER BY g.doc_id, g.pos) AS rn "
+            "FROM g JOIN d USING (gram)) WHERE rn = 1), "
+            f"pr AS (SELECT doc_id, pos AS ps, pos + {kk} - 1 AS pe "
+            "FROM co), "
             "pt AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token, "
             "CAST(len(t) AS BIGINT) AS nb "
             "FROM toks, unnest(range(1, len(t) + 1)) AS u(i)), "
+            "cutp AS (SELECT pt.doc_id, pt.pos FROM pt WHERE EXISTS "
+            "(SELECT 1 FROM sp WHERE sp.doc_id = pt.doc_id "
+            "AND pt.pos BETWEEN sp.cs AND sp.ce) AND NOT EXISTS "
+            "(SELECT 1 FROM pr WHERE pr.doc_id = pt.doc_id "
+            "AND pt.pos BETWEEN pr.ps AND pr.pe)), "
             "kept AS (SELECT pt.* FROM pt WHERE NOT EXISTS "
-            "(SELECT 1 FROM cut WHERE cut.doc_id = pt.doc_id "
-            "AND pt.pos BETWEEN cut.cs AND cut.ce)), "
+            "(SELECT 1 FROM cutp WHERE cutp.doc_id = pt.doc_id "
+            "AND cutp.pos = pt.pos)), "
             "reb AS (SELECT doc_id, MAX(nb) AS nb, "
             "CAST(COUNT(*) AS BIGINT) AS na, "
             "string_agg(token, ' ' ORDER BY pos) AS ta "
             "FROM kept GROUP BY doc_id), "
-            "nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ncs "
-            "FROM cut GROUP BY doc_id) "
+            "runs AS (SELECT doc_id, pos - ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS grp FROM cutp), "
+            "nc AS (SELECT doc_id, CAST(COUNT(DISTINCT grp) AS BIGINT) "
+            "AS ncs FROM runs GROUP BY doc_id) "
             "SELECT dd.doc_id, "
             "CAST(COALESCE(reb.nb, len(regexp_split_to_array(trim(dd.text), "
             "'\\s+'))) AS BIGINT) AS n_tokens_before, "
@@ -4108,19 +4124,35 @@ def _span_stats_oracle_sql(
 ) -> str:
     """r8 promotion staging: DuckDB replay of dedup.duplicate_span_stats
     — the same span CTEs (shared prefix, cannot drift from the spans/cut
-    oracles) rolled up per document: covered tokens = SUM(span_tokens)
-    exactly (maximal islands are disjoint), truncating-// milli rate on
-    positive operands (the regime where Spark div and DuckDB // agree),
-    clean docs included with zeros via the left join."""
+    oracles) rolled up per document: covered tokens = the INTERVAL
+    UNION of the spans' token extents (islands are disjoint in
+    gram-position space but extents overlap when the inter-island gap
+    is <= k-2 — the same running-max-of-end merge the operator runs),
+    truncating-// milli rate on positive operands (the regime where
+    Spark div and DuckDB // agree), clean docs included with zeros via
+    the left join."""
     kk = int(min_len if k is None else k)
     return (
         _substring_ctes(kk, scope)
         + (
-            ", sp AS (SELECT doc_id, span_tokens FROM s "
+            ", sp AS (SELECT doc_id, start_pos AS s0, "
+            "start_pos + span_tokens - 1 AS e0 FROM s "
             f"WHERE span_tokens >= {int(min_len)}), "
-            "pd AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS "
-            "dup_tokens, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sp "
-            "GROUP BY doc_id), "
+            "iv AS (SELECT doc_id, s0, e0, MAX(e0) OVER "
+            "(PARTITION BY doc_id ORDER BY s0 ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING) AS pm FROM sp), "
+            "iv2 AS (SELECT doc_id, s0, e0, SUM(CASE WHEN pm IS NULL "
+            "OR s0 > pm THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id "
+            "ORDER BY s0 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+            "ROW) AS igrp FROM iv), "
+            "mg AS (SELECT doc_id, igrp, MAX(e0) - MIN(s0) + 1 AS cov "
+            "FROM iv2 GROUP BY doc_id, igrp), "
+            "pd0 AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS "
+            "dup_tokens FROM mg GROUP BY doc_id), "
+            "pd AS (SELECT pd0.doc_id, pd0.dup_tokens, "
+            "CAST(ns.n_spans AS BIGINT) AS n_spans FROM pd0 JOIN "
+            "(SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY "
+            "doc_id) ns ON ns.doc_id = pd0.doc_id), "
             "tot AS (SELECT doc_id, CAST(len(regexp_split_to_array("
             "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents) "
             "SELECT tot.doc_id, tot.n_tokens, "

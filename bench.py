@@ -259,7 +259,7 @@ def main() -> None:
             # q_exact_dedup). release_caches() is the scoped operator
             # contract (r7); clearCache() additionally drops view
             # caches the trifecta queries register
-            release_caches(spark)
+            release_caches()
             spark.catalog.clearCache()
     timings = {
         n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()

@@ -1276,12 +1276,66 @@ def containment_pairs(
     )
 
 
+def _validated_gram_len(
+    min_len: int, k: int | None, scope: str, op: str
+) -> int:
+    """Shared argument validation for the substring-dedup family."""
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(
+            f"{op}: scope must be 'cross_doc' or 'any', got {scope!r}"
+        )
+    kk = int(min_len if k is None else k)
+    if kk < 1 or int(min_len) < kk:
+        raise ValueError(
+            f"{op}: need 1 <= k <= min_len, got k={kk}, min_len={min_len}"
+        )
+    return kk
+
+
+def _gram_dup_frames(
+    toks: DataFrame, kk: int, scope: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stage-1 of the substring-dedup family, over a
+    ``_tokenized`` (doc_id, toks) frame: the positional gram frame
+    (doc_id, pos, gh), persisted (every caller scans it at least
+    twice — and it is the COMPACT thing to persist, 3 longs/row, vs
+    corpus-sized token arrays), and the duplicated-gram aggregate
+    (gh, c, d0, d1): ONE map-side-combined aggregation on the 8-byte
+    xxhash64 key where cross-doc duplication is min_doc != max_doc
+    (no count-distinct shuffle)."""
+    grams = (
+        toks
+        .select(
+            "doc_id",
+            F.posexplode(_position_grams(F.col("toks"), kk)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.xxhash64("gram").alias("gh"),
+        )
+        .transform(track_persist)
+    )
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("doc_id").alias("d0"),
+        F.max("doc_id").alias("d1"),
+    )
+    dup = stats.where(
+        (F.col("d0") != F.col("d1"))
+        if scope == "cross_doc"
+        else (F.col("c") >= 2)
+    )
+    return grams, dup
+
+
 def duplicate_substring_spans(
     documents: DataFrame,
     min_len: int = 20,
     k: int | None = None,
     scope: str = "cross_doc",
-    emit_gram: bool = False,
 ) -> DataFrame:
     """Exact substring-level dedup (the suffix-array modality of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
@@ -1325,63 +1379,34 @@ def duplicate_substring_spans(
     Returns (doc_id, start_pos, span_tokens, n_grams), one row per
     maximal span, all integers — exactly replayable in SQL (the r7
     oracle replays gram STRINGS, pos - ROW_NUMBER islands, and the
-    same HAVING on min/max doc_id). With ``emit_gram=True`` two
-    columns are appended for composition (``cut_duplicate_spans``):
-    ``gh0`` — the span's first gram hash — and ``canon_doc`` — the
-    smallest doc_id containing that gram, straight from the
-    duplication aggregate (no second corpus pass).
+    same HAVING on min/max doc_id).
     """
-    if scope not in ("cross_doc", "any"):
-        raise ValueError(
-            f"duplicate_substring_spans: scope must be 'cross_doc' or "
-            f"'any', got {scope!r}"
-        )
-    kk = int(min_len if k is None else k)
-    if kk < 1 or int(min_len) < kk:
-        raise ValueError(
-            f"duplicate_substring_spans: need 1 <= k <= min_len, got "
-            f"k={kk}, min_len={min_len}"
-        )
+    kk = _validated_gram_len(min_len, k, scope, "duplicate_substring_spans")
+    grams, dup = _gram_dup_frames(_tokenized(documents), kk, scope)
+    return _qualifying_spans(grams, dup, kk, int(min_len))
+
+
+def _qualifying_spans(
+    grams: DataFrame, dup: DataFrame, kk: int, min_len: int
+) -> DataFrame:
+    """Islands stage of the substring-dedup family, shared by the spans
+    report and the cut transform (one gram scan feeds both): semi-join
+    positions against the duplicated hashes, pos - row_number islands
+    per doc, roll up to (doc_id, start_pos, span_tokens, n_grams),
+    keep spans of >= min_len tokens."""
     from pyspark.sql.window import Window
 
-    grams = (
-        _tokenized(documents)
-        .select(
-            "doc_id",
-            F.posexplode(_position_grams(F.col("toks"), kk)).alias(
-                "pos0", "gram"
-            ),
-        )
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).cast("bigint").alias("pos"),
-            F.xxhash64("gram").alias("gh"),
-        )
-        .transform(track_persist)
-    )
-    stats = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.min("doc_id").alias("d0"),
-        F.max("doc_id").alias("d1"),
-    )
-    dup = stats.where(
-        (F.col("d0") != F.col("d1"))
-        if scope == "cross_doc"
-        else (F.col("c") >= 2)
-    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = grams.join(dup.select("gh"), "gh", "left_semi").select(
         "doc_id",
         "pos",
-        "gh",
         (F.col("pos") - F.row_number().over(w)).alias("grp"),
     )
-    spans = (
+    return (
         islands.groupBy("doc_id", "grp")
         .agg(
             F.min("pos").cast("bigint").alias("start_pos"),
             F.count(F.lit(1)).alias("n_grams"),
-            F.min_by("gh", "pos").alias("gh0"),
         )
         .select(
             "doc_id",
@@ -1390,15 +1415,8 @@ def duplicate_substring_spans(
             .cast("bigint")
             .alias("span_tokens"),
             F.col("n_grams").cast("bigint").alias("n_grams"),
-            "gh0",
         )
-        .where(F.col("span_tokens") >= int(min_len))
-    )
-    if not emit_gram:
-        return spans.drop("gh0")
-    canon = dup.select(F.col("gh").alias("gh0"), F.col("d0").alias("canon_doc"))
-    return spans.join(canon, "gh0").select(
-        "doc_id", "start_pos", "span_tokens", "n_grams", "gh0", "canon_doc"
+        .where(F.col("span_tokens") >= min_len)
     )
 
 
@@ -1414,23 +1432,56 @@ def duplicate_span_stats(
     on (docs that are mostly duplicated spans get dropped whole; docs
     with a small flagged fraction get the spans excised).
 
-    Spans from one doc never overlap (maximal islands are disjoint by
-    construction), so covered tokens = sum(span_tokens) exactly — no
-    interval union pass needed. dup_rate_milli = (1000 * dup_tokens)
-    div n_tokens: integer, truncating, engine-agnostic. Docs with no
-    qualifying span are INCLUDED with zeros (left join against
+    Spans are disjoint in GRAM-position space (maximal islands), but
+    their TOKEN extents each carry ``k - 1`` trailing tokens, so two
+    islands separated by a gap of <= k-2 gram positions overlap in
+    token space — summing span_tokens would double-count the overlap
+    (and could push dup_rate_milli past 1000). ``dup_tokens`` is
+    therefore the INTERVAL UNION of the token extents: one doc-bounded
+    window pass (running max of end over start order — gaps-and-islands
+    over intervals), then max(end) - min(start) + 1 per merged group.
+    ``n_spans`` stays the raw qualifying-span count. dup_rate_milli =
+    (1000 * dup_tokens) div n_tokens: integer, truncating,
+    engine-agnostic, and now provably <= 1000. Docs with no qualifying
+    span are INCLUDED with zeros (left join against
     ``token_count``-style totals) so the output is a total function of
     the corpus — rate histograms don't silently drop the clean mass.
 
     Returns (doc_id, n_tokens, dup_tokens, n_spans, dup_rate_milli).
     """
+    from pyspark.sql.window import Window
+
     spans = duplicate_substring_spans(
         documents, min_len=min_len, k=k, scope=scope
+    ).transform(track_persist)
+    w = Window.partitionBy("doc_id").orderBy("start_pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    iv = spans.select(
+        "doc_id",
+        "start_pos",
+        (F.col("start_pos") + F.col("span_tokens") - 1).alias("end_pos"),
+    ).withColumn("prev_max", F.max("end_pos").over(wprev))
+    merged = (
+        iv.withColumn(
+            "igrp",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull()
+                    | (F.col("start_pos") > F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+        .groupBy("doc_id", "igrp")
+        .agg(
+            (F.max("end_pos") - F.min("start_pos") + 1).alias("cov")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("cov").alias("dup_tokens"))
     )
     per_doc = spans.groupBy("doc_id").agg(
-        F.sum("span_tokens").alias("dup_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
-    )
+    ).join(merged, "doc_id")
     totals = documents.select(
         "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
     )
@@ -1456,41 +1507,80 @@ def cut_duplicate_spans(
 ) -> DataFrame:
     """The removal half of the substring-dedup modality: rebuild each
     document with its duplicated spans (``duplicate_substring_spans``)
-    EXCISED, keeping one canonical occurrence per duplicate so the
-    corpus retains every substring exactly once — Lee et al. 2022's
-    actual training-set transform, not just the report.
+    EXCISED, keeping one canonical occurrence per duplicated k-gram so
+    the corpus retains every flagged substring at least once — Lee et
+    al. 2022's actual training-set transform, not just the report.
 
-    Canonical-occurrence rule, deterministic and join-local: a span is
-    KEPT (not cut) iff its document is the MINIMUM doc_id among the
-    documents containing the span's FIRST k-gram (that minimum is the
-    ``d0`` the duplication aggregate already computes — no second
-    corpus pass). Every other occurrence is cut. Like
-    ``keep_canonical``'s smallest-doc_id rule, one level down: ties
-    cannot happen (doc_id is unique), so the kept set is a pure
-    function of the data.
+    The keep/cut decision is POSITION-level, not span-level (a
+    span-level rule keyed on any single representative gram can cut
+    EVERY occurrence of a substring — the canon doc's span may itself
+    be cut because its representative points at yet another doc). The
+    rule, deterministic and pure-function-of-the-data:
 
-    Shape: the span pipeline's stages plus one anti-join of exploded
-    token positions against the cut spans' position ranges — expressed
-    as a range join on (doc_id, pos between start and end), which AQE
-    plans as a broadcast when the cut-span side is small (the common
-    case: flagged spans are a sliver of the corpus). Token order is
-    rebuilt with an array_agg over (pos) struct sort — per-doc bounded,
-    no window.
+    - a token position is FLAGGED when it lies inside the token extent
+      of a qualifying span (``span_tokens >= min_len``) — in any doc,
+      including the canonical one;
+    - for every duplicated k-gram, its CANONICAL occurrence is the
+      lexicographic minimum (doc_id, pos) over all its occurrences
+      (ties impossible: one gram per position), and that occurrence's
+      k token positions are PROTECTED;
+    - a position is CUT iff flagged and not protected.
+
+    Guarantee: every duplicated k-gram survives verbatim at its
+    canonical occurrence (all k tokens protected), every clean token is
+    untouched, and duplicated mass outside the canonical occurrences is
+    excised. A substring longer than k survives at least as its
+    overlapping k-windows (each in its own canon doc) — the per-gram
+    guarantee, which is the honest one (a single contiguous canonical
+    copy of arbitrarily-long spans does not exist in general: two docs
+    can each hold half of a chain).
+
+    Shape: the shared gram/dup stage, two range joins of exploded token
+    positions against (doc-local) span extents and protected extents —
+    both doc_id-equi joins with a band residual, flagged output <=
+    positions — one equi anti-join back, and the island trick over cut
+    positions for ``n_cut_spans`` (count of maximal cut RUNS after
+    protection). Token order is rebuilt with an array_agg over (pos)
+    struct sort — per-doc bounded, no corpus window.
 
     Returns (doc_id, n_tokens_before, n_tokens_after, n_cut_spans,
     text_after) — integers plus the rebuilt text, exactly replayable
-    in SQL (the staged oracle rebuilds with string_agg over the same
-    kept positions).
+    in SQL (the staged oracle replays the same flag/protect/cut
+    position sets and rebuilds with string_agg over kept positions).
+
+    Caveat, shared with the paper's transform: excision splices
+    previously-distant tokens next to each other, which can create NEW
+    duplicated k-grams; the transform is one-pass by design (iterate
+    to a fixed point if that matters downstream).
     """
-    spans = duplicate_substring_spans(
-        documents, min_len=min_len, k=k, scope=scope, emit_gram=True
-    )
-    cut = spans.where(F.col("doc_id") != F.col("canon_doc")).select(
-        "doc_id",
-        F.col("start_pos").alias("cut_start"),
-        (F.col("start_pos") + F.col("span_tokens") - 1).alias("cut_end"),
-    )
+    from pyspark.sql.window import Window
+
+    kk = _validated_gram_len(min_len, k, scope, "cut_duplicate_spans")
+    # tokenize runs twice (grams pipeline + position explode) ON
+    # PURPOSE: persisting the tokenized corpus would cache
+    # corpus-sized string arrays — at 100 TB that is far costlier
+    # than recomputing a split(); the compact 3-long gram frame is
+    # the right thing to persist, and _gram_dup_frames does
+    grams, dup = _gram_dup_frames(_tokenized(documents), kk, scope)
+    spans = _qualifying_spans(grams, dup, kk, int(min_len))
     toks = _tokenized(documents)
+    extents = spans.select(
+        F.col("doc_id").alias("s_doc"),
+        F.col("start_pos").alias("cs"),
+        (F.col("start_pos") + F.col("span_tokens") - 1).alias("ce"),
+    )
+    # canonical occurrence per duplicated gram: lexicographic min
+    # (doc_id, pos); its k tokens are protected from cutting
+    protected = (
+        grams.join(dup.select("gh"), "gh", "left_semi")
+        .groupBy("gh")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("mn"))
+        .select(
+            F.col("mn.doc_id").alias("p_doc"),
+            F.col("mn.pos").alias("ps"),
+            (F.col("mn.pos") + F.lit(kk - 1)).alias("pe"),
+        )
+    )
     pos_tokens = toks.select(
         "doc_id",
         F.size("toks").alias("n_tokens_before"),
@@ -1501,15 +1591,28 @@ def cut_duplicate_spans(
         (F.col("pos0") + 1).cast("bigint").alias("pos"),
         "token",
     )
-    kept = pos_tokens.join(
-        cut,
-        (pos_tokens["doc_id"] == cut["doc_id"])
-        & (F.col("pos") >= F.col("cut_start"))
-        & (F.col("pos") <= F.col("cut_end")),
-        "left_anti",
+    flagged = pos_tokens.join(
+        extents,
+        (pos_tokens["doc_id"] == extents["s_doc"])
+        & (F.col("pos") >= F.col("cs"))
+        & (F.col("pos") <= F.col("ce")),
+        "left_semi",
     )
-    n_cut = cut.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_cut_spans")
+    cut_pos = flagged.join(
+        protected,
+        (flagged["doc_id"] == protected["p_doc"])
+        & (F.col("pos") >= F.col("ps"))
+        & (F.col("pos") <= F.col("pe")),
+        "left_anti",
+    ).select("doc_id", "pos").transform(track_persist)
+    kept = pos_tokens.join(cut_pos, ["doc_id", "pos"], "left_anti")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n_cut = (
+        cut_pos.select(
+            "doc_id", (F.col("pos") - F.row_number().over(w)).alias("grp")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("grp").alias("n_cut_spans"))
     )
     rebuilt = kept.groupBy("doc_id", "n_tokens_before").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),

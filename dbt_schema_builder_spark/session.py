@@ -178,7 +178,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
 # composing many operators in one session accumulates cached blocks until
 # LRU eviction (the pollution mechanism that fabricated three past bench
 # "regressions"). The contract: operators register every persist here via
-# ``track_persist``; the consumer calls ``release_caches(spark)`` after
+# ``track_persist``; the consumer calls ``release_caches()`` after
 # materializing results (bench.py and tools/driver_sim.py do — between
 # queries). ``spark.catalog.clearCache()`` also works but nukes the
 # caller's OWN cached frames too; this release is scoped to what the
@@ -200,10 +200,13 @@ def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return out
 
 
-def release_caches(spark: SparkSession | None = None) -> int:
+def release_caches() -> int:
     """Unpersist every operator-tracked cached frame; returns how many
     were released. Blocking=False (Spark's default): the JVM frees the
-    blocks asynchronously."""
+    blocks asynchronously. Takes no session argument on purpose: the
+    persist registry is process-global (one tracked list regardless of
+    how many sessions exist), and a parameter would wrongly suggest
+    per-session scoping."""
     n = 0
     for df in _TRACKED_PERSISTS:
         try:

@@ -33,8 +33,16 @@ def list_data_files(
     ``abfss://``/``gs://`` listings ride the same connector the
     executors use; a bare local path lists through ``file:``.
     Hidden/metadata files (``_SUCCESS``, ``.crc``, streaming metadata)
-    are skipped by the same leading ``_``/``.`` rule Spark's own
-    readers apply.
+    are skipped by the same rule Spark's own readers apply
+    (``InMemoryFileIndex.shouldFilterOutPathName``): a component is
+    hidden when it starts with ``.``, or starts with ``_`` WITHOUT
+    containing ``=`` — the ``=`` exemption is what keeps
+    ``_file_id=K``-style partition directories visible. Applied to
+    EVERY path component below the listed root, not just the leaf, so
+    in-flight commit-protocol files under ``_temporary/`` or
+    ``.hive-staging*/`` never leak into compaction byte counts or
+    layout reports (the root directory's own name is exempt, like
+    Spark's readers).
 
     Returns sorted [(uri, size_bytes)]. Driver-side and eager by
     design: callers are maintenance ops whose file counts are bounded
@@ -46,13 +54,21 @@ def list_data_files(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.makeQualified(hpath).toString().rstrip("/")
     out = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.endswith(suffix) and not name.startswith(("_", ".")):
-            out.append((st.getPath().toString(), int(st.getLen())))
+        uri = st.getPath().toString()
+        rel = uri[len(root):].lstrip("/") if uri.startswith(root) else (
+            st.getPath().getName()
+        )
+        if uri.endswith(suffix) and not any(
+            part.startswith(".")
+            or (part.startswith("_") and "=" not in part)
+            for part in rel.split("/")
+        ):
+            out.append((uri, int(st.getLen())))
     return sorted(out)
 
 

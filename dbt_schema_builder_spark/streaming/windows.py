@@ -469,6 +469,16 @@ def streaming_funnel(
         raise ValueError(
             "streaming_funnel: emit='timer' needs timeout_minutes"
         )
+    if emit == "updates" and timeout_minutes is not None:
+        # refuse rather than silently ignore (the swallowed-kwarg class):
+        # unlike streaming_user_state, a funnel cannot expire state (the
+        # chain needs full history), so updates-mode has no timeout role
+        raise ValueError(
+            "streaming_funnel: timeout_minutes only applies with "
+            "emit='timer' (the quiet-period flush); a funnel cannot "
+            "expire state — with emit='updates' the argument would be "
+            "silently ignored, so it is rejected instead"
+        )
     timeout_ms = (
         max(1, int(timeout_minutes * 60 * 1000))
         if timeout_minutes is not None

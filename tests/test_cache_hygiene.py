@@ -22,7 +22,7 @@ def _n_cached(spark) -> int:
 
 def test_release_caches_clears_operator_persists(spark, tables):
     spark.catalog.clearCache()
-    release_caches(spark)
+    release_caches()
     assert _n_cached(spark) == 0
     docs = tables["documents"]
     # three representative multi-consumer operators, materialized
@@ -33,20 +33,20 @@ def test_release_caches_clears_operator_persists(spark, tables):
         "expected tracked persisted blocks after operator runs — "
         "did a refactor bypass track_persist?"
     )
-    released = release_caches(spark)
+    released = release_caches()
     assert released > 0
     assert _n_cached(spark) == 0, "release_caches left cached blocks"
 
 
 def test_release_caches_leaves_caller_caches_alone(spark, tables):
     spark.catalog.clearCache()
-    release_caches(spark)
+    release_caches()
     mine = tables["region"].select("r_regionkey").persist()
     mine.count()
     assert _n_cached(spark) == 1
     docs = tables["documents"]
     dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.8).collect()
-    release_caches(spark)
+    release_caches()
     # the operator's blocks are gone, the caller's survive
     assert _n_cached(spark) == 1
     mine.unpersist()
@@ -58,5 +58,5 @@ def test_track_persist_is_idempotent_after_session_reuse(spark, tables):
     docs = tables["documents"]
     df = track_persist(docs.select("doc_id"))
     df.count()
-    assert release_caches(spark) >= 1
-    assert release_caches(spark) == 0
+    assert release_caches() >= 1
+    assert release_caches() == 0

@@ -1577,7 +1577,8 @@ def test_substring_spans_rejects_bad_params(spark):
 
 def test_duplicate_span_stats_total_and_exact(spark):
     """Stats cover EVERY doc (zeros for clean ones); dup_tokens is the
-    exact span sum (spans are disjoint); rate is integer milli."""
+    interval union of span token extents (here a single span per doc,
+    so union == sum); rate is integer milli."""
     span = " ".join(f"w{i}" for i in range(25))
     docs = spark.createDataFrame(
         [
@@ -1599,9 +1600,10 @@ def test_duplicate_span_stats_total_and_exact(spark):
 
 
 def test_cut_duplicate_spans_keeps_one_canonical_occurrence(spark):
-    """The removal transform: the smallest doc_id containing a span's
-    first gram keeps it; every other occurrence is excised; clean docs
-    survive verbatim in token space."""
+    """The removal transform: every duplicated gram's canonical
+    occurrence (lexicographic min (doc_id, pos)) is protected; every
+    other flagged position is excised; clean docs survive verbatim in
+    token space."""
     span = " ".join(f"w{i}" for i in range(25))
     docs = spark.createDataFrame(
         [
@@ -1627,6 +1629,52 @@ def test_cut_duplicate_spans_keeps_one_canonical_occurrence(spark):
     # exactly once across the corpus
     total_after = sum(v[1] for v in out.values())
     assert total_after == 28 + 3 + 3
+
+
+def test_cut_duplicate_spans_never_destroys_all_occurrences(spark):
+    """Regression (r7 review): a span-LEVEL keep rule keyed on the
+    span's first gram can cut EVERY occurrence of a substring — doc 2's
+    span 'c a b' gets cut because its first gram's canon is doc 1,
+    while doc 3's 'a b' gets cut because its canon is doc 2, so 'a b'
+    survives nowhere. The position-level protection rule keeps each
+    duplicated gram's canonical occurrence intact."""
+    docs = spark.createDataFrame(
+        [(1, "c a x"), (2, "c a b"), (3, "y a b")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens_after, r.n_cut_spans, r.text_after)
+        for r in dedup.cut_duplicate_spans(docs, min_len=2, k=2).collect()
+    }
+    # canon of 'c a' is (1,1): doc 1 untouched; canon of 'a b' is
+    # (2,2): doc 2 keeps 'a b' and cuts only the now-redundant 'c';
+    # doc 3's 'a b' is cut entirely
+    assert out[1] == (3, 0, "c a x")
+    assert out[2] == (2, 1, "a b")
+    assert out[3] == (1, 1, "y")
+    # the guarantee: every duplicated gram survives exactly once
+    texts = [out[d][2] for d in sorted(out)]
+    assert sum(t.count("c a") for t in texts) == 1
+    assert sum(t.count("a b") for t in texts) == 1
+
+
+def test_duplicate_span_stats_interval_union_not_sum(spark):
+    """Regression (r7 review): two islands with a gap of <= k-2 gram
+    positions overlap in TOKEN space; summing span_tokens would report
+    dup_tokens=6 > n_tokens=5 (a 120% rate). The interval union caps
+    coverage at the true count."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x c d e")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans, r.dup_rate_milli)
+        for r in dedup.duplicate_span_stats(docs, min_len=3, k=3).collect()
+    }
+    # doc 1: islands at gram-pos {1} ('a b c') and {3} ('c d e') —
+    # extents [1,3] and [3,5] overlap at token 3: union = 5, not 6
+    assert out[1] == (5, 5, 2, 1000)
+    assert out[2] == (7, 6, 2, 857)
 
 
 def test_cut_duplicate_spans_fully_cut_doc_surfaces_empty(spark):

@@ -726,29 +726,31 @@ def test_snapshot_diff_matches_inline_oracle_on_random_events(
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=10, deadline=None)
 @given(
     texts=st.lists(ss_texts, min_size=1, max_size=8),
     min_len=st.integers(2, 5),
+    k=st.integers(2, 4),
 )
-def test_cut_spans_match_oracle_generator(spark, texts, min_len):
+def test_cut_spans_match_oracle_generator(spark, texts, min_len, k):
     """r7 differential (staged for the r8 promotion): the cut/rebuild
     transform vs its SQL replay on random tiny-alphabet corpora —
-    canonical-keep ties, fully-cut docs, adjacent islands, and docs
-    shorter than k all occur. Also pins the cross-corpus invariant the
-    operator exists for: spans survive exactly once."""
+    fully-cut docs, adjacent islands, docs shorter than k, and (at
+    k >= 3) spans whose token extents OVERLAP across islands all
+    occur. k varies past 2 on purpose: k=2 is the one geometry where
+    extents cannot overlap, so pinning it would leave the overlap
+    plumbing untested (r7 review). Beyond operator==oracle this pins
+    the invariant the operator exists for: every duplicated k-gram
+    survives at its canonical occurrence."""
     import duckdb
     import pandas as pd
 
     from __spark_entry__ import _cut_spans_oracle_sql
 
+    k = min(k, min_len)
     docs = _docs(spark, texts)
-    got = {
-        tuple(r)
-        for r in dedup.cut_duplicate_spans(
-            docs, min_len=min_len, k=2
-        ).collect()
-    }
+    rows = dedup.cut_duplicate_spans(docs, min_len=min_len, k=k).collect()
+    got = {tuple(r) for r in rows}
     con = duckdb.connect()
     con.register(
         "documents",
@@ -757,10 +759,32 @@ def test_cut_spans_match_oracle_generator(spark, texts, min_len):
     want = {
         tuple(r)
         for r in con.execute(
-            _cut_spans_oracle_sql(min_len, k=2)
+            _cut_spans_oracle_sql(min_len, k=k)
         ).fetchall()
     }
     assert got == want
+    # survival invariant, independent of the oracle (both sides could
+    # share a defect): every k-gram duplicated in the INPUT still
+    # occurs in the rebuilt corpus at least once
+    def grams(t):
+        toks = t.split()
+        return [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+
+    per_doc = [set(grams(t)) for t in texts]
+    # cross-doc duplicated grams (the operator's default scope)
+    cross = {
+        g
+        for d in per_doc
+        for g in d
+        if sum(g in dd for dd in per_doc) >= 2
+    }
+    after_grams = set()
+    for r in rows:
+        after_grams.update(grams(r["text_after"]))
+    for g in cross:
+        assert g in after_grams, (g, texts, [r["text_after"] for r in rows])
 
 
 lsh_words = st.sampled_from(["a", "b", "c", "d"])
@@ -982,30 +1006,30 @@ def test_apply_bpe_matches_oracle_on_random_merge_lists(
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=10, deadline=None)
 @given(
     texts=st.lists(ss_texts, min_size=1, max_size=8),
     min_len=st.integers(2, 5),
+    k=st.integers(2, 4),
 )
-def test_span_stats_match_oracle_generator(spark, texts, min_len):
+def test_span_stats_match_oracle_generator(spark, texts, min_len, k):
     """r7 differential (staged for the r8 promotion): the per-doc
     duplicated-coverage rollup vs its SQL replay on random
     tiny-alphabet corpora — clean docs (zeros row), fully-covered
-    docs (rate 1000), and multi-span docs all occur; the disjointness
-    assumption behind covered = SUM(span_tokens) is exactly what a
-    broken island merge would violate."""
+    docs (rate 1000), multi-span docs, and (at k >= 3) islands whose
+    token extents overlap all occur. k varies past 2 on purpose: k=2
+    is the one geometry where extents cannot overlap, so it cannot
+    exercise the interval-union merge (r7 review). The rate <= 1000
+    bound is asserted independently of the oracle."""
     import duckdb
     import pandas as pd
 
     from __spark_entry__ import _span_stats_oracle_sql
 
+    k = min(k, min_len)
     docs = _docs(spark, texts)
-    got = {
-        tuple(r)
-        for r in dedup.duplicate_span_stats(
-            docs, min_len=min_len, k=2
-        ).collect()
-    }
+    rows = dedup.duplicate_span_stats(docs, min_len=min_len, k=k).collect()
+    got = {tuple(r) for r in rows}
     con = duckdb.connect()
     con.register(
         "documents",
@@ -1014,10 +1038,13 @@ def test_span_stats_match_oracle_generator(spark, texts, min_len):
     want = {
         tuple(r)
         for r in con.execute(
-            _span_stats_oracle_sql(min_len, k=2)
+            _span_stats_oracle_sql(min_len, k=k)
         ).fetchall()
     }
     assert got == want
+    for r in rows:
+        assert 0 <= r["dup_rate_milli"] <= 1000
+        assert r["dup_tokens"] <= r["n_tokens"]
 
 
 # eighth-unit grid: x*1000 = 125k exactly, so the Spark HALF_UP milli

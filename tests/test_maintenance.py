@@ -131,3 +131,36 @@ def test_skew_report_flags_hot_key(spark):
     cold = [r for v, r in out.items() if v != "hot"]
     assert all(r["needs_salt"] == 0 for r in cold)
     assert all(r["n_keys"] == 401 for r in out.values())
+
+
+def test_list_data_files_skips_hidden_ancestors_keeps_partition_dirs(
+    spark, tmp_path
+):
+    """r7 review: the hidden-name rule must apply to every path
+    component below the root (a commit-protocol file under
+    _temporary/ must not count toward compaction byte totals), while
+    _name=value partition directories stay visible — the exact
+    InMemoryFileIndex.shouldFilterOutPathName semantics Spark's own
+    readers use."""
+    import os
+
+    from dbt_schema_builder_spark.sources.io import list_data_files
+
+    root = str(tmp_path / "ds")
+    df = spark.range(10)
+    df.write.mode("overwrite").parquet(root)
+    # partition-style dir with a leading underscore: must stay visible
+    part = os.path.join(root, "_file_id=3")
+    df.write.mode("overwrite").parquet(part)
+    # in-flight commit dir: must be invisible at any depth
+    stage = os.path.join(root, "_temporary", "0", "attempt_1")
+    df.write.mode("overwrite").parquet(stage)
+    hidden = os.path.join(root, ".hive-staging_x")
+    df.write.mode("overwrite").parquet(hidden)
+    uris = [u for u, _ in list_data_files(spark, root)]
+    assert uris, "listing came back empty"
+    assert any("_file_id=3/" in u for u in uris)
+    assert all("_temporary" not in u for u in uris)
+    assert all(".hive-staging" not in u for u in uris)
+    # leaf rule still applies (parquet writers drop _SUCCESS markers)
+    assert all(not u.rsplit("/", 1)[1].startswith(("_", ".")) for u in uris)

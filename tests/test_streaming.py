@@ -648,3 +648,8 @@ def test_emit_timer_parameter_validation(spark, tables):
         streaming_funnel(ev, emit="timer")
     with pytest.raises(ValueError, match="emit must be"):
         streaming_funnel(ev, emit="nope")
+    # r7 review: unlike streaming_user_state (where updates+timeout
+    # means state expiry), a funnel cannot expire state — the kwarg
+    # must be rejected, not silently swallowed
+    with pytest.raises(ValueError, match="cannot"):
+        streaming_funnel(ev, timeout_minutes=30.0)

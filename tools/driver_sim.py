@@ -86,6 +86,6 @@ for name, fn in sorted(qs.items()):
         # 149 queries back-to-back would otherwise accumulate every
         # operator's persisted subtree for the whole run
         from dbt_schema_builder_spark.session import release_caches
-        release_caches(spark)
+        release_caches()
 print(f"t2: {ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)

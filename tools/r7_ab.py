@@ -35,7 +35,7 @@ def main() -> None:
         qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-        release_caches(spark)
+        release_caches()
         spark.catalog.clearCache()
     samples: dict[str, list[float]] = {n: [] for n in QUERIES}
     for _ in range(PASSES):
@@ -43,7 +43,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[n](spark, SF).write.format("noop").mode("overwrite").save()
             samples[n].append(time.perf_counter() - t0)
-            release_caches(spark)
+            release_caches()
             spark.catalog.clearCache()
     for n in QUERIES:
         med = statistics.median(samples[n])
