@@ -1137,3 +1137,311 @@ def test_ivfpq_topk_matches_oracle_on_random_vectors(spark, vecs):
         ).fetchall()
     }
     assert got == want
+
+
+# non-zero 4-dim vectors on the eighth grid: kmeans' cosine assignment
+# and the micro-unit centroid means are exact for these, and the
+# all-zero vector (undefined cosine) is excluded by construction
+nz_vec4 = vec4.filter(lambda v: any(x != 0 for x in v))
+
+
+@settings(max_examples=6, deadline=None)
+@given(vecs=st.lists(nz_vec4, min_size=3, max_size=8))
+def test_kmeans_matches_oracle_on_random_vectors(spark, vecs):
+    """r7 differential: the iterative Lloyd trajectory vs its unrolled
+    DuckDB replay on random vectors — duplicate vectors (cosine ties
+    broken by centroid id), clusters that lose all members mid-run,
+    and n barely above k all occur here but never in the driver
+    fixture."""
+    import duckdb
+
+    from __spark_entry__ import _kmeans_oracle_sql
+
+    emb = _embeddings(spark, vecs)
+    got = {
+        tuple(r)
+        for r in similarity.kmeans(emb, k=2, iterations=2)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    con = duckdb.connect()
+    _duck_embeddings(con, vecs)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _kmeans_oracle_sql(k=2, iterations=2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(nz_vec4, min_size=3, max_size=8),
+    labels=st.lists(st.integers(0, 1), min_size=8, max_size=8),
+)
+def test_knn_agreement_matches_oracle_on_random_vectors(
+    spark, vecs, labels
+):
+    """r7 differential: kNN label agreement vs its DuckDB replay —
+    exact-duplicate vectors force d2 ties (broken by vec_id), and
+    two-label corpora hit both full and zero agreement; the driver
+    fixture's organic embeddings have neither. Labels are INTEGER
+    (the operator's contract — it collects queries through int())."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _knn_label_agreement_oracle_sql
+
+    labels = labels[: len(vecs)]
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in v], lab)
+            for i, (v, lab) in enumerate(zip(vecs, labels))
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {
+        tuple(r)
+        for r in similarity.knn_label_agreement(
+            emb, n_queries=3, k=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [list(map(float, v)) for v in vecs],
+                "label": labels,
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _knn_label_agreement_oracle_sql(n_queries=3, k=2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 3)),
+        min_size=1,
+        max_size=6,
+    ),
+    lines=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 3)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_pagerank_matches_oracle_on_random_graphs(spark, orders, lines):
+    """r7 differential: the fixed-point PageRank trajectory vs its
+    unrolled-CTE replay on random tiny bipartite graphs — orphan
+    orders (no lines), dangling line orderkeys, parallel edges
+    (DISTINCT-collapsed), and multi-component graphs all occur; an
+    empty join means both sides emit the empty set."""
+    import duckdb
+    import pandas as pd
+
+    from dbt_schema_builder_spark.operators import graph
+
+    from __spark_entry__ import _pagerank_oracle_sql
+
+    odf = spark.createDataFrame(
+        [(ok, ck) for ok, ck in orders], "o_orderkey bigint, o_custkey bigint"
+    )
+    ldf = spark.createDataFrame(
+        [(ok, sk) for ok, sk in lines], "l_orderkey bigint, l_suppkey bigint"
+    )
+    got = {
+        tuple(r)
+        for r in graph.pagerank_topk(
+            graph.bipartite_edges(odf, ldf), iterations=3, k=50
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([o for o, _ in orders], dtype="int64"),
+                "o_custkey": pd.Series([c for _, c in orders], dtype="int64"),
+            }
+        ),
+    )
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([o for o, _ in lines], dtype="int64"),
+                "l_suppkey": pd.Series([s for _, s in lines], dtype="int64"),
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _pagerank_oracle_sql(iterations=3, k=50)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(bpe_texts, min_size=1, max_size=6),
+    langs=st.lists(st.sampled_from(["en", "de"]), min_size=6, max_size=6),
+    merges=st.lists(bpe_pair, min_size=1, max_size=3),
+)
+def test_tokenizer_fertility_matches_oracle_on_random_corpora(
+    spark, texts, langs, merges
+):
+    """r7 differential: the per-language fertility rollup vs its DuckDB
+    replay on random corpora and random merge lists — single-language
+    corpora, languages with one tiny doc, and merge cascades all
+    occur; truncating-div milli ratios must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _tokenizer_fertility_oracle_sql
+
+    langs = langs[: len(texts)]
+    docs = spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(zip(texts, langs))],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        tuple(r)
+        for r in text.tokenizer_fertility(docs, list(merges)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": list(texts),
+                "lang": langs,
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _tokenizer_fertility_oracle_sql(list(merges))
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(ss_texts, min_size=2, max_size=8))
+def test_cluster_safe_split_matches_oracle_on_random_corpora(
+    spark, texts
+):
+    """r7 differential: the leakage-safe split vs its DuckDB replay —
+    singleton docs (self-keyed), multi-doc chains needing transitive
+    closure, and all-duplicate corpora occur on random tiny-alphabet
+    inputs; the md5 split arithmetic on the representative must agree
+    bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _cluster_safe_split_oracle_sql
+
+    docs = _docs(spark, texts)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    got = {
+        tuple(r) for r in dedup.cluster_safe_split(docs, pairs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _cluster_safe_split_oracle_sql(0.2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(vecs=st.lists(nz_vec4, min_size=3, max_size=8))
+def test_lsh_topk_matches_oracle_on_random_vectors(spark, vecs):
+    """r7 differential: the quantize -> hyperplane-bucket -> rerank ANN
+    pipeline vs its DuckDB replay at a narrow geometry (dim=4, 3-bit
+    buckets) — duplicate vectors (quantized-cosine ties), queries
+    whose bucket holds nothing else, and saturating quantization all
+    occur; every stage is integer so agreement is exact."""
+    import duckdb
+
+    from __spark_entry__ import _lsh_topk_oracle_sql
+
+    emb = _embeddings(spark, vecs)
+    got = {
+        tuple(r)
+        for r in similarity.lsh_quantized_topk(
+            emb, k=2, bits=3, dim=4, n_queries=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    _duck_embeddings(con, vecs)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _lsh_topk_oracle_sql(k=2, bits=3, dim=4, n_queries=2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(vecs=st.lists(nz_vec4, min_size=2, max_size=7))
+def test_semantic_dedup_matches_oracle_on_random_vectors(spark, vecs):
+    """r7 differential: SemDeDup's exact branch (all-pairs cosine +
+    transitive closure + keep/drop actions) vs its recursive-CTE
+    replay — duplicate vectors (cos exactly 1), chains needing real
+    closure, and all-singleton corpora occur. Precondition: no pair's
+    cosine sits within 1e-9 of the threshold — the operator computes
+    dot/sqrt(sqa*sqb) in numpy and the oracle dot/(|a||b|) in DuckDB,
+    which can differ by ulps AT the boundary (the organic corpus
+    satisfies the same margin; boundary behavior is not part of the
+    contract, CLAUDE.md r5 float-threshold rule)."""
+    import math
+
+    import duckdb
+
+    from hypothesis import assume
+
+    from __spark_entry__ import _semantic_dedup_oracle_sql
+
+    t = 0.4
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            na = math.sqrt(sum(a * a for a in vecs[i]))
+            nb = math.sqrt(sum(b * b for b in vecs[j]))
+            assume(abs(dot / (na * nb) - t) > 1e-9)
+    emb = _embeddings(spark, vecs)
+    got = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            emb, threshold=t, strategy="blocked"
+        ).collect()
+    }
+    con = duckdb.connect()
+    _duck_embeddings(con, vecs)
+    want = {
+        tuple(r)
+        for r in con.execute(_semantic_dedup_oracle_sql(t)).fetchall()
+    }
+    assert got == want
