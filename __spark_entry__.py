@@ -4016,6 +4016,119 @@ def _waterfill_oracle_sql(budget_tokens: int) -> str:
     )
 
 
+def _nb_scores_oracle_sql(label_sql: str = "text LIKE '%dup%'") -> str:
+    """r8 promotion staging: DuckDB replay of classifier.nb_scores —
+    the integer-surfaced Naive Bayes quality filter. Structure mirrors
+    the operator exactly: per-token add-one log-odds rounded to milli
+    units (ONE double log per distinct token, the dsir discipline), doc
+    scores as exact int64 dot products, token-less docs scoring the
+    prior via the LEFT JOIN. ``label_sql`` must be an ANSI predicate
+    over the documents columns that Spark's F.expr parses identically
+    (the gated label, `text LIKE '%dup%'`, is the one text-derived
+    signal the 31-token synthetic corpus HAS — lang/source are
+    independent of the text there, measured in r7)."""
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        f"CASE WHEN {label_sql} THEN 1 ELSE 0 END AS is_pos, tok AS token "
+        "FROM (SELECT *, unnest(regexp_split_to_array(trim(text), "
+        "'\\s+')) AS tok FROM documents) WHERE len(tok) > 0), "
+        "lm AS (SELECT token, CAST(SUM(is_pos) AS BIGINT) AS c_pos, "
+        "CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg FROM toks GROUP BY "
+        "token), "
+        "tot AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, "
+        "COUNT(*) AS v FROM lm), "
+        "w AS (SELECT token, CAST(round(1000 * ("
+        "ln(CAST(c_pos + 1 AS DOUBLE)) - ln(CAST(n_pos + v AS DOUBLE)) "
+        "- ln(CAST(c_neg + 1 AS DOUBLE)) + ln(CAST(n_neg + v AS DOUBLE))"
+        ")) AS BIGINT) AS lo FROM lm, tot), "
+        "lab AS (SELECT doc_id, "
+        f"CASE WHEN {label_sql} THEN 1 ELSE -1 END AS y FROM documents), "
+        "pri AS (SELECT CAST(round(1000 * ("
+        "ln(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1 AS DOUBLE)) "
+        "- ln(CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) + 1 AS "
+        "DOUBLE)))) AS BIGINT) AS prior FROM lab), "
+        "per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(w.lo) AS BIGINT) AS ev FROM toks t JOIN w USING "
+        "(token) GROUP BY t.doc_id) "
+        "SELECT l.doc_id, CAST(l.y AS BIGINT) AS y, "
+        "CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(pri.prior + COALESCE(per.ev, 0) AS BIGINT) AS score_milli, "
+        "CAST(CASE WHEN pri.prior + COALESCE(per.ev, 0) > 0 THEN 1 "
+        "ELSE -1 END AS BIGINT) AS pred, "
+        "CAST(CASE WHEN l.y = (CASE WHEN pri.prior + COALESCE(per.ev, 0) "
+        "> 0 THEN 1 ELSE -1 END) THEN 1 ELSE 0 END AS BIGINT) AS correct "
+        "FROM lab l LEFT JOIN per USING (doc_id), pri"
+    )
+
+
+def _temperature_mix_oracle_sql(budget_tokens: int) -> str:
+    """r8 promotion staging: DuckDB replay of
+    text.source_mix_temperature's driver-side integer solve. isqrt is
+    replayed as floor(sqrt(x)) with a +-1 integer correction (double
+    sqrt of an int64 is correctly rounded, so the float error is at
+    most one unit and the correction makes the result EXACT); the
+    largest-remainder top-up is a ROW_NUMBER over (rem DESC, source) —
+    the same deterministic order as the Python sort. All integer ops;
+    sum(alloc_tokens) == budget exactly whenever any source has
+    tokens."""
+    b = int(budget_tokens)
+    top = (
+        "(CASE WHEN rn <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END)"
+    )
+    return (
+        "WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+        "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+        "s0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) "
+        "AS BIGINT) AS r0 FROM per), "
+        "sw AS (SELECT source, n_docs, n_tokens, "
+        "r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= n_tokens THEN 1 ELSE 0 "
+        "END) - (CASE WHEN r0 * r0 > n_tokens THEN 1 ELSE 0 END) AS w "
+        "FROM s0), "
+        "tot AS (SELECT SUM(w) AS tw FROM sw), "
+        "alloc0 AS (SELECT sw.*, tot.tw, "
+        f"CASE WHEN tot.tw = 0 THEN 0 ELSE ({b} * sw.w) // tot.tw END "
+        "AS base, "
+        f"CASE WHEN tot.tw = 0 THEN 0 ELSE ({b} * sw.w) % tot.tw END "
+        "AS rem FROM sw, tot), "
+        f"lo AS (SELECT CASE WHEN MAX(tw) = 0 THEN 0 ELSE {b} - "
+        "SUM(base) END AS leftover FROM alloc0), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) "
+        "AS rn FROM alloc0) "
+        "SELECT source, n_docs, n_tokens, CAST(w AS BIGINT) AS "
+        f"weight_isqrt, CAST(base + {top} AS BIGINT) AS alloc_tokens, "
+        "CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE "
+        f"(1000 * (base + {top})) // n_tokens END AS BIGINT) AS "
+        "upsample_milli FROM rk"
+    )
+
+
+def _cluster_diversity_oracle_sql(
+    threshold: float = 0.2, m: int = 2
+) -> str:
+    """r8 promotion staging: DuckDB replay of
+    dedup.cluster_diversity_sample over ngram_jaccard_pairs — the
+    proven pair-closure CTEs (q_dedup_clusters) plus an
+    integer-deterministic retention rank (n_tokens DESC, doc_id) within
+    each cluster; singletons rank 1 via the LEFT JOIN fallback."""
+    return _pair_closure_ctes(threshold) + (
+        ", cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach "
+        "GROUP BY doc_id), "
+        "sized AS (SELECT doc_id, CAST(len(regexp_split_to_array("
+        "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), "
+        "keyed AS (SELECT s.doc_id, COALESCE(cl.cluster_id, s.doc_id) "
+        "AS cluster_id, s.n_tokens FROM sized s LEFT JOIN cl USING "
+        "(doc_id)), "
+        "rk AS (SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+        "n_tokens, CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank_in_cluster "
+        "FROM keyed) "
+        "SELECT doc_id, cluster_id, n_tokens, rank_in_cluster, "
+        f"CAST(CASE WHEN rank_in_cluster <= {int(m)} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS kept FROM rk"
+    )
+
+
 def _substring_spans_oracle_sql(
     min_len: int = 20, k: int | None = None, scope: str = "cross_doc"
 ) -> str:

@@ -211,10 +211,51 @@ def _cut_spans(spark, sf_dir):
     )
 
 
+def _nb_classifier(spark, sf_dir):
+    """NB quality filter train+score (r7b operator, r8 promotion
+    candidate): one tokenize pass, vocab-bounded log-odds broadcast,
+    integer milli-nat scores."""
+    from dbt_schema_builder_spark.operators import classifier
+    from dbt_schema_builder_spark.session import read_table
+
+    return classifier.nb_scores(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        label="text LIKE '%dup%'",
+    )
+
+
+def _temperature_mix(spark, sf_dir):
+    """Temperature (alpha=0.5) source allocation (r7b operator, r8
+    promotion candidate): isqrt weights + largest-remainder integer
+    quota."""
+    from dbt_schema_builder_spark.operators import text as text_ops
+    from dbt_schema_builder_spark.session import read_table
+
+    return text_ops.source_mix_temperature(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        budget_tokens=100_000,
+    )
+
+
+def _cluster_diversity(spark, sf_dir):
+    """Top-m-per-cluster soft dedup (r7b operator, r8 promotion
+    candidate): Jaccard pair graph -> label propagation -> per-cluster
+    retention rank."""
+    from dbt_schema_builder_spark.operators import dedup
+    from dbt_schema_builder_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    return dedup.cluster_diversity_sample(docs, pairs, m=2)
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
     "x_cut_duplicate_spans": _cut_spans,
+    "x_nb_classifier": _nb_classifier,
+    "x_source_mix_temperature": _temperature_mix,
+    "x_cluster_diversity": _cluster_diversity,
 }
 
 

@@ -1,0 +1,179 @@
+"""Learned quality filter — an integer-surfaced Naive Bayes log-odds
+classifier over whitespace tokens, the engine's take on the
+fastText-style document classifier every production curation pipeline
+trains (CCNet's LM filter, LLaMA's "looks like a reference page"
+classifier, GPT-3's WebText discriminator). The reference has no
+learned-filter surface; this is a north-star LLM-pipeline operator like
+DSIR importance resampling (text.py:1403), built Spark-first.
+
+Why Naive Bayes and not an iterative learner: training is ONE
+aggregation pass (conditional class counts per token), so it
+parallelizes with a single shuffle and has no convergence question —
+a batch perceptron was prototyped first and rejected after measurement:
+with lr=1 its summed update overshoots into a period-2/3 oscillation on
+every realistic shape tried (thin-margin length labels, sparse
+contains-marker labels), and the genuinely distributed alternative
+(per-shard online training + parameter mixing, McDonald et al. 2010)
+depends on physical partition order, which no SQL oracle can replay.
+NB is the shape that both LEARNS and GATES.
+
+Determinism engineering (the text.dsir_importance discipline, shared
+deliberately): doubles are confined to ONE rounded log per distinct
+token / one prior row — everything corpus-sized is an exact int64 sum,
+
+    logodds_milli(t) = round(1000 * [ ln(c_pos+1) - ln(n_pos+V)
+                                    - ln(c_neg+1) + ln(n_neg+V) ])
+    score_milli(doc) = prior_milli + sum_t cnt_t * logodds_milli(t)
+
+so scores are partitioning-independent and exactly replayable in DuckDB
+(`_nb_scores_oracle_sql` in the entry module).
+
+Scale design (100 TB): one tokenize pass for training (map-side count
+combine, one shuffle on token); the log-odds table is Zipf-bounded so
+AQE broadcasts the scoring join; the per-doc rollup is map-side
+combined; int64 headroom matches dsir's (|logodds_milli| < ~70_000 at
+any corpus size that fits int64, so a doc needs > ~1e14 tokens to
+overflow). Token-less documents are scored, not dropped — they get
+exactly the class-prior score via the left join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import track_persist
+
+from .text import tokens
+
+
+def _labeled_tokens(documents: DataFrame, label: str) -> DataFrame:
+    """(doc_id, is_pos, token) — the ONE tokenize pass both training
+    and scoring read (the r7 shared-frame-helper convention: extract
+    the internal frame instead of tokenizing once per consumer)."""
+    return documents.select(
+        "doc_id",
+        F.when(F.expr(label), F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
+        F.explode(tokens()).alias("token"),
+    ).where(F.length("token") > 0)
+
+
+def _logodds_from_toks(toks: DataFrame) -> DataFrame:
+    """(token, c_pos, c_neg, logodds_milli) from a _labeled_tokens
+    frame. The class split rides the token aggregation as conditional
+    sums, so training is literally one shuffle; the vocab-bounded lm
+    table is persisted because the totals row AND the output read it."""
+    lm = (
+        toks.groupBy("token")
+        .agg(
+            F.sum("is_pos").cast("bigint").alias("c_pos"),
+            F.sum(1 - F.col("is_pos")).cast("bigint").alias("c_neg"),
+        )
+        .transform(track_persist)
+    )
+    totals = lm.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    logodds_milli = F.round(
+        (
+            F.log((F.col("c_pos") + 1).cast("double"))
+            - F.log((F.col("n_pos") + F.col("v")).cast("double"))
+            - F.log((F.col("c_neg") + 1).cast("double"))
+            + F.log((F.col("n_neg") + F.col("v")).cast("double"))
+        )
+        * 1000
+    ).cast("long")
+    return lm.crossJoin(F.broadcast(totals)).select(
+        "token", "c_pos", "c_neg", logodds_milli.alias("logodds_milli")
+    )
+
+
+def nb_token_logodds(
+    documents: DataFrame, label: str = "lang = 'en'"
+) -> DataFrame:
+    """Closed-form Naive Bayes training: per-token add-one-smoothed
+    log-odds between the positive class (``label`` true, any SQL
+    predicate over the documents columns) and the rest, over the union
+    vocabulary. Returns (token, c_pos, c_neg, logodds_milli)."""
+    return _logodds_from_toks(_labeled_tokens(documents, label))
+
+
+def nb_scores(documents: DataFrame, label: str = "lang = 'en'") -> DataFrame:
+    """Train on ``documents`` and score every document — including
+    token-less ones, which score exactly the class prior:
+
+        prior_milli = round(1000 * [ln(d_pos + 1) - ln(d_neg + 1)])
+
+    (add-one on the DOC counts so a single-class corpus stays finite).
+    Returns (doc_id, y, n_tokens, score_milli, pred, correct), all
+    integers; pred = +1 iff score > 0. ``where pred = 1`` is the keep
+    set, ``score_milli`` the quality score for threshold sweeps —
+    self-scoring here is the training-fit surface; score a held-out
+    frame by joining `nb_token_logodds` output against it for real
+    filtering."""
+    toks = _labeled_tokens(documents, label).transform(track_persist)
+    weighted = _logodds_from_toks(toks).select("token", "logodds_milli")
+    labeled = documents.select(
+        "doc_id",
+        F.when(F.expr(label), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    prior = labeled.agg(
+        F.round(
+            (
+                F.log(
+                    (F.sum((F.col("y") == 1).cast("bigint")) + 1).cast(
+                        "double"
+                    )
+                )
+                - F.log(
+                    (F.sum((F.col("y") == -1).cast("bigint")) + 1).cast(
+                        "double"
+                    )
+                )
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("prior_milli")
+    )
+    per_doc = (
+        toks.select("doc_id", "token")
+        .join(weighted, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("logodds_milli").cast("bigint").alias("evidence_milli"),
+        )
+    )
+    return (
+        labeled.join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "y",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            (F.col("prior_milli") + F.coalesce("evidence_milli", F.lit(0)))
+            .cast("bigint")
+            .alias("score_milli"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            "n_tokens",
+            "score_milli",
+            F.when(F.col("score_milli") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("pred"),
+            (F.col("y") == F.when(F.col("score_milli") > 0, 1).otherwise(-1))
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )

@@ -591,6 +591,55 @@ def keep_canonical(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def cluster_diversity_sample(
+    documents: DataFrame, pairs: DataFrame, m: int = 2
+) -> DataFrame:
+    """Soft dedup: keep up to ``m`` members of every near-dup cluster
+    instead of collapsing to one canonical doc — the curation middle
+    ground between ``keep_canonical`` (m=1, maximal reduction) and no
+    dedup at all. Production mixes use it to preserve legitimate
+    variation (boilerplate-sharing pages, translations, template
+    families) while still capping the memorization mass any one cluster
+    contributes.
+
+    Retention rank is INTEGER-deterministic: within a cluster, docs are
+    ranked by (token count DESC, doc_id ASC) — longest-first, the
+    "keep the most complete variant" heuristic — so both engines rank
+    identically with no float tie anywhere. Singletons are their own
+    cluster and always survive (rank 1).
+
+    Scale: label propagation over the (tiny) pair graph, one join of
+    the corpus against the labels, and a window partitioned BY CLUSTER
+    (bounded groups — never a corpus-wide single-partition sort).
+    Returns (doc_id, cluster_id, n_tokens, rank_in_cluster, kept).
+    """
+    if m < 1:
+        raise ValueError(f"cluster_diversity_sample: m must be >= 1, got {m}")
+    labels = dedup_clusters(pairs)
+    sized = documents.select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
+    )
+    keyed = sized.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "n_tokens",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("rank_in_cluster"),
+    ).withColumn(
+        "kept",
+        (F.col("rank_in_cluster") <= m).cast("bigint"),
+    )
+
+
 def tfidf_ngram_cosine_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -712,6 +712,106 @@ def source_mix_waterfill(
     )
 
 
+def source_mix_temperature(
+    documents: DataFrame, budget_tokens: int = 100_000, by: str = "source"
+) -> DataFrame:
+    """Temperature-based source allocation — the other standard mixing
+    rule next to waterfilling: sample source i proportionally to
+    n_i^(1/T), flattening the natural distribution so small
+    sources/languages are over-represented (the multilingual-pretraining
+    recipe from mBERT/XLM-R; T=2 i.e. alpha=0.5 is the common setting
+    and the one implemented, because sqrt is the one power exactly
+    computable in integers). Unlike waterfill, quotas may EXCEED a
+    source's holdings — that is the point (small sources get multiple
+    epochs); ``upsample_milli`` surfaces the per-source repeat factor.
+
+    Exactness engineering: weight_i = isqrt(n_i) (exact integer sqrt —
+    math.isqrt here, floor(sqrt(x)) with a +-1 integer correction in the
+    SQL oracle, so no float ever decides an allocation); quota_i =
+    budget * w_i div W plus largest-remainder top-up (+1 to the
+    `leftover` sources with the largest `(budget*w_i) mod W`, ties by
+    source ascending — fully deterministic), so sum(alloc) == budget
+    EXACTLY whenever any source is non-empty. int64 headroom: budget *
+    max(w_i) must stay < 2^63 — with w = isqrt(tokens) <= ~3e9 even a
+    1e9-token source leaves room for a ~3e8-token budget per unit
+    weight; the guard below refuses loudly past the bound.
+
+    The solve is driver-side over the per-source rollup (<= #sources
+    rows — the kmeans/waterfill bounded-collect convention) and folds
+    back via a broadcast join. Returns (source, n_docs, n_tokens,
+    weight_isqrt, alloc_tokens, upsample_milli) with upsample_milli =
+    (1000 * alloc) div n_tokens (0 for empty sources).
+    """
+    import math
+
+    if int(budget_tokens) < 0:
+        raise ValueError(
+            f"source_mix_temperature: budget_tokens must be >= 0, "
+            f"got {budget_tokens}"
+        )
+    per = (
+        documents.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens())).cast("bigint").alias("n_tokens"),
+        )
+        .transform(track_persist)
+    )
+    rows = per.select(by, "n_tokens").collect()
+    if any(r[0] is None or r[1] is None for r in rows):
+        raise ValueError(
+            f"source_mix_temperature: NULL {by} group (or all-NULL "
+            "texts) — coalesce or filter before allocating"
+        )
+    weights = {r[0]: math.isqrt(int(r[1])) for r in rows}
+    total_w = sum(weights.values())
+    budget = int(budget_tokens)
+    if total_w > 0 and budget > (2**63 - 1) // max(weights.values()):
+        raise ValueError(
+            "source_mix_temperature: budget * max(weight) would "
+            "overflow int64 — split the budget or pre-scale"
+        )
+    if total_w == 0:
+        allocs = {s: 0 for s in weights}
+    else:
+        base = {s: budget * w // total_w for s, w in weights.items()}
+        rem = {s: budget * w % total_w for s, w in weights.items()}
+        leftover = budget - sum(base.values())
+        topped = sorted(weights, key=lambda s: (-rem[s], s))[:leftover]
+        allocs = {
+            s: base[s] + (1 if s in set(topped) else 0) for s in weights
+        }
+    spark = documents.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    by_field = per.schema[by]
+    alloc_df = spark.createDataFrame(
+        [(s, weights[s], allocs[s]) for s in weights],
+        StructType(
+            [
+                StructField(by, by_field.dataType, by_field.nullable),
+                StructField("weight_isqrt", LongType(), False),
+                StructField("alloc_tokens", LongType(), False),
+            ]
+        ),
+    )
+    return per.join(F.broadcast(alloc_df), by, "left").select(
+        by,
+        "n_docs",
+        "n_tokens",
+        F.coalesce("weight_isqrt", F.lit(0)).cast("bigint").alias(
+            "weight_isqrt"
+        ),
+        F.coalesce("alloc_tokens", F.lit(0)).cast("bigint").alias(
+            "alloc_tokens"
+        ),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000 * coalesce(alloc_tokens, 0)) div n_tokens END"
+        ).alias("upsample_milli"),
+    )
+
+
 def percentile_filter(
     documents: DataFrame, p: float = 0.1, by: str = "lang"
 ) -> DataFrame:

@@ -1445,3 +1445,122 @@ def test_semantic_dedup_matches_oracle_on_random_vectors(spark, vecs):
         for r in con.execute(_semantic_dedup_oracle_sql(t)).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=wf_corpus, budget=st.integers(min_value=0, max_value=5000)
+)
+def test_temperature_mix_matches_sql_oracle_on_random_corpora(
+    spark, rows, budget
+):
+    """r8 promotion staging differential: the driver-side integer
+    temperature (alpha=0.5) solve vs its SQL replay
+    (_temperature_mix_oracle_sql) on arbitrary corpora and budgets —
+    isqrt correction boundaries (perfect squares, square-minus-one),
+    remainder-rank ties, and leftover == 0 all arise here and never on
+    the fixture."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _temperature_mix_oracle_sql
+    from dbt_schema_builder_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        DOC_SCHEMA,
+    )
+    got = {
+        tuple(r)
+        for r in text_ops.source_mix_temperature(
+            docs, budget_tokens=budget
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [t for _, t in rows],
+                "source": [s for s, _ in rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _temperature_mix_oracle_sql(budget)
+        ).fetchall()
+    }
+    assert got == want
+    # allocation spends the budget exactly whenever any source has tokens
+    if any(len(t.split()) > 0 and t.strip() for _, t in rows):
+        assert sum(r[4] for r in got) == budget
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(lsh_texts, min_size=2, max_size=8),
+    m=st.integers(min_value=1, max_value=3),
+)
+def test_cluster_diversity_matches_closure_on_random_corpora(
+    spark, texts, m
+):
+    """r8 promotion staging differential: top-m-per-cluster retention
+    vs the recursive-CTE closure + rank replay — multi-doc clusters,
+    token-count ties (broken by doc_id), and m >= cluster size all
+    arise on tiny-alphabet corpora."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _cluster_diversity_oracle_sql
+
+    docs = _docs(spark, texts)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    got = {
+        tuple(r)
+        for r in dedup.cluster_diversity_sample(docs, pairs, m=m).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _cluster_diversity_oracle_sql(0.2, m)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_nb_scores_matches_sql_oracle_on_fixture_corpus(
+    spark, tables, sf_dir
+):
+    """r8 promotion staging differential: the Naive Bayes quality
+    filter vs _nb_scores_oracle_sql over the real sf0.001 corpus — the
+    ln() last-ulp watch, same policy as the dsir differential (floats
+    are confined to one rounded log per distinct token; a failure here
+    means a milli rounding flipped between JVM Math.log and libm)."""
+    import duckdb
+
+    from __spark_entry__ import _nb_scores_oracle_sql
+    from dbt_schema_builder_spark.operators import classifier
+
+    docs = tables["documents"]
+    label = "text LIKE '%dup%'"
+    got = {
+        tuple(r) for r in classifier.nb_scores(docs, label=label).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_nb_scores_oracle_sql(label)).fetchall()
+    }
+    assert got == want
