@@ -415,3 +415,55 @@ def test_dsir_lm_table_is_cached_not_recomputed(tables):
     assert plan.count("Scan parquet") <= 7, plan
     # the 1-row totals fold must not become a shuffled join
     assert "CartesianProduct" not in plan, plan
+
+
+def test_nb_scores_single_tokenize_and_no_cartesian(tables):
+    """r7b: nb_scores' labeled-token frame feeds BOTH the log-odds
+    aggregation and the per-doc scoring join; unpersisted, the tokenize
+    (Generate) pipeline would re-run per consumer. Pin the persist
+    (InMemoryTableScan present) and the textual scan ceiling; the two
+    remaining direct parquet reads (labeled + prior) are column-pruned
+    doc_id/label scans, not tokenizes. The 1-row prior fold must stay a
+    broadcast, never a shuffled/cartesian join."""
+    from dbt_schema_builder_spark.operators import classifier
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    plan = _plan(classifier.nb_scores(docs, label="text LIKE '%dup%'"))
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Scan parquet") <= 8, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_mix_broadcasts_solve_back(tables):
+    """r7b: the driver-side allocation folds back via a BROADCAST join
+    (the waterfill convention — a when-chain would be O(#sources)
+    expression depth); the per-source rollup is persisted, not
+    recomputed per consumer."""
+    from dbt_schema_builder_spark.operators import text
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    plan = _plan(text.source_mix_temperature(docs, budget_tokens=1000))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Scan parquet") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_diversity_window_is_per_cluster(tables):
+    """r7b: the retention rank must run in a window partitioned BY
+    CLUSTER (bounded groups), never a corpus-wide single-partition
+    sort — pin the hashpartitioning(cluster_id) exchange feeding the
+    Window."""
+    import re as _re
+
+    from dbt_schema_builder_spark.operators import dedup
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    plan = _plan(dedup.cluster_diversity_sample(docs, pairs, m=2))
+    assert _re.search(r"hashpartitioning\(cluster_id", plan), plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -18,7 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from dbt_schema_builder_spark.session import get_spark, read_table
-from dbt_schema_builder_spark.operators import dedup, relational, similarity, text
+from dbt_schema_builder_spark.operators import (
+    classifier,
+    dedup,
+    relational,
+    similarity,
+    text,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # replication factor: 10 (default) or 100 for the extreme-scale pass
@@ -237,6 +243,24 @@ OPS = {
     # of tokens get cut (only the min-doc_id replica keeps its body)
     "cut_duplicate_spans(L=20)": lambda d, e: dedup.cut_duplicate_spans(
         d, min_len=20
+    ),
+    # round-7b: NB quality filter — one tokenize pass + vocab-bounded
+    # log-odds broadcast; the 10x replica adds only the 10 rep-marker
+    # tokens to the vocabulary, so the lm table stays tiny
+    "nb_classifier": lambda d, e: classifier.nb_scores(
+        d, label="text LIKE '%dup%'"
+    ),
+    # round-7b: sources-bounded driver solve + broadcast fold-back —
+    # must be scan-dominated (the waterfill profile)
+    "source_mix_temperature": lambda d, e: text.source_mix_temperature(
+        d, budget_tokens=1_000_000
+    ),
+    # round-7b: soft dedup's worst case IS the dup-dense replica corpus
+    # (every doc in a 10-member cluster, rank windows at max width);
+    # pair mining dominates, the per-cluster window adds one bounded
+    # exchange on cluster_id
+    "cluster_diversity(m=2)": lambda d, e: dedup.cluster_diversity_sample(
+        d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64), m=2
     ),
 }
 
