@@ -1191,6 +1191,87 @@ def bm25_search(
     )
 
 
+def rrf_fuse(rankings: list, k: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard way to combine heterogeneous retrieval rankings (sparse
+    lexical + dense, or any N rankers) without score calibration:
+
+        rrf(doc) = sum over lists of 1 / (k + rank)
+
+    surfaced here in EXACT integer micro-units, 1_000_000 div (k+rank)
+    — integer division on positive operands, identical in Spark `div`
+    and any ANSI `//`, so fusion is oracle-replayable with no float
+    anywhere. k=60 is the paper's constant.
+
+    Each input must be a RANKED TOP-K LIST with (doc_id, rnk) columns —
+    bounded by contract, which is why the fused row_number window
+    (ordered by rrf_micro DESC, doc_id) is legal: it sorts the union of
+    k-bounded lists, never a corpus. Returns (fused_rank, doc_id,
+    n_lists, rrf_micro)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    if k < 0:
+        raise ValueError(f"rrf_fuse: k must be >= 0, got {k}")
+    parts = [
+        r.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum(F.expr(f"1000000 div ({int(k)} + rnk)"))
+        .cast("bigint")
+        .alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return fused.select(
+        F.row_number().over(w).cast("bigint").alias("fused_rank"),
+        "doc_id",
+        "n_lists",
+        "rrf_micro",
+    )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    topk: int = 20,
+    k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval over the corpus: BM25 (idf- and
+    length-normalized) fused with a raw term-frequency ranking by RRF.
+    The second ranker deliberately OMITS idf and length normalization,
+    so the two lists genuinely disagree on term-stuffed long documents
+    — the disagreement RRF exists to arbitrate. Swap either list for an
+    embedding ranker (similarity.brute_force_topk / pq_topk emit ranked
+    lists too) for dense+sparse hybrid; rrf_fuse only needs (doc_id,
+    rnk).
+
+    Scale profile: both rankers filter to query-term postings BEFORE
+    any shuffle (the bm25_search shape); the fusion itself touches
+    2*topk rows."""
+    bm = bm25_search(documents, query_terms, topk=topk).select(
+        "doc_id", "rnk"
+    )
+    tfq = (
+        documents.select("doc_id", F.explode(tokens()).alias("token"))
+        .where(F.col("token").isin(*query_terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tftop = tfq.orderBy(F.col("tf").desc(), F.col("doc_id")).limit(topk)
+    wt = Window.orderBy(F.col("tf").desc(), F.col("doc_id"))
+    tfr = tftop.select(
+        F.row_number().over(wt).cast("bigint").alias("rnk"), "doc_id"
+    )
+    return rrf_fuse([bm, tfr], k=k)
+
+
 def pmi_pairs(
     documents: DataFrame, min_count: int = 5, max_vocab: int = 1000
 ) -> DataFrame:
