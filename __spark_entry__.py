@@ -35,6 +35,7 @@ from dbt_schema_builder_spark.multimodal import (  # noqa: E402
     sample_frames,
 )
 from dbt_schema_builder_spark.operators import (  # noqa: E402
+    classifier,
     dedup,
     graph,
     json_ops,
@@ -1881,6 +1882,75 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication rollup driver-gated (promoted
+    r8, staged r7): covered tokens = the INTERVAL UNION of qualifying
+    spans' token extents (islands are disjoint in gram-position space
+    but extents overlap when the inter-island gap <= k-2 — the r7
+    review's interval-sum bug, fixed with a running-max-of-end merge on
+    both engines), truncating-div milli rate, clean docs included with
+    zeros. Oracle: ``_span_stats_oracle_sql`` (differential-tested r7)."""
+    return dedup.duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), min_len=20
+    )
+
+
+def q_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup REMOVAL transform driver-gated (promoted r8,
+    staged r7) — the operator users actually run on a training set:
+    rebuild each document with duplicated >=20-token spans excised,
+    protecting the k tokens of every duplicated gram's canonical
+    occurrence (lexicographic min (doc_id, pos)) so each duplicated
+    gram survives somewhere. POSITION-level keep rule (the r7 review's
+    span-level unsoundness, fixed in-round). Oracle:
+    ``_cut_spans_oracle_sql`` (differential-tested r7)."""
+    return dedup.cut_duplicate_spans(
+        _t(spark, sf_dir, "documents"), min_len=20
+    )
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB log-odds quality classifier driver-gated (promoted r8, staged
+    r7b): one-pass conditional-count training + integer milli-nat
+    scoring (the dsir discipline — ONE rounded log per distinct token,
+    exact int64 dot products). Label is the one text-derived signal the
+    synthetic corpus has (`text LIKE '%dup%'` — token rates are
+    measured-identical across lang/source, CLAUDE.md r7b). Oracle:
+    ``_nb_scores_oracle_sql`` (differential-tested r7b + random-corpus
+    r8)."""
+    return classifier.nb_scores(
+        _t(spark, sf_dir, "documents"), label="text LIKE '%dup%'"
+    )
+
+
+_TEMPERATURE_BUDGET = 100_000
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source allocation driver-gated (promoted
+    r8, staged r7b): isqrt weights (exact integer sqrt, replayed in SQL
+    as floor(sqrt) with a +-1 integer correction) + largest-remainder
+    integer quota, so sum(alloc) == budget exactly. Oracle:
+    ``_temperature_mix_oracle_sql`` (differential-tested r7b)."""
+    return text.source_mix_temperature(
+        _t(spark, sf_dir, "documents"), budget_tokens=_TEMPERATURE_BUDGET
+    )
+
+
+def q_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-diversity (top-m-per-cluster) soft dedup driver-gated
+    (promoted r8, staged r7b): the proven Jaccard pair graph -> label
+    propagation -> integer-deterministic per-cluster retention rank
+    (n_tokens DESC, doc_id), singletons always kept. Oracle:
+    ``_cluster_diversity_oracle_sql`` over the shared pair-closure CTEs
+    (differential-tested r7b)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=_JACCARD_MAX_DF
+    )
+    return dedup.cluster_diversity_sample(docs, pairs, m=2)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1888,22 +1958,79 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-7 window (the round-6 window banked green r06 rows for ALL
-    50 of its keys, so every slot was free): (a) 47 of the 48 keys whose
-    latest driver row was round 4 — the verdict's rotation ask, their
-    evidence predating the r5 streaming/oracle changes and two r6
-    session-layer refactors; (b) the two r6-staged promotions (DSIR
-    importance, waterfilling allocation) whose oracles were
-    differential-tested last round; (c) the new r7 substring-dedup
-    operator, gated this round rather than staged (its oracle generator
-    is differential-tested; the verdict's top "what's missing" item).
-    47 + 2 + 1 = exactly 50; the one displaced rotation
-    (q_dupe_detection — unchanged since r1, lowest-churn of the 48)
-    keeps its green r4 row below the boundary. Every key below the
-    boundary carries a green round-4/5/6 row
-    (tests/test_query_window.py audits this)."""
+    keys. Round-8 window (the r7 window banked green r07 rows for all 50
+    of its keys, so every slot was free): (a) the 5 r7/r7b-staged
+    promotions, each with a differential-tested oracle — the substring
+    span-stats report and cut transform, the NB quality classifier,
+    temperature source mixing, and cluster-diversity sampling; (b) the
+    one r4-stale key (q_dupe_detection — missed the r7 window by one
+    slot); (c) the two exact-Jaccard keys, whose shared oracle changed
+    this round (the filter now compares the UNROUNDED jaccard on both
+    engines — changed oracles must re-earn green rows, the r5 rule);
+    (d) 42 of the 49 r5-stale keys. 5 + 1 + 2 + 42 = exactly 50; the 7
+    unrotated r5 keys (snapshot_diff, histogram, anomaly_events, the
+    three TPC-H shapes, tokenizer_fertility — the lowest-churn SQL
+    shapes of the batch) keep their banked green r5 rows below the
+    boundary, first in line for r9. Every key below the boundary
+    carries a green round-5/6/7 row (tests/test_query_window.py audits
+    this)."""
     return {
-        # (a) 47 keys whose latest driver row is round 4
+        # (a) r8 promotions: oracles staged + differential-tested in r7/r7b
+        "q_cut_duplicate_spans": q_cut_duplicate_spans,
+        "q_span_stats": q_span_stats,
+        "q_nb_classifier": q_nb_classifier,
+        "q_temperature_mix": q_temperature_mix,
+        "q_cluster_diversity": q_cluster_diversity,
+        # (b) the one r4-stale key
+        "q_dupe_detection": q_dupe_detection,
+        # (c) changed-oracle re-pins (unrounded-jaccard filter, r8)
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ppjoin_jaccard": q_ppjoin_jaccard,
+        # (d) 42 of the 49 r5-stale rotations
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_token_count": q_token_count,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_quality_score": q_quality_score,
+        "q_text_stats": q_text_stats,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_pandas_udf": q_pandas_udf,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_frame_sample": q_frame_sample,
+        "q_prep_pipeline": q_prep_pipeline,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
+        "q_profile": q_profile,
+        "q_pii_scrub": q_pii_scrub,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_hash_split": q_hash_split,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_source_mix": q_source_mix,
+        "q_percentile_filter": q_percentile_filter,
+        "q_cap_per_source": q_cap_per_source,
+        "q_oov_rate": q_oov_rate,
+        "q_dedup_stats": q_dedup_stats,
+        "q_weighted_sample": q_weighted_sample,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_zipf_stats": q_zipf_stats,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_quantized_topk": q_quantized_topk,
+        "q_source_overlap": q_source_overlap,
+        "q_winnowing": q_winnowing,
+        "q_stratified_sample": q_stratified_sample,
+        "q_multimodal_features": q_multimodal_features,
+        "q_audio_features": q_audio_features,
+        "q_gopher_rules": q_gopher_rules,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_apply_bpe": q_apply_bpe,
+        "q_skew_report": q_skew_report,
+        "q_merge_partial_aggs": q_merge_partial_aggs,
+        "q_stream_funnel": q_stream_funnel,
+        # ---- driver window boundary (position 50 = q_stream_funnel)
+        # every key below carries a green round-5/6/7 driver row
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_user_state": q_stream_user_state,
         "q_tumbling_window": q_tumbling_window,
@@ -1951,15 +2078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_bigram_logprob": q_bigram_logprob,
-        # (b) r7 promotions: oracles staged + differential-tested in r6
         "q_dsir_importance": q_dsir_importance,
         "q_source_mix_waterfill": q_source_mix_waterfill,
-        # (c) new r7 operator, differential-tested then gated same round
         "q_substring_dedup": q_substring_dedup,
-        # ---- driver window boundary (position 50 = q_substring_dedup)
-        # every key below carries a green round-4/5/6 driver row
-        "q_dupe_detection": q_dupe_detection,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_session_window": q_session_window,
         "q_near_dup": q_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
@@ -2002,53 +2123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_lang_id": q_lang_id,
         "q_heavy_hitters": q_heavy_hitters,
-        "q_ppjoin_jaccard": q_ppjoin_jaccard,
         "q_semantic_dedup": q_semantic_dedup,
         "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
         "q_bpe_learn": q_bpe_learn,
         "q_evolving_read": q_evolving_read,
         "q_zorder_layout": q_zorder_layout,
         "q_approx_distinct": q_approx_distinct,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_winnowing": q_winnowing,
-        "q_stratified_sample": q_stratified_sample,
-        "q_centroid_by_label": q_centroid_by_label,
-        "q_token_count": q_token_count,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_quality_score": q_quality_score,
-        "q_text_stats": q_text_stats,
-        "q_pandas_udf": q_pandas_udf,
-        "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_prep_pipeline": q_prep_pipeline,
-        "q_frame_sample": q_frame_sample,
-        "q_profile": q_profile,
-        "q_pii_scrub": q_pii_scrub,
-        "q_pivot": q_pivot,
-        "q_unpivot": q_unpivot,
-        "q_repetition_stats": q_repetition_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_hash_split": q_hash_split,
-        "q_source_mix": q_source_mix,
-        "q_percentile_filter": q_percentile_filter,
-        "q_cap_per_source": q_cap_per_source,
-        "q_oov_rate": q_oov_rate,
-        "q_dedup_stats": q_dedup_stats,
-        "q_weighted_sample": q_weighted_sample,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_zipf_stats": q_zipf_stats,
-        "q_curriculum_bins": q_curriculum_bins,
-        "q_quantized_topk": q_quantized_topk,
-        "q_source_overlap": q_source_overlap,
-        "q_gopher_rules": q_gopher_rules,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_apply_bpe": q_apply_bpe,
-        "q_skew_report": q_skew_report,
-        "q_merge_partial_aggs": q_merge_partial_aggs,
-        "q_stream_funnel": q_stream_funnel,
         "q_snapshot_diff": q_snapshot_diff,
         "q_histogram": q_histogram,
         "q_anomaly_events": q_anomaly_events,
@@ -2056,8 +2136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_cust_order_dist": q_sql_cust_order_dist,
         "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
         "q_tokenizer_fertility": q_tokenizer_fertility,
-        "q_multimodal_features": q_multimodal_features,
-        "q_audio_features": q_audio_features,
     }
 
 
@@ -3685,6 +3763,16 @@ def oracle_sql() -> dict[str, str]:
         "q_source_mix_waterfill": _waterfill_oracle_sql(_WATERFILL_BUDGET),
         # round-7 new operator (generator differential-tested this round)
         "q_substring_dedup": _substring_spans_oracle_sql(20),
+        # round-8 promotions (generators staged + differential-tested r7/r7b)
+        "q_span_stats": _span_stats_oracle_sql(20),
+        "q_cut_duplicate_spans": _cut_spans_oracle_sql(20),
+        "q_nb_classifier": _nb_scores_oracle_sql("text LIKE '%dup%'"),
+        "q_temperature_mix": _temperature_mix_oracle_sql(
+            _TEMPERATURE_BUDGET
+        ),
+        "q_cluster_diversity": _cluster_diversity_oracle_sql(
+            threshold=0.2, m=2
+        ),
     })
 
 
@@ -3910,8 +3998,11 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
     (q_ngram_jaccard at 0.2, q_ppjoin_jaccard at its honest 0.8 regime
     since r6) — one SQL body, threshold-parameterized, so the two keys'
     oracles cannot drift. Mirrors the Spark operators exactly: the
-    filter applies to the ROUNDED jaccard (both operators round to 4
-    then filter), and the threshold literal is CAST to DOUBLE (DuckDB
+    filter applies to the UNROUNDED jaccard (r8 — both operators filter
+    on the exact double quotient and round only the emitted surface,
+    retiring the r6-documented prefix-lemma boundary), computed as
+    CAST(n_inter AS DOUBLE) / union — the same IEEE int64/int64
+    division Spark runs — against a threshold CAST to DOUBLE (DuckDB
     parses bare float literals as DECIMAL — CLAUDE.md r5 rule). ROUND
     half-away == Spark HALF_UP for positive values, and representable
     round-4 ties (denominator a power of two, e.g. 13/32) round up in
@@ -3928,12 +4019,12 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
         "COUNT(*) AS n_inter FROM sh a JOIN sh b "
         "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         "GROUP BY a.doc_id, b.doc_id) "
-        "SELECT doc_a, doc_b, jaccard FROM ("
+        "SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM ("
         "SELECT doc_a, doc_b, "
-        "ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard "
+        "CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS j "
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
         "JOIN sizes sb ON sb.doc_id = doc_b) "
-        f"WHERE jaccard >= CAST({threshold} AS DOUBLE)"
+        f"WHERE j >= CAST({threshold} AS DOUBLE)"
     )
 
 

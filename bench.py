@@ -171,6 +171,13 @@ HEADLINE = [
     "q_source_mix_waterfill",
     # round 7: new substring-level dedup, gated same round
     "q_substring_dedup",
+    # round 8: promoted r7/r7b staged operators (were x_ bench-only;
+    # q_span_stats is new to the bench with its driver gate)
+    "q_span_stats",
+    "q_cut_duplicate_spans",
+    "q_nb_classifier",
+    "q_temperature_mix",
+    "q_cluster_diversity",
 ]
 
 
@@ -199,63 +206,36 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
 # Bench-only entries: operator branches worth timing that aren't their own
 # queries() key (their semantics are covered by existing oracle keys).
 # x_dsir_importance / x_source_mix_waterfill graduated to HEADLINE keys
-# (q_dsir_importance / q_source_mix_waterfill) with the r7 promotion.
-def _cut_spans(spark, sf_dir):
-    """The substring-dedup removal transform (r7 operator, r8 promotion
-    candidate): excise non-canonical duplicated >=20-token spans."""
-    from dbt_schema_builder_spark.operators import dedup
-    from dbt_schema_builder_spark.session import read_table
-
-    return dedup.cut_duplicate_spans(
-        read_table(spark, f"{sf_dir}/documents.parquet"), min_len=20
-    )
-
-
-def _nb_classifier(spark, sf_dir):
-    """NB quality filter train+score (r7b operator, r8 promotion
-    candidate): one tokenize pass, vocab-bounded log-odds broadcast,
-    integer milli-nat scores."""
-    from dbt_schema_builder_spark.operators import classifier
-    from dbt_schema_builder_spark.session import read_table
-
-    return classifier.nb_scores(
-        read_table(spark, f"{sf_dir}/documents.parquet"),
-        label="text LIKE '%dup%'",
-    )
-
-
-def _temperature_mix(spark, sf_dir):
-    """Temperature (alpha=0.5) source allocation (r7b operator, r8
-    promotion candidate): isqrt weights + largest-remainder integer
-    quota."""
-    from dbt_schema_builder_spark.operators import text as text_ops
-    from dbt_schema_builder_spark.session import read_table
-
-    return text_ops.source_mix_temperature(
-        read_table(spark, f"{sf_dir}/documents.parquet"),
-        budget_tokens=100_000,
-    )
-
-
-def _cluster_diversity(spark, sf_dir):
-    """Top-m-per-cluster soft dedup (r7b operator, r8 promotion
-    candidate): Jaccard pair graph -> label propagation -> per-cluster
-    retention rank."""
-    from dbt_schema_builder_spark.operators import dedup
+# with the r7 promotion; x_cut_duplicate_spans / x_nb_classifier /
+# x_source_mix_temperature / x_cluster_diversity graduated with the r8
+# promotion (q_cut_duplicate_spans / q_nb_classifier / q_temperature_mix /
+# q_cluster_diversity).
+def _nb_apply_heldout(spark, sf_dir):
+    """The apply half of the NB train/apply split (r8): train the token
+    model on the md5 hash_split train slice, score the held-out slice
+    against the frozen broadcast model."""
+    from dbt_schema_builder_spark.operators import classifier, text as text_ops
     from dbt_schema_builder_spark.session import read_table
 
     docs = read_table(spark, f"{sf_dir}/documents.parquet")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
-    return dedup.cluster_diversity_sample(docs, pairs, m=2)
+    split = text_ops.hash_split(docs)
+    train = docs.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id"
+    )
+    held = docs.join(
+        split.where("split != 'train'").select("doc_id"), "doc_id"
+    )
+    label = "text LIKE '%dup%'"
+    model = classifier.nb_token_logodds(train, label)
+    return classifier.nb_apply(
+        model, held, prior_milli=classifier.nb_prior_milli(train, label)
+    )
 
 
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
-    "x_cut_duplicate_spans": _cut_spans,
-    "x_nb_classifier": _nb_classifier,
-    "x_source_mix_temperature": _temperature_mix,
-    "x_cluster_diversity": _cluster_diversity,
+    "x_nb_apply_heldout": _nb_apply_heldout,
 }
 
 

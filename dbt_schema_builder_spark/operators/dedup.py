@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_dropped_mass: float | None = 0.5,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, via the inverted shingle
     index: |A ∩ B| from the self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
@@ -115,6 +116,20 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles appearing in more than that many documents
     (stopword-like; they contribute candidates, not discrimination) —
     the scale path for skewed corpora; leave None for exact Jaccard.
+
+    max_df is a RECALL knob, and it can go BLIND (SCALE.md r7b, measured):
+    at 100x duplication every gram's df exceeds the cap, the capped
+    index drops ALL gram mass, and the miner silently returns 0 pairs.
+    When ``max_df`` is set, the guard below measures the fraction of
+    gram OCCURRENCE mass the cap removes (one bounded-output aggregate
+    over the index the operator builds anyway — the kmeans eager-check
+    convention) and raises once it exceeds ``max_dropped_mass``
+    (default 0.5; pass None to skip the check and its job). On organic
+    corpora the dropped fraction is ~0 (sf0.1 max gram df is 25); a
+    trip means the corpus is duplication-heavy — raise max_df above the
+    replica multiplicity, or switch to `minhash_lsh_candidates`, which
+    buckets on signature bands instead of raw gram df and stays
+    recall-robust under duplication.
     """
     from pyspark.sql.window import Window
 
@@ -141,6 +156,40 @@ def ngram_jaccard_pairs(
     # explicit hash partitioning on the join key: the quadratic post-join
     # fan-out is invisible to AQE's pre-join coalescing
     capped = index.repartition(parallelism, "sh")
+    if max_df is not None and max_dropped_mass is not None:
+        if not 0.0 <= float(max_dropped_mass) <= 1.0:
+            raise ValueError(
+                "ngram_jaccard_pairs: max_dropped_mass must be in "
+                f"[0, 1] or None, got {max_dropped_mass}"
+            )
+        sat = (
+            index.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.coalesce(F.sum("df"), F.lit(0)).alias("total"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("df") > max_df, F.col("df"))
+                    ),
+                    F.lit(0),
+                ).alias("dropped"),
+            )
+            .collect()[0]
+        )
+        if sat["total"] > 0 and (
+            sat["dropped"] > float(max_dropped_mass) * sat["total"]
+        ):
+            raise ValueError(
+                "ngram_jaccard_pairs: max_df="
+                f"{max_df} would drop {sat['dropped']}/{sat['total']} "
+                f"({sat['dropped'] / sat['total']:.0%}) of the gram "
+                "occurrence mass — the capped index is saturated and "
+                "recall collapses toward 0 (SCALE.md r7b measured this "
+                "at 100x duplication). Raise max_df above the per-gram "
+                "replica multiplicity, use minhash_lsh_candidates (its "
+                "band buckets stay recall-robust under duplication), or "
+                "pass max_dropped_mass=None to proceed anyway"
+            )
     if max_df is not None:
         # df cap as a whole-partition window count over the partitioning
         # the self-join needs anyway: one exchange serves the cap AND both
@@ -164,9 +213,16 @@ def ngram_jaccard_pairs(
         )
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
-    return inter.select(
+    # Filter on the UNROUNDED jaccard, emit the rounded surface (r8,
+    # retiring the r6-documented latent boundary): a pair with true j in
+    # [t - 5e-5, t) must NOT pass — the prefix-filter twin prunes on true
+    # j >= t, so a rounded filter here could disagree with it (and with
+    # _pair_closure_ctes, which always compared unrounded) once unions
+    # reach ~1e4 shingles. Both engines now compare the same exact
+    # double quotient of the same int64s.
+    return inter.where(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    )
 
 
 def jaccard_prefix_pairs(
@@ -199,15 +255,12 @@ def jaccard_prefix_pairs(
     corpora; use ``ngram_jaccard_pairs`` (optionally df-capped) for
     weak-threshold sweeps on organic data.
 
-    Precondition (r6 ADVICE, latent): the final filter (and the shared
-    driver oracle) accept ROUND(j, 4) >= t, but the prefix lemma prunes
-    on TRUE j >= t — a pair whose true Jaccard lies in [t - 5e-5, t)
-    would round up past the filter yet may have been pruned from the
-    candidate set. With 4-decimal rounding that gap is reachable only
-    when |union| >= ~1e4 shingles (j granularity 1/|union|); the
-    engine's shingle sets are document-n-gram sized (hundreds), so the
-    identity holds. If you feed sets with unions >= 1e4, filter on the
-    unrounded jaccard instead (and change the oracle with it).
+    The final filter compares the UNROUNDED jaccard (r8 — the r6 ADVICE
+    boundary retired): the prefix lemma prunes on TRUE j >= t, so the
+    retained-pair filter uses the same exact quotient, and `jaccard` is
+    rounded only for the emitted surface. The identity with
+    ``ngram_jaccard_pairs`` is now exact at every union size, not just
+    below the ~1e4-shingle rounding-granularity bound.
     """
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     # persist: the sized sets feed the prefix index AND both verify joins
@@ -281,9 +334,11 @@ def jaccard_prefix_pairs(
     jac = F.col("n_inter") / (
         F.col("size_a") + F.col("size_b") - F.col("n_inter")
     )
-    return verified.select(
+    # unrounded filter, rounded surface — must mirror ngram_jaccard_pairs
+    # exactly (the two share the driver oracle)
+    return verified.where(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    )
 
 
 def jaccard_pairs(
@@ -292,6 +347,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     max_df: int | None = None,
+    max_dropped_mass: float | None = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs with strategy dispatch (r5, the
     embedding_near_dup pattern): ``ngram_jaccard_pairs`` (inverted
@@ -312,6 +368,9 @@ def jaccard_pairs(
     ``max_df`` applies only to the inverted branch (the prefix filter
     is the lossless alternative to it); passing both raises so a
     recall cap can't silently ride along with a lossless strategy.
+    ``max_dropped_mass`` forwards to the inverted branch's saturation
+    guard (the r6 swallowed-kwarg audit: dispatchers must forward every
+    strategy-specific tuning knob).
     """
     if strategy == "auto":
         strategy = "prefix" if threshold >= 0.8 else "inverted"
@@ -325,7 +384,11 @@ def jaccard_pairs(
         return jaccard_prefix_pairs(documents, n=n, threshold=threshold)
     if strategy == "inverted":
         return ngram_jaccard_pairs(
-            documents, n=n, threshold=threshold, max_df=max_df
+            documents,
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+            max_dropped_mass=max_dropped_mass,
         )
     raise ValueError(
         f"jaccard_pairs: unknown strategy {strategy!r} "

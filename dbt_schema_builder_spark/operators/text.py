@@ -1141,6 +1141,8 @@ def bm25_search(
     doc_id) tie-break, and rank is assigned AFTER the limit so no
     single-partition window ever sees more than `topk` rows.
     """
+    if not query_terms:
+        raise ValueError("bm25_search: at least one query term required")
     d = documents.select("doc_id", F.size(tokens()).alias("dl"))
     stats = d.agg(
         F.sum("dl").alias("tot"), F.count(F.lit(1)).alias("n")
@@ -1206,17 +1208,25 @@ def rrf_fuse(rankings: list, k: int = 60) -> DataFrame:
     Each input must be a RANKED TOP-K LIST with (doc_id, rnk) columns —
     bounded by contract, which is why the fused row_number window
     (ordered by rrf_micro DESC, doc_id) is legal: it sorts the union of
-    k-bounded lists, never a corpus. Returns (fused_rank, doc_id,
-    n_lists, rrf_micro)."""
+    k-bounded lists, never a corpus. A doc_id repeated WITHIN one list
+    contributes once, at its best (minimum) rank — the per-list dedup
+    below makes duplicate postings inflate neither n_lists nor
+    rrf_micro (r7 ADVICE). k >= 1 is required so k + rnk can never be
+    0 on rank-1 rows: integer `div` by zero returns NULL, which F.sum
+    would silently SKIP — a vanished contribution, not an error
+    (the validate-at-plan-construction rule). Returns (fused_rank,
+    doc_id, n_lists, rrf_micro)."""
     if not rankings:
         raise ValueError("rrf_fuse: at least one ranking required")
-    if k < 0:
-        raise ValueError(f"rrf_fuse: k must be >= 0, got {k}")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
     parts = [
         r.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
+        .groupBy("doc_id")
+        .agg(F.min("rnk").alias("rnk"))
         for r in rankings
     ]
     u = parts[0]
@@ -1255,6 +1265,10 @@ def hybrid_search(
     Scale profile: both rankers filter to query-term postings BEFORE
     any shuffle (the bm25_search shape); the fusion itself touches
     2*topk rows."""
+    if not query_terms:
+        raise ValueError(
+            "hybrid_search: at least one query term required"
+        )
     bm = bm25_search(documents, query_terms, topk=topk).select(
         "doc_id", "rnk"
     )
