@@ -232,10 +232,24 @@ def _nb_apply_heldout(spark, sf_dir):
     )
 
 
+def _hybrid_search(spark, sf_dir):
+    """RRF-fused BM25 + raw-tf retrieval (r8): both rankers filter to
+    query-term postings pre-shuffle; fusion touches 2*topk rows."""
+    from dbt_schema_builder_spark.operators import text as text_ops
+    from dbt_schema_builder_spark.session import read_table
+
+    return text_ops.hybrid_search(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        ("data", "dup"),  # one hot + one rare term of the 31-token vocab
+        topk=20,
+    )
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
     "x_nb_apply_heldout": _nb_apply_heldout,
+    "x_hybrid_search": _hybrid_search,
 }
 
 

@@ -109,6 +109,84 @@ def test_nb_logodds_table_is_vocab_sized_and_integer(tables):
         assert r.c_pos >= 0 and r.c_neg >= 0
 
 
+# ------------------------------------------------- nb_apply (train/apply)
+
+
+def test_nb_apply_on_training_frame_reproduces_nb_scores(tables):
+    """The exactness pin for the apply half: scoring the TRAINING frame
+    against its own frozen model + prior must reproduce nb_scores'
+    surfaces exactly (and every training token is in-vocab)."""
+    docs = tables["documents"]
+    label = "text LIKE '%dup%'"
+    model = classifier.nb_token_logodds(docs, label)
+    prior = classifier.nb_prior_milli(docs, label)
+    applied = {
+        r.doc_id: r
+        for r in classifier.nb_apply(model, docs, prior_milli=prior)
+        .collect()
+    }
+    trained = {
+        r.doc_id: r for r in classifier.nb_scores(docs, label).collect()
+    }
+    assert set(applied) == set(trained)
+    for doc_id, t in trained.items():
+        a = applied[doc_id]
+        assert a.score_milli == t.score_milli
+        assert a.pred == t.pred
+        assert a.n_tokens == t.n_tokens
+        assert a.n_in_vocab == a.n_tokens  # self-apply: no OOV possible
+
+
+def test_nb_apply_heldout_split_scores_all_docs_and_oov_is_neutral(spark):
+    """Train on the md5 hash_split train slice, score the held-out
+    slice: every held-out doc gets a row, OOV tokens contribute 0
+    (n_in_vocab < n_tokens when the held-out doc has unseen tokens),
+    and a fully-OOV doc scores exactly the training prior."""
+    rows = (
+        [("signal common words here", "en", "s")] * 6
+        + [("plain common words here", "en", "s")] * 6
+        + [("zzz qqq xxx", "en", "s")]  # tokens absent from any model
+    )
+    docs = _docs(spark, rows)
+    label = "text LIKE '%signal%'"
+    split = text.hash_split(docs)
+    train_ids = {
+        r.doc_id for r in split.where("split = 'train'").collect()
+    }
+    train = docs.where(F.col("doc_id").isin(*train_ids))
+    held = docs.where(~F.col("doc_id").isin(*train_ids))
+    model = classifier.nb_token_logodds(train, label)
+    prior = classifier.nb_prior_milli(train, label)
+    out = {
+        r.doc_id: r
+        for r in classifier.nb_apply(
+            model, held, prior_milli=prior
+        ).collect()
+    }
+    held_ids = {r.doc_id for r in held.select("doc_id").collect()}
+    assert set(out) == held_ids and held_ids
+    for r in out.values():
+        assert r.n_in_vocab <= r.n_tokens
+        assert r.pred == (1 if r.score_milli > 0 else -1)
+    if 12 in out:  # the all-OOV doc, when the md5 split holds it out
+        vocab = {r.token for r in model.collect()}
+        assert "zzz" not in vocab
+        assert out[12].n_in_vocab == 0
+        assert out[12].score_milli == prior
+
+
+def test_nb_apply_default_prior_is_pure_evidence(spark):
+    docs = _docs(spark, [("signal a", "en", "s"), ("b c", "en", "s")])
+    model = classifier.nb_token_logodds(docs, "text LIKE '%signal%'")
+    out = {
+        r.doc_id: r for r in classifier.nb_apply(model, docs).collect()
+    }
+    # doc 1 shares no token with doc 0; with prior 0 its score is the
+    # sum of its own tokens' log-odds only
+    lm = {r.token: r.logodds_milli for r in model.collect()}
+    assert out[1].score_milli == lm["b"] + lm["c"]
+
+
 # ------------------------------------------------- temperature source mix
 
 

@@ -204,6 +204,47 @@ def test_ngram_jaccard_max_df_prunes_hot_shingles(spark, tables):
     assert got == {(100, 101): 0.6}
 
 
+def test_ngram_jaccard_max_df_saturation_guard_trips_on_duplication(
+    spark, tables
+):
+    """SCALE.md r7b measured the blindness this guard encodes: at 100x
+    duplication EVERY gram's df exceeds the cap, the capped index drops
+    all gram mass, and the miner silently returned 0 pairs. The guard
+    turns that silence into a loud error; the opt-out keeps the old
+    behaviour as an explicit caller choice."""
+    schema = tables["documents"].schema
+    # 12 verbatim replicas: every 3-gram has df 12 > max_df 4
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta", "en", "src", 34)
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, schema=schema)
+    with pytest.raises(ValueError, match="saturated"):
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=4)
+    # the dispatcher forwards the knob (r6 swallowed-kwarg audit)
+    with pytest.raises(ValueError, match="saturated"):
+        dedup.jaccard_pairs(
+            docs, n=3, threshold=0.2, strategy="inverted", max_df=4
+        )
+    # explicit opt-out: proceeds and exhibits exactly the measured
+    # blindness (0 pairs from 12 identical docs)
+    blind = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=4, max_dropped_mass=None
+    )
+    assert blind.count() == 0
+    # a cap above the replica multiplicity passes the guard and finds
+    # every pair
+    ok = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=16
+    )
+    assert ok.count() == 12 * 11 // 2
+    # bad knob value is rejected at construction
+    with pytest.raises(ValueError, match="max_dropped_mass"):
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_df=4, max_dropped_mass=1.5
+        )
+
+
 def test_lsh_topk_results_are_subset_of_brute_force_candidates(spark, tables):
     emb = tables["embeddings"]
     qs = similarity.queries_from_corpus(emb, 3)

@@ -1564,3 +1564,192 @@ def test_nb_scores_matches_sql_oracle_on_fixture_corpus(
         for r in con.execute(_nb_scores_oracle_sql(label)).fetchall()
     }
     assert got == want
+
+
+nb_label = st.sampled_from(
+    [
+        "text LIKE '%a%'",        # text-derived, mixed classes
+        "length(text) > 10",      # length label (NB can't learn it —
+                                  # exactness still must hold)
+        "lang = 'en'",            # metadata label
+        "1 = 1",                  # single-class corpus: all positive
+        "1 = 0",                  # single-class corpus: all negative
+    ]
+)
+nb_word = st.sampled_from(["a", "b", "ab", "ba", "x", "dup"])
+nb_text = st.one_of(
+    st.just(""),                  # token-less doc
+    st.just("   "),               # whitespace-only doc
+    st.lists(nb_word, min_size=1, max_size=6).map(" ".join),
+)
+nb_corpus = st.lists(nb_text, min_size=1, max_size=10)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=nb_corpus, label=nb_label)
+def test_nb_scores_matches_sql_oracle_on_random_corpora(
+    spark, texts, label
+):
+    """r8 ADVICE: the fixture-only NB differential never exercised
+    single-class corpora (empty-class smoothing), all-token-less docs,
+    or labels uncorrelated with text — the shapes where
+    generator/operator drift historically hides. Hypothesis varies the
+    corpus AND the label predicate; both engines must agree exactly
+    (the only float is one rounded log per distinct token + the
+    prior)."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _nb_scores_oracle_sql
+    from dbt_schema_builder_spark.operators import classifier
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r) for r in classifier.nb_scores(docs, label=label).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": list(texts),
+                "lang": ["en"] * len(texts),
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_nb_scores_oracle_sql(label)).fetchall()
+    }
+    assert got == want
+
+
+# ----------------------------------------------- streaming oracle replays
+
+_stream_seq_counter = __import__("itertools").count()
+
+ev_event = st.tuples(
+    st.integers(min_value=0, max_value=6),        # user_id
+    st.integers(min_value=0, max_value=3000),     # minute offset — random
+                                                  # order = late arrivals
+    st.sampled_from(["view", "click", "purchase", "other"]),
+    st.integers(min_value=-(10**6), max_value=10**6),  # value micro-units
+)
+ev_stream = st.lists(ev_event, min_size=1, max_size=30)
+
+
+def _stage_random_stream(spark, rows):
+    """Write a hypothesis-generated event list as ONE parquet drop dir
+    (single-batch availableNow intake — the closed-form regime the
+    streaming oracles replay) and return (dir, data, duckdb events df)."""
+    import datetime
+    import tempfile
+
+    import pandas as pd
+
+    from dbt_schema_builder_spark.streaming.windows import EVENTS_SCHEMA
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            base + datetime.timedelta(minutes=mins),
+            uid,
+            etype,
+            micros / 1e6,
+            "{}",
+        )
+        for i, (uid, mins, etype, micros) in enumerate(rows)
+    ]
+    d = tempfile.mkdtemp(prefix="st_prop_")
+    spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in data],
+            "ts": pd.Series([r[1] for r in data], dtype="datetime64[us]"),
+            "user_id": [r[2] for r in data],
+            "event_type": [r[3] for r in data],
+            "value": [r[4] for r in data],
+        }
+    )
+    return d, pdf
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_tumbling_oracle_replays_random_streams(spark, rows):
+    """r7 verdict #6: the 6 streaming oracles rested on the fixed
+    corpus only. Random out-of-order (late) event streams exercise the
+    watermark-withhold boundary (windows ending within 10 min of max
+    ts), empty buckets, and negative value sums — the closed-form
+    emitted set (end <= max ts - delay) must match the DuckDB replay
+    exactly on every stream shape."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.session import epoch_millis
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_tumbling_counts,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    name = f"t_prop_tumbling_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_tumbling_counts(stream_events(spark, d)), name, "append"
+    )
+    got = {
+        tuple(r)
+        for r in out.select(
+            epoch_millis("bucket").alias("bucket_ms"),
+            "n_events",
+            "sum_value",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_stream_tumbling"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_funnel_oracle_replays_random_streams(spark, rows):
+    """The funnel's greedy strictly-after chain (t1 = min view; t2 =
+    min click > t1; t3 = min purchase > t2) vs the correlated-MIN SQL
+    replay on random streams: equal-timestamp boundaries, users with
+    only non-funnel events, and chains broken at every stage arise
+    here and never on the fixture."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_funnel,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    name = f"t_prop_funnel_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_funnel(stream_events(spark, d)), name, "update"
+    )
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_stream_funnel"]
+        ).fetchall()
+    }
+    assert got == want

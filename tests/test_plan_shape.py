@@ -467,3 +467,58 @@ def test_cluster_diversity_window_is_per_cluster(tables):
     assert _re.search(r"hashpartitioning\(cluster_id", plan), plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_stats_shares_one_gram_scan(tables):
+    """r8 promotion pin: duplicate_span_stats rolls up the spans frame,
+    which itself reads the family's ONE persisted gram scan (the r7
+    shared-frame-helper lesson) — pin the persist and the Generate
+    (tokenize/posexplode) ceiling, and that the interval-union windows
+    stay doc_id-partitioned (never corpus-wide)."""
+    import re as _re
+
+    from dbt_schema_builder_spark.operators import dedup
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    plan = _plan(dedup.duplicate_span_stats(docs, min_len=20))
+    assert "InMemoryTableScan" in plan, plan
+    assert _re.search(r"hashpartitioning\(doc_id", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    # measured r8 levels: 5 Generates / 7 scans (the spans frame is
+    # read through the persist; a regression to per-consumer tokenize
+    # re-runs showed up as +2 of each in the pre-share r7 prototype)
+    assert plan.count("Generate") <= 5, plan
+    assert plan.count("Scan parquet") <= 7, plan
+
+
+def test_cut_spans_shares_one_gram_scan(tables):
+    import re as _re
+
+    from dbt_schema_builder_spark.operators import dedup
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    plan = _plan(dedup.cut_duplicate_spans(docs, min_len=20))
+    assert "InMemoryTableScan" in plan, plan
+    assert _re.search(r"hashpartitioning\(doc_id", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    # measured r8 levels: 14 Generates / 16 scans across the three
+    # stages (spans, protection, cut) — high absolute counts are the
+    # operator's documented shape; the pin catches multi-eval creep
+    assert plan.count("Generate") <= 14, plan
+    assert plan.count("Scan parquet") <= 16, plan
+
+
+def test_nb_apply_single_tokenize_and_broadcast_model(tables):
+    from dbt_schema_builder_spark.operators import classifier
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    model = classifier.nb_token_logodds(docs, "text LIKE '%dup%'")
+    plan = _plan(classifier.nb_apply(model, docs, prior_milli=100))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # 1 tokenize on the scoring side; the other Generates live in the
+    # broadcast (vocab-bounded) model subtree
+    assert plan.count("Generate") <= 5, plan

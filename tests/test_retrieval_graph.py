@@ -543,3 +543,72 @@ def test_learn_bpe_counts_out_tracks_early_stop(spark):
     )
     assert merges == [("a", "b")]
     assert counts == [2]
+
+
+# ------------------------------------------------------- RRF fusion (r8)
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rnk long")
+
+
+def test_rrf_fuse_integer_exact_and_rank_order(spark):
+    import pytest  # noqa: F401
+
+    a = _ranking(spark, [(10, 1), (20, 2)])
+    b = _ranking(spark, [(20, 1), (30, 2)])
+    out = {r.doc_id: r for r in text.rrf_fuse([a, b], k=60).collect()}
+    assert out[20].rrf_micro == 1000000 // 61 + 1000000 // 62
+    assert out[10].rrf_micro == 1000000 // 61
+    assert out[30].rrf_micro == 1000000 // 62
+    assert out[20].fused_rank == 1 and out[20].n_lists == 2
+    # tie between 10 (rank1 in a) and 30 (rank2 in b)? no: 61 < 62
+    assert out[10].fused_rank == 2 and out[30].fused_rank == 3
+
+
+def test_rrf_fuse_duplicate_doc_in_one_list_counts_once_best_rank(spark):
+    """r7 ADVICE: a doc_id repeated WITHIN one ranking must not inflate
+    n_lists or rrf_micro — it contributes once, at its best rank."""
+    a = _ranking(spark, [(10, 1), (10, 3), (20, 2)])
+    b = _ranking(spark, [(10, 2)])
+    out = {r.doc_id: r for r in text.rrf_fuse([a, b], k=60).collect()}
+    assert out[10].n_lists == 2
+    assert out[10].rrf_micro == 1000000 // 61 + 1000000 // 62
+
+
+def test_rrf_fuse_and_query_guards():
+    import pytest
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    a = _ranking(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        text.rrf_fuse([a], k=0)
+    with pytest.raises(ValueError, match="at least one ranking"):
+        text.rrf_fuse([])
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError, match="query term"):
+        text.hybrid_search(docs, ())
+    with pytest.raises(ValueError, match="query term"):
+        text.bm25_search(docs, ())
+
+
+def test_hybrid_search_arbitrates_term_stuffing(spark):
+    """The designed disagreement: the tf ranker loves the stuffed long
+    doc, BM25 length-normalizes it down; RRF fuses both signals and
+    every fused doc carries both ranks (n_lists == 2) on this corpus."""
+    docs = _docs(
+        spark,
+        [
+            "needle short doc",
+            "needle " * 30 + "pad " * 200,  # stuffed + long
+            "plain filler text",
+        ],
+    )
+    out = text.hybrid_search(docs, ("needle",), topk=3).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert set(by_doc) == {0, 1}  # only needle-matching docs rank
+    assert all(r.n_lists == 2 for r in out)
+    # fused_rank is a permutation starting at 1
+    assert sorted(r.fused_rank for r in out) == [1, 2]
