@@ -259,8 +259,16 @@ OPS = {
     # (every doc in a 10-member cluster, rank windows at max width);
     # pair mining dominates, the per-cluster window adds one bounded
     # exchange on cluster_id
+    # max_dropped_mass=None: at FACTOR=100 every gram's df exceeds the
+    # cap and the r8 saturation guard (correctly) raises — this harness
+    # opts out to TIME the blind branch; the guard trip itself is
+    # unit-pinned in test_llm_ops.py
     "cluster_diversity(m=2)": lambda d, e: dedup.cluster_diversity_sample(
-        d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64), m=2
+        d,
+        dedup.ngram_jaccard_pairs(
+            d, n=3, threshold=0.2, max_df=64, max_dropped_mass=None
+        ),
+        m=2,
     ),
 }
 
