@@ -4152,6 +4152,114 @@ def _nb_scores_oracle_sql(label_sql: str = "text LIKE '%dup%'") -> str:
     )
 
 
+def _nb_apply_oracle_sql(
+    label_sql: str = "text LIKE '%dup%'",
+    salt: str = "v1",
+    train_hi: int = 9000,
+) -> str:
+    """r9 promotion staging: DuckDB replay of the NB train/apply split
+    (classifier.nb_token_logodds + nb_prior_milli on the md5 hash_split
+    train slice, classifier.nb_apply on the held-out slice). The split
+    is the proven q_hash_split bucket arithmetic; training CTEs are the
+    proven _nb_scores_oracle_sql body restricted to the train slice;
+    apply is a LEFT join against the frozen vocabulary (OOV tokens
+    contribute 0, surfaced via n_in_vocab; token-less/all-OOV docs
+    score exactly the training prior). Differential-tested on random
+    corpora ahead of any driver gate."""
+    b = int(train_hi)
+    return (
+        "WITH split AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+        f"'{salt}'), 1, 8)) AS BIGINT) % 10000 AS bucket FROM documents), "
+        f"tr AS (SELECT d.* FROM documents d JOIN split USING (doc_id) "
+        f"WHERE bucket < {b}), "
+        f"he AS (SELECT d.* FROM documents d JOIN split USING (doc_id) "
+        f"WHERE bucket >= {b}), "
+        "toks_tr AS (SELECT doc_id, "
+        f"CASE WHEN {label_sql} THEN 1 ELSE 0 END AS is_pos, tok AS token "
+        "FROM (SELECT *, unnest(regexp_split_to_array(trim(text), "
+        "'\\s+')) AS tok FROM tr) WHERE len(tok) > 0), "
+        "lm AS (SELECT token, CAST(SUM(is_pos) AS BIGINT) AS c_pos, "
+        "CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg FROM toks_tr "
+        "GROUP BY token), "
+        "tot AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, "
+        "COUNT(*) AS v FROM lm), "
+        "w AS (SELECT token, CAST(round(1000 * ("
+        "ln(CAST(c_pos + 1 AS DOUBLE)) - ln(CAST(n_pos + v AS DOUBLE)) "
+        "- ln(CAST(c_neg + 1 AS DOUBLE)) + ln(CAST(n_neg + v AS DOUBLE))"
+        ")) AS BIGINT) AS lo FROM lm, tot), "
+        "pri AS (SELECT CAST(round(1000 * ("
+        f"ln(CAST(COALESCE(SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END)"
+        ", 0) + 1 AS DOUBLE)) - "
+        f"ln(CAST(COALESCE(SUM(CASE WHEN {label_sql} THEN 0 ELSE 1 END)"
+        ", 0) + 1 AS DOUBLE)))) AS BIGINT) AS prior FROM tr), "
+        "toks_he AS (SELECT doc_id, tok AS token FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM he) WHERE len(tok) > 0), "
+        "per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(w.lo) AS BIGINT) AS n_in_vocab, "
+        "CAST(SUM(COALESCE(w.lo, 0)) AS BIGINT) AS ev "
+        "FROM toks_he t LEFT JOIN w USING (token) GROUP BY t.doc_id) "
+        "SELECT he.doc_id, "
+        "CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(per.n_in_vocab, 0) AS BIGINT) AS n_in_vocab, "
+        "CAST(pri.prior + COALESCE(per.ev, 0) AS BIGINT) AS score_milli, "
+        "CAST(CASE WHEN pri.prior + COALESCE(per.ev, 0) > 0 THEN 1 "
+        "ELSE -1 END AS BIGINT) AS pred "
+        "FROM he LEFT JOIN per USING (doc_id), pri"
+    )
+
+
+def _hybrid_oracle_sql(
+    terms: tuple = ("data", "dup"), topk: int = 20, kk: int = 60
+) -> str:
+    """r9 promotion staging: DuckDB replay of text.hybrid_search — the
+    proven q_bm25_search scoring CTEs (Lucene idf, per-term micro-unit
+    rounding, (score, doc_id) tie-break, rank after the limit) fused by
+    RRF (integer 1e6 // (k + rank)) with a raw-tf ranker. Each ranker
+    emits unique doc_ids by construction, so the operator's per-list
+    dedup is a no-op here; fused_rank = ROW_NUMBER over (rrf_micro
+    DESC, doc_id). All surfaced values integers."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    t = int(topk)
+    k = int(kk)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS dl "
+        "FROM documents), "
+        "st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS n "
+        "FROM d), "
+        "toks AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+        "FROM documents), "
+        f"q AS (SELECT doc_id, token FROM toks WHERE token IN ({tl})), "
+        "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df "
+        "FROM q GROUP BY 1), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM q GROUP BY 1, 2), "
+        "agg AS (SELECT tf.doc_id, "
+        "CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) "
+        "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl "
+        "/ (tot / CAST(n AS DOUBLE)))) * 1e6) AS BIGINT)) AS BIGINT) "
+        "AS score_micro FROM tf JOIN df USING (token) "
+        "JOIN d ON tf.doc_id = d.doc_id CROSS JOIN st GROUP BY 1), "
+        "bm AS (SELECT doc_id, rnk FROM (SELECT CAST(row_number() OVER ("
+        "ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk, doc_id "
+        f"FROM agg) WHERE rnk <= {t}), "
+        "tfd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tfq "
+        "FROM q GROUP BY 1), "
+        "tfr AS (SELECT doc_id, rnk FROM (SELECT CAST(row_number() OVER ("
+        "ORDER BY tfq DESC, doc_id) AS BIGINT) AS rnk, doc_id FROM tfd) "
+        f"WHERE rnk <= {t}), "
+        "u AS (SELECT doc_id, rnk FROM bm "
+        "UNION ALL SELECT doc_id, rnk FROM tfr), "
+        "fused AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists, "
+        f"CAST(SUM(1000000 // ({k} + rnk)) AS BIGINT) AS rrf_micro "
+        "FROM u GROUP BY doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) "
+        "AS BIGINT) AS fused_rank, doc_id, n_lists, rrf_micro FROM fused"
+    )
+
+
 def _temperature_mix_oracle_sql(budget_tokens: int) -> str:
     """r8 promotion staging: DuckDB replay of
     text.source_mix_temperature's driver-side integer solve. isqrt is

@@ -198,12 +198,22 @@ def nb_prior_milli(documents: DataFrame, label: str) -> int:
     next to the token model. One-row collect (the kmeans/waterfill
     bounded-collect convention)."""
     base = _with_label(documents, label)
+    # coalesce: an EMPTY training frame sums to NULL — the neutral
+    # prior (ln 1 - ln 1 = 0) is the right degenerate answer, not a
+    # driver-side TypeError
     row = base.agg(
         F.round(
             (
-                F.log((F.sum("is_pos") + 1).cast("double"))
+                F.log(
+                    (F.coalesce(F.sum("is_pos"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                )
                 - F.log(
-                    (F.sum(1 - F.col("is_pos")) + 1).cast("double")
+                    (
+                        F.coalesce(F.sum(1 - F.col("is_pos")), F.lit(0))
+                        + 1
+                    ).cast("double")
                 )
             )
             * 1000

@@ -1753,3 +1753,95 @@ def test_stream_funnel_oracle_replays_random_streams(spark, rows):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=nb_corpus, label=nb_label)
+def test_nb_apply_matches_sql_oracle_on_random_corpora(
+    spark, texts, label
+):
+    """r9 promotion staging differential: the full train/apply split —
+    md5 hash_split train slice -> frozen model + prior -> held-out
+    scoring — vs _nb_apply_oracle_sql. Random corpora reach the shapes
+    the fixture can't: empty train or held slices, all-OOV held docs,
+    single-class training."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _nb_apply_oracle_sql
+    from dbt_schema_builder_spark.operators import classifier
+    from dbt_schema_builder_spark.operators import text as text_ops
+
+    docs = _docs(spark, texts)
+    split = text_ops.hash_split(docs)
+    train = docs.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id"
+    )
+    held = docs.join(
+        split.where("split != 'train'").select("doc_id"), "doc_id"
+    )
+    model = classifier.nb_token_logodds(train, label)
+    prior = classifier.nb_prior_milli(train, label)
+    got = {
+        tuple(r)
+        for r in classifier.nb_apply(
+            model, held, prior_milli=prior
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": list(texts),
+                "lang": ["en"] * len(texts),
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(_nb_apply_oracle_sql(label)).fetchall()
+    }
+    assert got == want
+
+
+hybrid_word = st.sampled_from(["data", "dup", "pad", "x", "the"])
+hybrid_text = st.lists(hybrid_word, min_size=1, max_size=12).map(" ".join)
+hybrid_corpus = st.lists(hybrid_text, min_size=1, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=hybrid_corpus, topk=st.integers(min_value=1, max_value=6))
+def test_hybrid_search_matches_sql_oracle_on_random_corpora(
+    spark, texts, topk
+):
+    """r9 promotion staging differential: BM25 + raw-tf RRF fusion vs
+    _hybrid_oracle_sql on random corpora — rank-boundary ties (equal
+    scores broken by doc_id), docs in one list but not the other, and
+    query terms missing entirely all arise here."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _hybrid_oracle_sql
+    from dbt_schema_builder_spark.operators import text as text_ops
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in text_ops.hybrid_search(
+            docs, ("data", "dup"), topk=topk
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _hybrid_oracle_sql(("data", "dup"), topk=topk)
+        ).fetchall()
+    }
+    assert got == want
