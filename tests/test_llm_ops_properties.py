@@ -1845,3 +1845,85 @@ def test_hybrid_search_matches_sql_oracle_on_random_corpora(
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_session_oracle_replays_random_streams(spark, rows):
+    """Session windows: gap merges, the end <= max ts - 1h withhold
+    boundary, and single-event sessions on random late streams vs the
+    sessionize + filter replay."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.session import epoch_millis
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_session_window,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    name = f"t_prop_session_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_session_window(stream_events(spark, d)), name, "append"
+    )
+    got = {
+        tuple(r)
+        for r in out.select(
+            "user_id",
+            epoch_millis("session_start").alias("session_start_ms"),
+            epoch_millis("session_end").alias("session_end_ms"),
+            "n_events",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_stream_session"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_user_state_oracle_replays_random_streams(spark, rows):
+    """applyInPandasWithState running totals: integer micro-unit state
+    sums (batch-order independent) and the latest-ts-lives-in-state
+    rule (the r5 bug class) vs the per-user batch aggregate replay."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.session import epoch_millis
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_user_state,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    name = f"t_prop_ustate_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_user_state(stream_events(spark, d)), name, "update"
+    )
+    got = {
+        tuple(r)
+        for r in out.select(
+            "user_id",
+            "n_events",
+            "total_value",
+            epoch_millis("last_ts").alias("last_ts_ms"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_stream_user_state"]
+        ).fetchall()
+    }
+    assert got == want

@@ -96,6 +96,20 @@ def stage_events_10x():
     return read_table(spark, f"{STAGE}/events.parquet")
 
 
+def _nb_apply_heldout(d):
+    """Train/apply split over any documents frame (the bench shape)."""
+    from dbt_schema_builder_spark.operators import text as text_ops
+
+    split = text_ops.hash_split(d)
+    train = d.join(split.where("split = 'train'").select("doc_id"), "doc_id")
+    held = d.join(split.where("split != 'train'").select("doc_id"), "doc_id")
+    label = "text LIKE '%dup%'"
+    model = classifier.nb_token_logodds(train, label)
+    return classifier.nb_apply(
+        model, held, prior_milli=classifier.nb_prior_milli(train, label)
+    )
+
+
 def timed(df):
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -249,6 +263,21 @@ OPS = {
     # tokens to the vocabulary, so the lm table stays tiny
     "nb_classifier": lambda d, e: classifier.nb_scores(
         d, label="text LIKE '%dup%'"
+    ),
+    # round-8: the apply half — train on the md5 split's train slice,
+    # score the held-out slice against the frozen broadcast model; must
+    # stay scan-dominated (two tokenize passes, zero corpus shuffles on
+    # the scoring side)
+    "nb_apply(heldout)": lambda d, e: _nb_apply_heldout(d),
+    # round-8: per-doc substring-duplication rollup — the spans frame +
+    # two doc-bounded window passes; same positions-not-pairs profile
+    "span_stats(L=20)": lambda d, e: dedup.duplicate_span_stats(
+        d, min_len=20
+    ),
+    # round-8: BM25 + raw-tf RRF fusion — both rankers prune to
+    # query-term postings before any shuffle; fusion touches 2*topk rows
+    "hybrid_search": lambda d, e: text.hybrid_search(
+        d, ("data", "dup"), topk=20
     ),
     # round-7b: sources-bounded driver solve + broadcast fold-back —
     # must be scan-dominated (the waterfill profile)
