@@ -213,22 +213,15 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
 def _nb_apply_heldout(spark, sf_dir):
     """The apply half of the NB train/apply split (r8): train the token
     model on the md5 hash_split train slice, score the held-out slice
-    against the frozen broadcast model."""
-    from dbt_schema_builder_spark.operators import classifier, text as text_ops
+    against the frozen broadcast model — the canonical composition on
+    the classifier module (one code path with the scale harness and
+    the staged r9 oracle)."""
+    from dbt_schema_builder_spark.operators import classifier
     from dbt_schema_builder_spark.session import read_table
 
-    docs = read_table(spark, f"{sf_dir}/documents.parquet")
-    split = text_ops.hash_split(docs)
-    train = docs.join(
-        split.where("split = 'train'").select("doc_id"), "doc_id"
-    )
-    held = docs.join(
-        split.where("split != 'train'").select("doc_id"), "doc_id"
-    )
-    label = "text LIKE '%dup%'"
-    model = classifier.nb_token_logodds(train, label)
-    return classifier.nb_apply(
-        model, held, prior_milli=classifier.nb_prior_milli(train, label)
+    return classifier.nb_apply_heldout(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        label="text LIKE '%dup%'",
     )
 
 

@@ -224,6 +224,33 @@ def nb_prior_milli(documents: DataFrame, label: str) -> int:
     return int(row["prior_milli"])
 
 
+def nb_apply_heldout(
+    documents: DataFrame,
+    label: str = "text LIKE '%dup%'",
+    salt: str = "v1",
+) -> DataFrame:
+    """The canonical train/apply composition: md5 hash_split (train =
+    90% bucket slice under ``salt``), train the token model + prior on
+    the train slice, score the held-out slice with ``nb_apply``. ONE
+    code path for the bench entry, the scale harness, and the staged
+    r9 driver key (`_nb_apply_oracle_sql` replays exactly this
+    composition) — duplicated constructions drift (r8 review)."""
+    from .text import hash_split
+
+    split = hash_split(documents, salt=salt)
+    train = documents.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id"
+    )
+    held = documents.join(
+        split.where("split != 'train'").select("doc_id"), "doc_id"
+    )
+    return nb_apply(
+        nb_token_logodds(train, label),
+        held,
+        prior_milli=nb_prior_milli(train, label),
+    )
+
+
 def nb_apply(
     model: DataFrame, documents: DataFrame, prior_milli: int = 0
 ) -> DataFrame:

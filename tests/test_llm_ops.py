@@ -238,10 +238,20 @@ def test_ngram_jaccard_max_df_saturation_guard_trips_on_duplication(
         docs, n=3, threshold=0.2, max_df=16
     )
     assert ok.count() == 12 * 11 // 2
-    # bad knob value is rejected at construction
+    # bad knob value is rejected at construction — even WITHOUT max_df
+    # (r8 review: a mistyped knob must fail now, not when max_df is
+    # later added expecting the configured level)
     with pytest.raises(ValueError, match="max_dropped_mass"):
         dedup.ngram_jaccard_pairs(
             docs, n=3, threshold=0.2, max_df=4, max_dropped_mass=1.5
+        )
+    with pytest.raises(ValueError, match="max_dropped_mass"):
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_dropped_mass=-0.1
+        )
+    with pytest.raises(ValueError, match="max_dropped_mass"):
+        dedup.jaccard_pairs(
+            docs, threshold=0.9, strategy="prefix", max_dropped_mass=5.0
         )
 
 

@@ -1639,6 +1639,12 @@ ev_event = st.tuples(
 ev_stream = st.lists(ev_event, min_size=1, max_size=30)
 
 
+def _drop_stream_dir(d):
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _stage_random_stream(spark, rows):
     """Write a hypothesis-generated event list as ONE parquet drop dir
     (single-batch availableNow intake — the closed-form regime the
@@ -1666,6 +1672,8 @@ def _stage_random_stream(spark, rows):
     spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(d)
+    # caller must _drop_stream_dir(d) once the drain has finished —
+    # hypothesis runs dozens of examples and mkdtemp litter adds up
     pdf = pd.DataFrame(
         {
             "event_id": [r[0] for r in data],
@@ -1702,6 +1710,7 @@ def test_stream_tumbling_oracle_replays_random_streams(spark, rows):
     out = run_stream_to_memory(
         streaming_tumbling_counts(stream_events(spark, d)), name, "append"
     )
+    _drop_stream_dir(d)
     got = {
         tuple(r)
         for r in out.select(
@@ -1743,6 +1752,7 @@ def test_stream_funnel_oracle_replays_random_streams(spark, rows):
     out = run_stream_to_memory(
         streaming_funnel(stream_events(spark, d)), name, "update"
     )
+    _drop_stream_dir(d)
     got = {tuple(r) for r in out.collect()}
     con = duckdb.connect()
     con.register("events", pdf)
@@ -1868,6 +1878,7 @@ def test_stream_session_oracle_replays_random_streams(spark, rows):
     out = run_stream_to_memory(
         streaming_session_window(stream_events(spark, d)), name, "append"
     )
+    _drop_stream_dir(d)
     got = {
         tuple(r)
         for r in out.select(
@@ -1909,6 +1920,7 @@ def test_stream_user_state_oracle_replays_random_streams(spark, rows):
     out = run_stream_to_memory(
         streaming_user_state(stream_events(spark, d)), name, "update"
     )
+    _drop_stream_dir(d)
     got = {
         tuple(r)
         for r in out.select(

@@ -576,12 +576,9 @@ def test_rrf_fuse_duplicate_doc_in_one_list_counts_once_best_rank(spark):
     assert out[10].rrf_micro == 1000000 // 61 + 1000000 // 62
 
 
-def test_rrf_fuse_and_query_guards():
+def test_rrf_fuse_and_query_guards(spark):
     import pytest
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     a = _ranking(spark, [(1, 1)])
     with pytest.raises(ValueError, match="k must be >= 1"):
         text.rrf_fuse([a], k=0)

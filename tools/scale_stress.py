@@ -96,20 +96,6 @@ def stage_events_10x():
     return read_table(spark, f"{STAGE}/events.parquet")
 
 
-def _nb_apply_heldout(d):
-    """Train/apply split over any documents frame (the bench shape)."""
-    from dbt_schema_builder_spark.operators import text as text_ops
-
-    split = text_ops.hash_split(d)
-    train = d.join(split.where("split = 'train'").select("doc_id"), "doc_id")
-    held = d.join(split.where("split != 'train'").select("doc_id"), "doc_id")
-    label = "text LIKE '%dup%'"
-    model = classifier.nb_token_logodds(train, label)
-    return classifier.nb_apply(
-        model, held, prior_milli=classifier.nb_prior_milli(train, label)
-    )
-
-
 def timed(df):
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -159,8 +145,14 @@ OPS = {
     # round-4: leakage-safe split = pair gen + label propagation + md5
     # buckets; the dup-dense 10x corpus is its worst case (every doc in
     # a 10-member cluster)
+    # max_dropped_mass=None: the dup-dense replica corpus saturates the
+    # cap by construction (~89% of gram mass above df 64 at 10x); this
+    # harness TIMES the degraded branch, the guard trip is unit-pinned
     "cluster_safe_split": lambda d, e: dedup.cluster_safe_split(
-        d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64)
+        d,
+        dedup.ngram_jaccard_pairs(
+            d, n=3, threshold=0.2, max_df=64, max_dropped_mass=None
+        ),
     ),
     "centroid_outliers": lambda d, e: similarity.centroid_outliers(e),
     # round-4b: bloom prefilter (seen = src1 slice, batch = the rest;
@@ -203,7 +195,10 @@ OPS = {
     # round-4b: pair graph -> keep/drop action list (label propagation
     # is the cost; the corpus join is doc_id-narrow)
     "keep_canonical": lambda d, e: dedup.keep_canonical(
-        d, dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=64)
+        d,
+        dedup.ngram_jaccard_pairs(
+            d, n=3, threshold=0.2, max_df=64, max_dropped_mass=None
+        ),
     ),
     # round-4c: containment shares the jaccard index; the dup-dense
     # replica is its worst case too (same sum-of-df^2 candidate growth)
@@ -268,7 +263,7 @@ OPS = {
     # score the held-out slice against the frozen broadcast model; must
     # stay scan-dominated (two tokenize passes, zero corpus shuffles on
     # the scoring side)
-    "nb_apply(heldout)": lambda d, e: _nb_apply_heldout(d),
+    "nb_apply(heldout)": lambda d, e: classifier.nb_apply_heldout(d),
     # round-8: per-doc substring-duplication rollup — the spans frame +
     # two doc-bounded window passes; same positions-not-pairs profile
     "span_stats(L=20)": lambda d, e: dedup.duplicate_span_stats(
