@@ -1939,3 +1939,74 @@ def test_stream_user_state_oracle_replays_random_streams(spark, rows):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_dedup_oracle_replays_random_streams(spark, rows):
+    """dropDuplicatesWithinWatermark over already-unique event_ids is an
+    exact pass-through under single-batch intake — pinned against the
+    trivial SELECT replay so a future watermark/keying change that
+    starts dropping rows turns a silent semantics shift into a red
+    differential."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_dedup,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    name = f"t_prop_sdedup_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_dedup(stream_events(spark, d)).select(
+            "event_id", "user_id", "event_type"
+        ),
+        name,
+        "append",
+    )
+    _drop_stream_dir(d)
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_stream_dedup"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_join_oracle_replays_random_streams(spark, rows):
+    """Watermarked stream-stream click->purchase join under single-batch
+    intake == the batch range join: random streams reach the 60-minute
+    boundary (inclusive both ends), same-timestamp click/purchase, and
+    multi-match fan-out."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_click_purchase_join,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    name = f"t_prop_sjoin_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_click_purchase_join(stream_events(spark, d)),
+        name,
+        "append",
+    )
+    _drop_stream_dir(d)
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_stream_join"]).fetchall()
+    }
+    assert got == want
