@@ -97,6 +97,51 @@ def shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _validate_dropped_mass(max_dropped_mass, op: str) -> None:
+    """Unconditional knob validation (r8 review): a mistyped value must
+    fail at construction even when max_df is absent."""
+    if max_dropped_mass is not None and not (
+        0.0 <= float(max_dropped_mass) <= 1.0
+    ):
+        raise ValueError(
+            f"{op}: max_dropped_mass must be in [0, 1] or None, "
+            f"got {max_dropped_mass}"
+        )
+
+
+def _guard_df_saturation(df_table, max_df, max_dropped_mass, op: str):
+    """Shared saturation guard for every df-capped inverted-index miner
+    (r8; SCALE.md r7b measured the failure mode this encodes): given the
+    (key, df) table the miner already derives, measure the fraction of
+    OCCURRENCE mass (sum of df) the cap would drop and raise past
+    ``max_dropped_mass``. One bounded-output eager aggregate — the
+    kmeans/waterfill collect convention. The index is deliberately NOT
+    persisted across guard + main plan: measured slower than recompute
+    (isolated A/B in ngram_jaccard_pairs' comment)."""
+    if max_dropped_mass is None or max_df is None:
+        return
+    sat = df_table.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("total"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > max_df, F.col("df"))), F.lit(0)
+        ).alias("dropped"),
+    ).collect()[0]
+    if sat["total"] > 0 and (
+        sat["dropped"] > float(max_dropped_mass) * sat["total"]
+    ):
+        raise ValueError(
+            f"{op}: max_df={max_df} would drop "
+            f"{sat['dropped']}/{sat['total']} "
+            f"({sat['dropped'] / sat['total']:.0%}) of the gram "
+            "occurrence mass — the capped index is saturated and "
+            "recall collapses toward 0 (SCALE.md r7b measured this at "
+            "100x duplication). Raise max_df above the per-gram "
+            "replica multiplicity, use minhash_lsh_candidates (its "
+            "band buckets stay recall-robust under duplication), or "
+            "pass max_dropped_mass=None to proceed anyway"
+        )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -144,16 +189,7 @@ def ngram_jaccard_pairs(
     # 10^12 corpus shingles, and the sf oracle verifies exactness on real
     # data. Measured at sf0.1: 2.9 s -> 1.7 s vs the persist+back-join
     # string-keyed form.
-    # validate the knob unconditionally (not only when max_df is set):
-    # a mistyped value must fail NOW, not when max_df is later added
-    # expecting the configured level (review r8)
-    if max_dropped_mass is not None and not (
-        0.0 <= float(max_dropped_mass) <= 1.0
-    ):
-        raise ValueError(
-            "ngram_jaccard_pairs: max_dropped_mass must be in "
-            f"[0, 1] or None, got {max_dropped_mass}"
-        )
+    _validate_dropped_mass(max_dropped_mass, "ngram_jaccard_pairs")
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     sized = _tokenized(documents).select(
         "doc_id", _shingles_from(F.col("toks"), n).alias("sh_arr")
@@ -163,43 +199,20 @@ def ngram_jaccard_pairs(
         F.size("sh_arr").alias("set_size"),
         F.explode(F.transform("sh_arr", lambda s: F.xxhash64(s))).alias("sh"),
     )
-    # NOT persisted across the guard + main plan: measured (isolated
+    # guard NOT persisted across guard + main plan: measured (isolated
     # median-of-3, sf0.1) the persist made the pair +0.91 s vs +0.44 s
     # recomputed — materializing the exploded index costs more than the
     # second tokenize pass and breaks the whole-stage pipeline into the
     # repartition (r8 review suggestion, rejected on measurement).
+    _guard_df_saturation(
+        index.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+        max_df,
+        max_dropped_mass,
+        "ngram_jaccard_pairs",
+    )
     # explicit hash partitioning on the join key: the quadratic post-join
     # fan-out is invisible to AQE's pre-join coalescing
     capped = index.repartition(parallelism, "sh")
-    if max_df is not None and max_dropped_mass is not None:
-        sat = (
-            index.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.coalesce(F.sum("df"), F.lit(0)).alias("total"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("df") > max_df, F.col("df"))
-                    ),
-                    F.lit(0),
-                ).alias("dropped"),
-            )
-            .collect()[0]
-        )
-        if sat["total"] > 0 and (
-            sat["dropped"] > float(max_dropped_mass) * sat["total"]
-        ):
-            raise ValueError(
-                "ngram_jaccard_pairs: max_df="
-                f"{max_df} would drop {sat['dropped']}/{sat['total']} "
-                f"({sat['dropped'] / sat['total']:.0%}) of the gram "
-                "occurrence mass — the capped index is saturated and "
-                "recall collapses toward 0 (SCALE.md r7b measured this "
-                "at 100x duplication). Raise max_df above the per-gram "
-                "replica multiplicity, use minhash_lsh_candidates (its "
-                "band buckets stay recall-robust under duplication), or "
-                "pass max_dropped_mass=None to proceed anyway"
-            )
     if max_df is not None:
         # df cap as a whole-partition window count over the partitioning
         # the self-join needs anyway: one exchange serves the cap AND both
@@ -725,6 +738,7 @@ def tfidf_ngram_cosine_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_df: int | None = None,
+    max_dropped_mass: float | None = 0.5,
 ) -> DataFrame:
     """Near-dup pairs by cosine over TF-IDF-weighted n-gram vectors —
     the weighted refinement of ``ngram_jaccard_pairs``: a shared RARE
@@ -757,6 +771,12 @@ def tfidf_ngram_cosine_pairs(
         F.count(F.lit(1)).alias("tf")
     ).transform(track_persist)
     dfs = tf.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    # saturation guard (r8, shared with the Jaccard family): here the
+    # df table reads the PERSISTED tf, so the check costs one cached agg
+    _validate_dropped_mass(max_dropped_mass, "tfidf_ngram_cosine_pairs")
+    _guard_df_saturation(
+        dfs, max_df, max_dropped_mass, "tfidf_ngram_cosine_pairs"
+    )
     n_docs = documents.count()  # one scalar to the driver
     weighted = tf.join(dfs, "gh")  # AQE broadcasts the vocab-bounded dfs
     if max_df is not None:
@@ -1335,6 +1355,7 @@ def containment_pairs(
     n: int = 3,
     threshold_milli: int = 800,
     max_df: int | None = None,
+    max_dropped_mass: float | None = 0.5,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by n-gram containment |A∩B| / |A| —
     catches what Jaccard misses: a short document wholly quoted inside a
@@ -1351,7 +1372,12 @@ def containment_pairs(
     so there is no float rounding anywhere in the operator and the
     oracle replays it verbatim. Emits the containment of the SMALLER set
     (the max of the two directed containments) plus the raw integers.
+
+    ``max_dropped_mass`` (r8): the same saturation guard as
+    ``ngram_jaccard_pairs`` — the df cap goes blind at high duplication
+    (SCALE.md r7b) and containment shares the capped-index machinery.
     """
+    _validate_dropped_mass(max_dropped_mass, "containment_pairs")
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     sized = _tokenized(documents).select(
         "doc_id", _shingles_from(F.col("toks"), n).alias("sh_arr")
@@ -1360,6 +1386,12 @@ def containment_pairs(
         "doc_id",
         F.size("sh_arr").alias("set_size"),
         F.explode(F.transform("sh_arr", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    _guard_df_saturation(
+        index.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+        max_df,
+        max_dropped_mass,
+        "containment_pairs",
     )
     capped = index.repartition(parallelism, "sh")
     if max_df is not None:

@@ -841,9 +841,16 @@ def test_tfidf_cosine_identical_docs_score_one(spark, tables):
     pairs = {(r.doc_a, r.doc_b): r.cosine_tfidf for r in out}
     assert pairs[(1, 2)] == pytest.approx(1.0)
     assert not any(3 in p for p in pairs)
-    # every gram of docs 1/2 has df=2; max_df=1 kills all candidates
-    assert (
+    # every gram of docs 1/2 has df=2, so max_df=1 drops 6 of 10 gram
+    # occurrences — past the 0.5 default, the r8 saturation guard now
+    # raises instead of silently returning 0 pairs
+    with pytest.raises(ValueError, match="saturated"):
         dedup.tfidf_ngram_cosine_pairs(docs, n=3, threshold=0.1, max_df=1)
+    # explicit opt-out keeps the old kill-all-candidates behaviour
+    assert (
+        dedup.tfidf_ngram_cosine_pairs(
+            docs, n=3, threshold=0.1, max_df=1, max_dropped_mass=None
+        )
         .count()
         == 0
     )

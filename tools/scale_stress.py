@@ -171,7 +171,7 @@ OPS = {
     # lever (the ngram_jaccard lesson): 64 is a no-op at sf0.1
     # (max df 25) and holds the 10x ratio at 1.7x
     "tfidf_cosine_pairs(max_df=64)": lambda d, e: dedup.tfidf_ngram_cosine_pairs(
-        d, n=3, threshold=0.3, max_df=64
+        d, n=3, threshold=0.3, max_df=64, max_dropped_mass=None
     ),
     # round-4b: PQ ADC + rerank; corpus pass must stay map-only
     "pq_topk(rerank=100)": lambda d, e: similarity.pq_topk(
@@ -203,7 +203,7 @@ OPS = {
     # round-4c: containment shares the jaccard index; the dup-dense
     # replica is its worst case too (same sum-of-df^2 candidate growth)
     "containment(max_df=64)": lambda d, e: dedup.containment_pairs(
-        d, n=3, threshold_milli=500, max_df=64
+        d, n=3, threshold_milli=500, max_df=64, max_dropped_mass=None
     ),
     # round-4c: doc-level pair mining — per-doc fan-out is C(vocab,2)
     # bounded, so 10x docs should be ~linear (pairs/doc constant)
