@@ -238,6 +238,18 @@ def test_ngram_jaccard_max_df_saturation_guard_trips_on_duplication(
         docs, n=3, threshold=0.2, max_df=16
     )
     assert ok.count() == 12 * 11 // 2
+    # the remediation the error message names must actually work: on
+    # the SAME corpus where the capped index is blind, MinHash banding
+    # (collision volume bounded by band math, not df) finds every
+    # replica pair — verbatim copies share all shingles, so signatures
+    # are identical and every band collides
+    minhash_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(
+            docs, shingle_hash="portable"
+        ).collect()
+    }
+    assert len(minhash_pairs) == 12 * 11 // 2
     # bad knob value is rejected at construction — even WITHOUT max_df
     # (r8 review: a mistyped knob must fail now, not when max_df is
     # later added expecting the configured level)
