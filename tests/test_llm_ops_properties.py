@@ -2010,3 +2010,99 @@ def test_stream_join_oracle_replays_random_streams(spark, rows):
         for r in con.execute(entry.oracle_sql()["q_stream_join"]).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------- inline-oracle random replays
+# (r8: the generator-based oracles all carry random-corpus differentials;
+# these extend the pattern to three complex INLINE oracles whose edge
+# geometry the fixture corpus can't reach)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=2, max_size=8))
+def test_containment_inline_oracle_on_random_corpora(spark, texts):
+    """Integer containment boundary (n_inter*1000 >= 500*min(|A|,|B|))
+    hits exact ties on tiny-alphabet corpora that the organic fixture
+    never produces; the capped branch is opted out (the oracle omits
+    max_df — a no-op at df <= corpus size here)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, n=3, threshold_milli=500, max_df=64,
+            max_dropped_mass=None,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_containment"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=1, max_size=8))
+def test_winnowing_inline_oracle_on_random_corpora(spark, texts):
+    """Winnowing window minima over md5-portable gram hashes: docs with
+    fewer than k grams (empty fingerprint set) and repeated grams
+    (duplicate minima collapsing under DISTINCT) arise here."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in text.winnowing_fingerprints(docs, portable=True).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_winnowing"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=1, max_size=8))
+def test_chunk_dedup_inline_oracle_on_random_corpora(spark, texts):
+    """Fixed-stride chunk dedup: ragged final chunks, fully-removed
+    docs (absent from BOTH sides), and chunk-boundary duplication all
+    arise on random corpora."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.chunk_dedup(docs, chunk=8, max_docs=2).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_chunk_dedup"]).fetchall()
+    }
+    assert got == want
