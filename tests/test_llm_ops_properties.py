@@ -2106,3 +2106,148 @@ def test_chunk_dedup_inline_oracle_on_random_corpora(spark, texts):
         for r in con.execute(entry.oracle_sql()["q_chunk_dedup"]).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=2, max_size=10))
+def test_decontaminate_inline_oracle_on_random_corpora(spark, texts):
+    """Decontamination vs the smallest-5-doc_ids bench set: corpora
+    smaller than the bench slice, docs with < n tokens (no shingles,
+    never contaminated), and bench docs flagging themselves."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = _docs(spark, texts)
+    bench = docs.orderBy("doc_id").limit(5)
+    got = {
+        tuple(r) for r in dedup.decontaminate(docs, bench, n=3).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_decontaminate"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(lsh_texts, min_size=1, max_size=10))
+def test_shared_ngram_fraction_inline_oracle_on_random_corpora(
+    spark, texts
+):
+    """Positional (not set) gram duplication with the min_df=2 boundary
+    and the floored-ppm surface — repeated grams WITHIN one doc count
+    every occurrence, a shape the organic corpus rarely produces."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.shared_ngram_fraction(docs, n=3, min_df=2).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_shared_ngram_fraction"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+pack_sizes = st.sampled_from([1, 7, 100, 1024, 2047, 2048, 2049, 4096])
+pack_corpus = st.lists(
+    st.tuples(st.sampled_from(["en", "fr"]), pack_sizes),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=pack_corpus)
+def test_pack_sequences_inline_oracle_on_random_corpora(spark, rows):
+    """Running-sum chunk assignment at exact budget multiples: docs of
+    2047/2048/2049/4096 tokens place tokens_before exactly on, just
+    below, and just past the 2048 boundary per language."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    texts = ["w " * n for _, n in rows]
+    docs = spark.createDataFrame(
+        [
+            (i, t.strip(), lang, "s", len(t))
+            for i, (t, (lang, _)) in enumerate(zip(texts, rows))
+        ],
+        DOC_SCHEMA,
+    )
+    got = {
+        tuple(r) for r in text.pack_sequences(docs, budget=2048).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [t.strip() for t in texts],
+                "lang": [lang for lang, _ in rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_pack_sequences"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+chunk_sizes = st.sampled_from([1, 15, 16, 17, 48, 63, 64, 65, 112, 113])
+
+
+@settings(max_examples=8, deadline=None)
+@given(sizes=st.lists(chunk_sizes, min_size=1, max_size=6))
+def test_sliding_chunks_inline_oracle_on_random_corpora(spark, sizes):
+    """Sliding 64/16 chunking at the stride boundaries: docs shorter
+    than the overlap, exactly one window, and one-token remainders."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    texts = [("w " * n).strip() for n in sizes]
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in text.sliding_chunks(docs, size=64, overlap=16).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(sizes)), "text": list(texts)}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_sliding_chunks"]
+        ).fetchall()
+    }
+    assert got == want
