@@ -2251,3 +2251,82 @@ def test_sliding_chunks_inline_oracle_on_random_corpora(spark, sizes):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=wf_corpus)
+def test_curriculum_bins_inline_oracle_on_random_corpora(spark, rows):
+    """NTILE bin assignment with groups SMALLER than the bin count and
+    massed n_chars ties (broken by doc_id) — both unreachable on the
+    organic fixture where every source holds hundreds of docs."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        DOC_SCHEMA,
+    )
+    got = {
+        tuple(r) for r in text.curriculum_bins(docs, n_bins=10).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "source": [s for s, _ in rows],
+                "n_chars": [len(t) for _, t in rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_curriculum_bins"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]), lsh_texts),
+    min_size=2,
+    max_size=10,
+))
+def test_source_overlap_inline_oracle_on_random_corpora(spark, rows):
+    """Cross-source gram overlap with the 60-bit md5-prefix key:
+    single-source corpora (empty matrix), full-overlap pairs (jaccard
+    1.0), and sources with zero shingles."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        DOC_SCHEMA,
+    )
+    got = {
+        tuple(r) for r in dedup.source_overlap_matrix(docs, n=3).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "source": [s for s, _ in rows],
+                "text": [t for _, t in rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_source_overlap"]
+        ).fetchall()
+    }
+    assert got == want
