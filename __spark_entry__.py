@@ -2395,8 +2395,7 @@ def oracle_sql() -> dict[str, str]:
             "lat AS (SELECT s3.user_id, s3.t - s1.t1 AS latency_ms "
             "FROM s3 JOIN s1 ON s3.user_id = s1.user_id) "
             "SELECT COUNT(*) AS n_converted, "
-            "ROUND(CAST(SUM(CAST(ROUND(latency_ms * 1e6) AS BIGINT)) "
-            "AS DOUBLE) / (COUNT(*) * 1000000.0), 4) + 0.0 AS mean_ms, "
+            "CAST(CASE WHEN SUM(CAST(ROUND(latency_ms * 1e6) AS BIGINT)) < 0 THEN -((2 * (-(SUM(CAST(ROUND(latency_ms * 1e6) AS BIGINT)))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) ELSE (2 * (SUM(CAST(ROUND(latency_ms * 1e6) AS BIGINT))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100)) END AS DOUBLE) / 10000.0 + 0.0 AS mean_ms, "
             "ROUND(quantile_cont(latency_ms, 0.5), 4) + 0.0 AS p50_ms, "
             "ROUND(quantile_cont(latency_ms, 0.9), 4) + 0.0 AS p90_ms, "
             "ROUND(quantile_cont(latency_ms, 0.99), 4) + 0.0 AS p99_ms "
@@ -2793,8 +2792,7 @@ def oracle_sql() -> dict[str, str]:
             # fixed-point accumulation mirrors the Spark side: exact
             # integer sums are order-independent, plain AVG(float) is not
             "SELECT label, ord AS pos, "
-            "ROUND(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) "
-            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_val FROM "
+            "CAST(CASE WHEN SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) < 0 THEN -((2 * (-(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) ELSE (2 * (SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100)) END AS DOUBLE) / 10000.0 + 0.0 AS avg_val FROM "
             "(SELECT label, unnest(embedding) AS val, "
             "generate_subscripts(embedding, 1) AS ord FROM embeddings) "
             "GROUP BY label, ord"
@@ -2804,8 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         # idiom for the surface; the flag compares the unrounded cosine
         "q_centroid_outliers": (
             "WITH cent AS (SELECT label, ord AS pos, "
-            "ROUND(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) "
-            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_val FROM "
+            "CAST(CASE WHEN SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) < 0 THEN -((2 * (-(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) ELSE (2 * (SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100)) END AS DOUBLE) / 10000.0 + 0.0 AS avg_val FROM "
             "(SELECT label, unnest(embedding) AS val, "
             "generate_subscripts(embedding, 1) AS ord FROM embeddings) "
             "GROUP BY label, ord), "
@@ -3096,8 +3093,7 @@ def oracle_sql() -> dict[str, str]:
             "ln((c + 1) / CAST(n_total + v AS DOUBLE)) AS lp "
             "FROM toks JOIN counts USING (token) CROSS JOIN tot) "
             "SELECT doc_id, "
-            "ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) "
-            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_logprob, "
+            "CAST(CASE WHEN SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) < 0 THEN -((2 * (-(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) ELSE (2 * (SUM(CAST(ROUND(lp * 1000000) AS BIGINT))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100)) END AS DOUBLE) / 10000.0 + 0.0 AS avg_logprob, "
             "COUNT(*) AS n_tokens FROM scored GROUP BY doc_id"
         ),
         "q_source_mix": (
@@ -3551,9 +3547,8 @@ def oracle_sql() -> dict[str, str]:
             "scored AS (SELECT doc_id, ln((cb + 1) / CAST(cctx + v AS "
             "DOUBLE)) AS lp FROM big JOIN bc USING (w1, w2) "
             "JOIN cc USING (w1) CROSS JOIN vv) "
-            "SELECT doc_id, ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS "
-            "BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) + 0.0 AS "
-            "avg_logprob, COUNT(*) AS n_bigrams FROM scored GROUP BY doc_id"
+            "SELECT doc_id, CAST(CASE WHEN SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) < 0 THEN -((2 * (-(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) ELSE (2 * (SUM(CAST(ROUND(lp * 1000000) AS BIGINT))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100)) END AS DOUBLE) / 10000.0 + 0.0 AS avg_logprob, "
+            "COUNT(*) AS n_bigrams FROM scored GROUP BY doc_id"
         ),
         # sketch-then-verify (the q_heavy_hitters pattern): the hashed
         # surface is the exact distinct count + the integer accuracy flag;
@@ -3611,8 +3606,7 @@ def oracle_sql() -> dict[str, str]:
             "ln((c + 1) / CAST(n_total + v AS DOUBLE)) AS lp "
             "FROM toks JOIN counts USING (token) CROSS JOIN tot), "
             "u AS (SELECT doc_id, "
-            "ROUND(CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS DOUBLE) "
-            "/ (COUNT(*) * 1000000.0), 4) + 0.0 AS avg_logprob "
+            "CAST(CASE WHEN SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) < 0 THEN -((2 * (-(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100))) ELSE (2 * (SUM(CAST(ROUND(lp * 1000000) AS BIGINT))) + (COUNT(*) * 100)) // (2 * (COUNT(*) * 100)) END AS DOUBLE) / 10000.0 + 0.0 AS avg_logprob "
             "FROM scored GROUP BY doc_id), "
             "j AS (SELECT u.doc_id, d.lang, u.avg_logprob FROM u "
             "JOIN documents d ON d.doc_id = u.doc_id), "

@@ -263,6 +263,35 @@ def _det_avg(val: Column, scale: float = 1e6) -> Column:
     return F.sum(units) / (F.count(F.lit(1)) * F.lit(scale))
 
 
+def _det_avg_round4(val: Column) -> Column:
+    """``_det_avg`` with the trailing 4-decimal round computed EXACTLY
+    in integer arithmetic (half-away on the rational micro_sum /
+    (count * 100), sign restored) — r8 fix: the old
+    ``F.round(_det_avg(x), 4)`` rounded a DOUBLE, and hypothesis found
+    a corpus where the micro-unit average lands exactly on a 4-decimal
+    half (-10503500 micros over 10 tokens = -1.05035): Spark's
+    HALF_UP rounds the shortest decimal string (a true tie, away ->
+    -1.0504) while DuckDB rounds the binary double (just below the
+    tie -> -1.0503). The r4b rule — a ratio of integers is rounded
+    half-away exactly as floor((2|s| + d) / 2d) with the sign restored
+    — applied to the average itself; both engines replay it verbatim.
+
+    Exactness: integer div is built as (n - n % d) / d — the double
+    division is exact because the numerator is a multiple of d and the
+    QUOTIENT (the 1e4-scaled rounded average, bounded by 1e4 *
+    max|value|) is far below 2^53; no bound on the micro sum beyond
+    _det_avg's own int64 headroom. Emits DOUBLE r/1e4 (exact for
+    |r| < 2^52); + 0.0 canonicalizes any -0.0."""
+    units = F.round(val.cast("double") * 1e6).cast("long")
+    s = F.sum(units)
+    d = F.count(F.lit(1)) * F.lit(100)  # micro -> 4-decimal scale
+    n2 = F.lit(2) * F.abs(s) + d
+    d2 = F.lit(2) * d
+    mag = ((n2 - n2 % d2) / d2).cast("long")
+    r = F.when(s < 0, -mag).otherwise(mag)
+    return r.cast("double") / F.lit(10000.0) + F.lit(0.0)
+
+
 def centroid_by_label(embeddings: DataFrame) -> DataFrame:
     """Per-label mean vector, as flat (label, pos, avg_val) rows.
 
@@ -276,7 +305,7 @@ def centroid_by_label(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", "pos")
         # + 0.0 canonicalizes IEEE negative zero (ROUND can yield -0.0,
         # which engines format differently)
-        .agg((F.round(_det_avg(F.col("val")), 4) + F.lit(0.0)).alias("avg_val"))
+        .agg(_det_avg_round4(F.col("val")).alias("avg_val"))
     )
 
 

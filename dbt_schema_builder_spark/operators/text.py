@@ -481,7 +481,7 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     practice. Mean is the fixed-point ``_det_avg`` so the rounded result
     is reproducible across partitionings and engines.
     """
-    from .similarity import _det_avg
+    from .similarity import _det_avg_round4
 
     # persist: the exploded token stream feeds both the count shuffle and
     # the scoring join — without it the tokenize re-runs per consumer
@@ -501,7 +501,7 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
-            (F.round(_det_avg(lp), 4) + F.lit(0.0)).alias("avg_logprob"),
+            _det_avg_round4(lp).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
@@ -525,7 +525,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     ``_det_avg`` per doc. Documents with fewer than two tokens have no
     bigrams and drop out, same as the oracle.
     """
-    from .similarity import _det_avg
+    from .similarity import _det_avg_round4
 
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     # persist: the tokenize pipeline has three consumers (the bigram
@@ -563,7 +563,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            (F.round(_det_avg(lp), 4) + F.lit(0.0)).alias("avg_logprob"),
+            _det_avg_round4(lp).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )

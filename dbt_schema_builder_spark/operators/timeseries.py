@@ -430,12 +430,12 @@ def conversion_latency(
     lat = cur.join(first, "user_id").select(
         "user_id", (F.col("t") - F.col("t_first")).alias("latency_ms")
     )
-    from .similarity import _det_avg
+    from .similarity import _det_avg_round4
 
     q = F.expr("percentile(latency_ms, array(0.5, 0.9, 0.99))")
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        (F.round(_det_avg(F.col("latency_ms")), 4) + F.lit(0.0)).alias(
+        _det_avg_round4(F.col("latency_ms")).alias(
             "mean_ms"
         ),
         (F.round(q[0], 4) + F.lit(0.0)).alias("p50_ms"),

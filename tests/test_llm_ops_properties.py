@@ -2330,3 +2330,50 @@ def test_source_overlap_inline_oracle_on_random_corpora(spark, rows):
         ).fetchall()
     }
     assert got == want
+
+
+def test_det_avg_round4_exact_tie_regression(spark):
+    """r8 regression pin — the corpus hypothesis found where the
+    micro-unit average lands EXACTLY on a 4-decimal half: doc 4's lp
+    micros sum to -10503500 over 10 tokens (avg -1.05035). The old
+    F.round(double, 4) path diverged between engines (Spark HALF_UP on
+    the shortest decimal string -> -1.0504; DuckDB rounding the binary
+    double just below the tie -> -1.0503); _det_avg_round4's integer
+    half-away arithmetic gives -1.0504 on BOTH. Deterministic twin of
+    the hypothesis differential so the example survives example-DB
+    loss."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    texts = [
+        "aa",
+        "aa dd",
+        "aa aa aa",
+        "aa aa bb dd",
+        "aa aa aa aa aa aa cc cc dd dd",
+        "aa aa aa cc cc cc cc dd dd",
+        "bb",
+        "cc",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in text.unigram_logprob(docs).collect()
+    }
+    # integer half-away of -1.05035 at 4 decimals = -1.0504
+    assert got[4] == -1.0504
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            entry.oracle_sql()["q_unigram_logprob"]
+        ).fetchall()
+    }
+    assert want[4] == -1.0504
+    assert got == {k: want[k] for k in got}
