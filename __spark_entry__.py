@@ -3050,9 +3050,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM wn a JOIN wn b ON a.gram = b.gram AND a.doc_id < b.doc_id "
             "GROUP BY a.doc_id, b.doc_id) "
             "SELECT doc_a, doc_b, "
-            "ROUND(dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4) "
-            "+ 0.0 AS cosine_tfidf FROM pairs "
-            "WHERE dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.3"
+            "dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
+            "AS cosine_tfidf FROM pairs "
+            "WHERE dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
+            ">= CAST(0.3 AS DOUBLE)"
         ),
         "q_sliding_chunks": (
             # stride = 64 - 16 = 48; n_chunks = max(ceil((n-16)/48), 1);
@@ -3992,15 +3993,15 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
     (q_ngram_jaccard at 0.2, q_ppjoin_jaccard at its honest 0.8 regime
     since r6) — one SQL body, threshold-parameterized, so the two keys'
     oracles cannot drift. Mirrors the Spark operators exactly: the
-    filter applies to the UNROUNDED jaccard (r8 — both operators filter
-    on the exact double quotient and round only the emitted surface,
-    retiring the r6-documented prefix-lemma boundary), computed as
-    CAST(n_inter AS DOUBLE) / union — the same IEEE int64/int64
-    division Spark runs — against a threshold CAST to DOUBLE (DuckDB
-    parses bare float literals as DECIMAL — CLAUDE.md r5 rule). ROUND
-    half-away == Spark HALF_UP for positive values, and representable
-    round-4 ties (denominator a power of two, e.g. 13/32) round up in
-    both engines."""
+    filter applies to the UNROUNDED jaccard (r8) and since r9 the
+    EMITTED surface is unrounded too: ROUND(int/int ratio, 4) was the
+    r8 _det_avg tie mechanism one surface over — 84 rationals with
+    denominator <= 4000 (e.g. 57/800) round differently (Spark HALF_UP
+    on the shortest decimal string vs DuckDB re-rounding x*1e4). The
+    raw quotient CAST(n_inter AS DOUBLE) / union is the same
+    correctly-rounded IEEE division of the same int64s in both engines
+    at every input. Threshold CAST to DOUBLE (DuckDB parses bare float
+    literals as DECIMAL — CLAUDE.md r5 rule)."""
     return (
         "WITH toks AS (SELECT doc_id, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
@@ -4013,7 +4014,7 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
         "COUNT(*) AS n_inter FROM sh a JOIN sh b "
         "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         "GROUP BY a.doc_id, b.doc_id) "
-        "SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM ("
+        "SELECT doc_a, doc_b, j AS jaccard FROM ("
         "SELECT doc_a, doc_b, "
         "CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS j "
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "

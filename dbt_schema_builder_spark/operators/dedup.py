@@ -236,15 +236,18 @@ def ngram_jaccard_pairs(
         )
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
-    # Filter on the UNROUNDED jaccard, emit the rounded surface (r8,
-    # retiring the r6-documented latent boundary): a pair with true j in
-    # [t - 5e-5, t) must NOT pass — the prefix-filter twin prunes on true
-    # j >= t, so a rounded filter here could disagree with it (and with
-    # _pair_closure_ctes, which always compared unrounded) once unions
-    # reach ~1e4 shingles. Both engines now compare the same exact
-    # double quotient of the same int64s.
+    # Filter AND emit the UNROUNDED jaccard (r9; the filter went
+    # unrounded in r8). The emitted ROUND(jac, 4) was the last rounding
+    # of a double ratio of integers on this surface — the exact r8
+    # _det_avg tie mechanism: 84 rationals with denominator <= 4000
+    # (measured; e.g. 57/800 = 0.07125 -> Spark 0.0713, DuckDB 0.0712)
+    # round differently because Spark HALF_UPs the shortest decimal
+    # string while DuckDB re-rounds the product x*1e4. The raw quotient
+    # of the same int64s is the same correctly-rounded IEEE double in
+    # both engines at EVERY input — deterministic too, because n_inter
+    # and the sizes are exact integer aggregates.
     return inter.where(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 
@@ -357,10 +360,11 @@ def jaccard_prefix_pairs(
     jac = F.col("n_inter") / (
         F.col("size_a") + F.col("size_b") - F.col("n_inter")
     )
-    # unrounded filter, rounded surface — must mirror ngram_jaccard_pairs
-    # exactly (the two share the driver oracle)
+    # unrounded filter AND surface (r9) — must mirror ngram_jaccard_pairs
+    # exactly (the two share the driver oracle); see the tie-class note
+    # there for why the 4-decimal round was retired from the surface
     return verified.where(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 
@@ -393,7 +397,13 @@ def jaccard_pairs(
     recall cap can't silently ride along with a lossless strategy.
     ``max_dropped_mass`` forwards to the inverted branch's saturation
     guard (the r6 swallowed-kwarg audit: dispatchers must forward every
-    strategy-specific tuning knob).
+    strategy-specific tuning knob). A NON-DEFAULT ``max_dropped_mass``
+    with the prefix branch (explicit or auto-resolved) raises too —
+    the prefix filter has no df cap, so there is no saturation to
+    guard, and a caller tightening the guard to e.g. 0.1 must not
+    silently get no guard at all (r8 ADVICE; the streaming_funnel
+    timeout_minutes rule: validated-but-unused knob combinations are
+    rejected, never dropped).
     """
     if max_dropped_mass is not None and not (
         0.0 <= float(max_dropped_mass) <= 1.0
@@ -410,6 +420,14 @@ def jaccard_pairs(
                 "jaccard_pairs: max_df is an inverted-index recall cap; "
                 "the prefix strategy is lossless and ignores it — drop "
                 "max_df or use strategy='inverted'"
+            )
+        if max_dropped_mass != 0.5:  # the signature default
+            raise ValueError(
+                "jaccard_pairs: max_dropped_mass tunes the inverted "
+                "branch's df-saturation guard; the prefix strategy has "
+                "no df cap and therefore no guard — drop the non-default "
+                f"max_dropped_mass={max_dropped_mass!r} or use "
+                "strategy='inverted'"
             )
         return jaccard_prefix_pairs(documents, n=n, threshold=threshold)
     if strategy == "inverted":
@@ -813,13 +831,15 @@ def tfidf_ngram_cosine_pairs(
     sim = F.col("dot") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
+    # unrounded surface (r9, the jaccard tie-class fix): dot/na/nb are
+    # exact int64 aggregates, so cast->multiply->sqrt->divide is the
+    # same correctly-rounded IEEE double sequence in both engines —
+    # deterministic and hash-safe with no 4-decimal tie class at all.
+    # sim > 0 always (tf-idf weights are non-negative and paired grams
+    # have wi != 0 on both sides), so no -0.0 canonicalization needed.
     return (
         pairs.where(sim >= threshold)
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.round(sim, 4) + F.lit(0.0)).alias("cosine_tfidf"),
-        )
+        .select("doc_a", "doc_b", sim.alias("cosine_tfidf"))
     )
 
 

@@ -276,18 +276,23 @@ def _det_avg_round4(val: Column) -> Column:
     half-away exactly as floor((2|s| + d) / 2d) with the sign restored
     — applied to the average itself; both engines replay it verbatim.
 
-    Exactness: integer div is built as (n - n % d) / d — the double
-    division is exact because the numerator is a multiple of d and the
-    QUOTIENT (the 1e4-scaled rounded average, bounded by 1e4 *
-    max|value|) is far below 2^53; no bound on the micro sum beyond
-    _det_avg's own int64 headroom. Emits DOUBLE r/1e4 (exact for
-    |r| < 2^52); + 0.0 canonicalizes any -0.0."""
+    Exactness: the quotient is computed with Spark's INTEGRAL `div`
+    (IntegralDivide via F.call_function — the rrf_fuse idiom), so no
+    float enters the division at all. The r8 form
+    ((n2 - n2 % d2) / d2).cast("long") was exact only while the
+    NUMERATOR q*d2 ~ 2|s| stayed below 2^53 (double division of longs
+    lossily converts the numerator, and the truncating cast could then
+    land one below the true quotient while the DuckDB oracle's exact
+    integer `//` did not — the same divergence class the tie fix
+    closed, one magnitude up; r8 ADVICE). Now the only bound is
+    _det_avg's own int64 micro-sum headroom. Emits DOUBLE r/1e4
+    (exact for |r| < 2^52); + 0.0 canonicalizes any -0.0."""
     units = F.round(val.cast("double") * 1e6).cast("long")
     s = F.sum(units)
     d = F.count(F.lit(1)) * F.lit(100)  # micro -> 4-decimal scale
     n2 = F.lit(2) * F.abs(s) + d
     d2 = F.lit(2) * d
-    mag = ((n2 - n2 % d2) / d2).cast("long")
+    mag = F.call_function("div", n2, d2)
     r = F.when(s < 0, -mag).otherwise(mag)
     return r.cast("double") / F.lit(10000.0) + F.lit(0.0)
 

@@ -1384,6 +1384,26 @@ def test_jaccard_pairs_auto_dispatch(docs_with_dupes):
         dedup.jaccard_pairs(docs_with_dupes, threshold=0.9, max_df=64)
     with pytest.raises(ValueError, match="unknown strategy"):
         dedup.jaccard_pairs(docs_with_dupes, strategy="bogus")
+    # r9 (r8 ADVICE): a non-default max_dropped_mass on the prefix
+    # branch (explicit or auto-resolved at threshold >= 0.8) must be
+    # rejected, not silently dropped — the caller asked for a tighter
+    # guard and the lossless branch has none to tighten
+    with pytest.raises(ValueError, match="no df cap"):
+        dedup.jaccard_pairs(
+            docs_with_dupes, threshold=0.9, max_dropped_mass=0.1
+        )
+    with pytest.raises(ValueError, match="no df cap"):
+        dedup.jaccard_pairs(
+            docs_with_dupes,
+            threshold=0.2,
+            strategy="prefix",
+            max_dropped_mass=None,
+        )
+    # the signature default rides along silently (indistinguishable
+    # from not passing it) — the documented carve-out
+    assert dedup.jaccard_pairs(
+        docs_with_dupes, threshold=0.9, max_dropped_mass=0.5
+    ).columns == ["doc_a", "doc_b", "jaccard"]
 
 
 def test_frame_dedup_finds_shared_frames(docs_with_dupes):

@@ -2377,3 +2377,65 @@ def test_det_avg_round4_exact_tie_regression(spark):
     }
     assert want[4] == -1.0504
     assert got == {k: want[k] for k in got}
+
+
+def test_det_avg_round4_big_sum_exact_division(spark):
+    """r9 ADVICE fix pin — the r8 _det_avg_round4 computed its final
+    quotient as ((n2 - n2 % d2) / d2).cast('long'): a DOUBLE division
+    of longs, exact only while the numerator ~2|s| stays below 2^53.
+    These two values sum to 99_271_258_142_401_088 micros (~2^56.5);
+    the old form lands one BELOW the true quotient while the DuckDB
+    oracle's exact integer `//` does not — the same divergence class as
+    the r8 tie bug, one magnitude up. The integral `div`
+    (F.call_function) has no such bound. Values are integer-valued
+    doubles at this magnitude, so F.round(val*1e6) is deterministic."""
+    from pyspark.sql import functions as SF
+
+    vals = [53168173654.421135, 46103084487.97995]
+    # replicate the unit derivation in exact Python to get the target
+    u = [int(v * 1e6) for v in vals]
+    assert all(float(x) == v * 1e6 for x, v in zip(u, vals))
+    s, d = sum(u), len(u) * 100
+    expected = ((2 * abs(s) + d) // (2 * d)) / 10000.0
+    # the retired double-division form is off by one here
+    n2, d2 = 2 * abs(s) + d, 2 * d
+    assert int(float(n2 - n2 % d2) / d2) != (2 * abs(s) + d) // (2 * d)
+    df = spark.createDataFrame([(v,) for v in vals], "val double")
+    got = df.agg(
+        similarity._det_avg_round4(SF.col("val")).alias("r")
+    ).collect()[0]["r"]
+    assert got == expected
+
+
+def test_jaccard_unrounded_surface_tie_divergence(spark):
+    """r9 regression pin for the emitted-jaccard tie class (r8 ADVICE):
+    a pair with 57 shared trigrams and union 800 has jaccard exactly
+    57/800 = 0.07125, one of 84 measured rationals with denominator
+    <= 4000 where ROUND(x, 4) diverges between engines (Spark HALF_UP
+    on the shortest decimal string -> 0.0713; DuckDB re-rounds x*1e4
+    -> 0.0712). The surface is now the raw IEEE quotient of the same
+    int64s — identical in both engines at every input. This test FAILS
+    under the old rounded surface."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    shared = [f"s{i}" for i in range(59)]  # 57 shared trigrams
+    doc_a = " ".join(shared + [f"a{i}" for i in range(371)])
+    doc_b = " ".join(shared + [f"b{i}" for i in range(372)])
+    docs = _docs(spark, [doc_a, doc_b])
+    got = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    assert len(got) == 1
+    assert got[0]["jaccard"] == 57 / 800  # == 0.07125 as a double
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [0, 1], "text": [doc_a, doc_b]}),
+    )
+    want = con.execute(entry._ngram_jaccard_oracle_sql(0.05)).fetchall()
+    assert len(want) == 1
+    assert want[0][2] == got[0]["jaccard"]
+    # the prefix twin must agree bit-for-bit (shared driver oracle)
+    pp = dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.05).collect()
+    assert [tuple(r) for r in pp] == [tuple(r) for r in got]
