@@ -1951,6 +1951,35 @@ def q_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_diversity_sample(docs, pairs, m=2)
 
 
+def q_nb_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the learned-filter story driver-gated
+    (promoted r9, staged r8): md5 hash_split train slice trains the
+    token log-odds model + prior, the held-out slice is scored against
+    the FROZEN broadcast model — one tokenize pass, vocab-bounded model
+    join, exact int64 milli-nat dot products, OOV auditable via
+    n_in_vocab. Same code path as the bench entry and scale harness
+    (classifier.nb_apply_heldout). Oracle: ``_nb_apply_oracle_sql``
+    (differential-tested r8, incl. the empty-train-slice NULL-sum fix
+    hypothesis found)."""
+    return classifier.nb_apply_heldout(
+        _t(spark, sf_dir, "documents"), label="text LIKE '%dup%'"
+    )
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF-fused hybrid retrieval driver-gated (promoted r9, staged
+    r8): BM25 (Lucene idf, per-term micro-unit rounding) fused with a
+    raw term-frequency ranker by integer RRF (1e6 div (k + rank)) —
+    the two lists genuinely disagree on term-stuffed docs, which is
+    the disagreement RRF arbitrates. Both rankers filter to query-term
+    postings pre-shuffle; fusion touches 2*topk rows. Query terms:
+    one hot + one rare term of the 31-token synthetic vocab. Oracle:
+    ``_hybrid_oracle_sql`` (differential-tested r8)."""
+    return text.hybrid_search(
+        _t(spark, sf_dir, "documents"), ("data", "dup"), topk=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1958,35 +1987,90 @@ def q_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-8 window (the r7 window banked green r07 rows for all 50
-    of its keys, so every slot was free): (a) the 5 r7/r7b-staged
-    promotions, each with a differential-tested oracle — the substring
-    span-stats report and cut transform, the NB quality classifier,
-    temperature source mixing, and cluster-diversity sampling; (b) the
-    one r4-stale key (q_dupe_detection — missed the r7 window by one
-    slot); (c) the two exact-Jaccard keys, whose shared oracle changed
-    this round (the filter now compares the UNROUNDED jaccard on both
-    engines — changed oracles must re-earn green rows, the r5 rule);
-    (d) 42 of the 49 r5-stale keys. 5 + 1 + 2 + 42 = exactly 50; the 7
-    unrotated r5 keys (snapshot_diff, histogram, anomaly_events, the
-    three TPC-H shapes, tokenizer_fertility — the lowest-churn SQL
-    shapes of the batch) keep their banked green r5 rows below the
-    boundary, first in line for r9. Every key below the boundary
-    carries a green round-5/6/7 row (tests/test_query_window.py audits
-    this)."""
+    keys. Round-9 window: (a) the 2 r8-staged promotions (q_nb_apply,
+    q_hybrid_search — differential-tested oracles, driver-style sf0.01
+    checks passed in r8); (b) the 3 keys whose oracle strings changed in
+    the r8 _det_avg tie fix (q_bigram_logprob, q_conversion_latency,
+    q_centroid_outliers — fixture values verified unchanged at both SFs
+    in r8, but changed oracles re-earn rows, the r5 rule); (c) the 3
+    keys whose emitted surfaces went UNROUNDED in r9 (q_ngram_jaccard,
+    q_ppjoin_jaccard via the shared generator, q_tfidf_cosine_pairs —
+    retiring the ROUND(int/int, 4) tie class, 84 divergent rationals
+    measured at denominators <= 4000); (d) the 7 r5-stale keys; (e) 35
+    of the 48 r6-stale keys. 2 + 3 + 3 + 7 + 35 = exactly 50. The 13
+    deferred r6 keys are the static Tier-A config/policy shapes
+    (lowest oracle-churn risk: banned/include/exclude/regex filters,
+    renames, quoting, redaction, soft-delete, schema tests, chunked
+    union, sort-collect, scalar kernel) — first in line for r10
+    alongside the 50 r7 keys (see CLAUDE.md r10 pre-plan). Every key
+    below the boundary carries a green round-5/6/7/8 row under its
+    CURRENT oracle string (tests/test_query_window.py +
+    tests/test_oracle_manifest.py audit both halves of that claim)."""
     return {
-        # (a) r8 promotions: oracles staged + differential-tested in r7/r7b
+        # (a) r9 promotions: oracles staged + differential-tested in r8
+        "q_nb_apply": q_nb_apply,
+        "q_hybrid_search": q_hybrid_search,
+        # (b) r8 tie-fix oracle re-pins (below-window strings changed)
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_conversion_latency": q_conversion_latency,
+        "q_centroid_outliers": q_centroid_outliers,
+        # (c) r9 unrounded-surface re-pins (ROUND tie class retired)
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ppjoin_jaccard": q_ppjoin_jaccard,
+        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        # (d) the 7 r5-stale keys
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_histogram": q_histogram,
+        "q_anomaly_events": q_anomaly_events,
+        "q_sql_promo_revenue": q_sql_promo_revenue,
+        "q_sql_cust_order_dist": q_sql_cust_order_dist,
+        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        # (e) 35 of the 48 r6-stale rotations
+        "q_approx_distinct": q_approx_distinct,
+        "q_asof_join": q_asof_join,
+        "q_bpe_learn": q_bpe_learn,
+        "q_cube": q_cube,
+        "q_evolving_read": q_evolving_read,
+        "q_exact_dedup": q_exact_dedup,
+        "q_group_quantiles": q_group_quantiles,
+        "q_grouping_sets": q_grouping_sets,
+        "q_hash_agg": q_hash_agg,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_json_extract": q_json_extract,
+        "q_kmeans": q_kmeans,
+        "q_lang_id": q_lang_id,
+        "q_lsh_topk": q_lsh_topk,
+        "q_merge_latest": q_merge_latest,
+        "q_near_dup": q_near_dup,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_range_join": q_range_join,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
+        "q_semi_anti": q_semi_anti,
+        "q_session_window": q_session_window,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_sliding_window": q_sliding_window,
+        "q_sql_correlated_exists": q_sql_correlated_exists,
+        "q_sql_shipping_priority": q_sql_shipping_priority,
+        "q_star_join": q_star_join,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_join": q_stream_join,
+        "q_stream_session": q_stream_session,
+        "q_topk_similarity": q_topk_similarity,
+        "q_zorder_layout": q_zorder_layout,
+        # ---- driver window boundary (position 50 = q_zorder_layout)
+        # every key below carries a green r5-r8 driver row under its
+        # current oracle string
         "q_cut_duplicate_spans": q_cut_duplicate_spans,
         "q_span_stats": q_span_stats,
         "q_nb_classifier": q_nb_classifier,
         "q_temperature_mix": q_temperature_mix,
         "q_cluster_diversity": q_cluster_diversity,
-        # (b) the one r4-stale key
         "q_dupe_detection": q_dupe_detection,
-        # (c) changed-oracle re-pins (unrounded-jaccard filter, r8)
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_ppjoin_jaccard": q_ppjoin_jaccard,
-        # (d) 42 of the 49 r5-stale rotations
         "q_centroid_by_label": q_centroid_by_label,
         "q_token_count": q_token_count,
         "q_tfidf_terms": q_tfidf_terms,
@@ -2029,8 +2113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": q_skew_report,
         "q_merge_partial_aggs": q_merge_partial_aggs,
         "q_stream_funnel": q_stream_funnel,
-        # ---- driver window boundary (position 50 = q_stream_funnel)
-        # every key below carries a green round-5/6/7 driver row
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_user_state": q_stream_user_state,
         "q_tumbling_window": q_tumbling_window,
@@ -2044,10 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_catalog_scan": q_catalog_scan,
         "q_cluster_safe_split": q_cluster_safe_split,
-        "q_centroid_outliers": q_centroid_outliers,
         "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
         "q_shared_ngram_fraction": q_shared_ngram_fraction,
-        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "q_pq_topk": q_pq_topk,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_sliding_chunks": q_sliding_chunks,
@@ -2067,7 +2147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kl": q_source_kl,
         "q_containment": q_containment,
         "q_transition_matrix": q_transition_matrix,
-        "q_conversion_latency": q_conversion_latency,
         "q_cumulative_users": q_cumulative_users,
         "q_scd2": q_scd2,
         "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
@@ -2077,37 +2156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": q_fuzzy_match,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_clusters": q_dedup_clusters,
-        "q_bigram_logprob": q_bigram_logprob,
         "q_dsir_importance": q_dsir_importance,
         "q_source_mix_waterfill": q_source_mix_waterfill,
         "q_substring_dedup": q_substring_dedup,
-        "q_session_window": q_session_window,
-        "q_near_dup": q_near_dup,
-        "q_simhash_near_dup": q_simhash_near_dup,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_merge_latest": q_merge_latest,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_stream_session": q_stream_session,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_join": q_stream_join,
-        "q_sliding_window": q_sliding_window,
-        "q_stream_enrich": q_stream_enrich,
-        "q_exact_dedup": q_exact_dedup,
-        "q_star_join": q_star_join,
-        "q_salted_join": q_salted_join,
-        "q_hash_agg": q_hash_agg,
-        "q_group_quantiles": q_group_quantiles,
-        "q_topk_similarity": q_topk_similarity,
         "q_safe_view_redaction": q_safe_view_redaction,
         "q_schema_tests": q_schema_tests,
-        "q_sql_shipping_priority": q_sql_shipping_priority,
-        "q_sql_correlated_exists": q_sql_correlated_exists,
-        "q_semi_anti": q_semi_anti,
-        "q_cube": q_cube,
-        "q_grouping_sets": q_grouping_sets,
-        "q_json_extract": q_json_extract,
-        "q_salted_agg": q_salted_agg,
         "q_pii_view_projection": q_pii_view_projection,
         "q_soft_delete_filter": q_soft_delete_filter,
         "q_banned_column_filter": q_banned_column_filter,
@@ -2119,23 +2172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_quoting": q_keyword_quoting,
         "q_regex_anti_filter": q_regex_anti_filter,
         "q_scalar_kernel": q_scalar_kernel,
-        "q_kmeans": q_kmeans,
-        "q_lsh_topk": q_lsh_topk,
-        "q_lang_id": q_lang_id,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
-        "q_bpe_learn": q_bpe_learn,
-        "q_evolving_read": q_evolving_read,
-        "q_zorder_layout": q_zorder_layout,
-        "q_approx_distinct": q_approx_distinct,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_histogram": q_histogram,
-        "q_anomaly_events": q_anomaly_events,
-        "q_sql_promo_revenue": q_sql_promo_revenue,
-        "q_sql_cust_order_dist": q_sql_cust_order_dist,
-        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
-        "q_tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -3768,6 +3804,9 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_diversity": _cluster_diversity_oracle_sql(
             threshold=0.2, m=2
         ),
+        # round-9 promotions (generators staged + differential-tested r8)
+        "q_nb_apply": _nb_apply_oracle_sql("text LIKE '%dup%'"),
+        "q_hybrid_search": _hybrid_oracle_sql(("data", "dup"), topk=20),
     })
 
 

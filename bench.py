@@ -178,6 +178,10 @@ HEADLINE = [
     "q_nb_classifier",
     "q_temperature_mix",
     "q_cluster_diversity",
+    # round 9: promoted r8 staged operators (were x_nb_apply_heldout /
+    # x_hybrid_search bench-only entries — same code paths)
+    "q_nb_apply",
+    "q_hybrid_search",
 ]
 
 
@@ -209,40 +213,12 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
 # with the r7 promotion; x_cut_duplicate_spans / x_nb_classifier /
 # x_source_mix_temperature / x_cluster_diversity graduated with the r8
 # promotion (q_cut_duplicate_spans / q_nb_classifier / q_temperature_mix /
-# q_cluster_diversity).
-def _nb_apply_heldout(spark, sf_dir):
-    """The apply half of the NB train/apply split (r8): train the token
-    model on the md5 hash_split train slice, score the held-out slice
-    against the frozen broadcast model — the canonical composition on
-    the classifier module (one code path with the scale harness and
-    the staged r9 oracle)."""
-    from dbt_schema_builder_spark.operators import classifier
-    from dbt_schema_builder_spark.session import read_table
-
-    return classifier.nb_apply_heldout(
-        read_table(spark, f"{sf_dir}/documents.parquet"),
-        label="text LIKE '%dup%'",
-    )
-
-
-def _hybrid_search(spark, sf_dir):
-    """RRF-fused BM25 + raw-tf retrieval (r8): both rankers filter to
-    query-term postings pre-shuffle; fusion touches 2*topk rows."""
-    from dbt_schema_builder_spark.operators import text as text_ops
-    from dbt_schema_builder_spark.session import read_table
-
-    return text_ops.hybrid_search(
-        read_table(spark, f"{sf_dir}/documents.parquet"),
-        ("data", "dup"),  # one hot + one rare term of the 31-token vocab
-        topk=20,
-    )
-
-
+# q_cluster_diversity); x_nb_apply_heldout / x_hybrid_search graduated
+# with the r9 promotion (q_nb_apply / q_hybrid_search — same code paths,
+# classifier.nb_apply_heldout / text.hybrid_search).
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
-    "x_nb_apply_heldout": _nb_apply_heldout,
-    "x_hybrid_search": _hybrid_search,
 }
 
 

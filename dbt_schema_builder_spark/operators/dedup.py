@@ -142,6 +142,40 @@ def _guard_df_saturation(df_table, max_df, max_dropped_mass, op: str):
         )
 
 
+def _guard_bucket_saturation(cell_table, max_bucket, max_dropped_mass, op: str):
+    """Bucket-population twin of ``_guard_df_saturation`` (r9, r8
+    verdict #3 — the last silent lossy cap): given the (cell,
+    population) table an LSH-family self-join derives anyway, measure
+    the fraction of banded-index row mass the ``max_bucket`` cell cap
+    would drop and raise past ``max_dropped_mass``. A saturated cap
+    silently deletes whole mega-buckets — and when duplication is dense
+    enough, the SAME doc group saturates ALL bands, so recall collapses
+    to zero exactly like the df cap one level down. One bounded-output
+    eager aggregate (the kmeans collect convention)."""
+    if max_dropped_mass is None or max_bucket is None:
+        return
+    sat = cell_table.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("total"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > max_bucket, F.col("df"))), F.lit(0)
+        ).alias("dropped"),
+    ).collect()[0]
+    if sat["total"] > 0 and (
+        sat["dropped"] > float(max_dropped_mass) * sat["total"]
+    ):
+        raise ValueError(
+            f"{op}: max_bucket={max_bucket} would drop "
+            f"{sat['dropped']}/{sat['total']} "
+            f"({sat['dropped'] / sat['total']:.0%}) of the banded index "
+            "mass — duplication is dense enough that the cap deletes "
+            "the very buckets holding the duplicates, and a group too "
+            "big for one band is too big for all of them (recall -> 0, "
+            "not graceful). Raise max_bucket above the duplicate-group "
+            "size, pre-collapse exact duplicates (exact_dedup) before "
+            "mining, or pass max_dropped_mass=None to proceed anyway"
+        )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -1107,6 +1141,7 @@ def simhash_near_dup(
     max_hamming: int = 8,
     token_hash: str = "xxhash64",
     max_bucket: int | None = None,
+    max_dropped_mass: float | None = 0.5,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign of per-bit vote over token
     hashes; candidate pairs via 16-bit band equality (a pair within
@@ -1127,7 +1162,20 @@ def simhash_near_dup(
     of n-gram Jaccard's ``max_df`` stop-shingle cap, with the same
     recall trade: pairs confined to dropped mega-buckets are found by
     the other 3 bands or not at all. The count rides the join's own
-    (band, bucket) partitioning — no extra shuffle."""
+    (band, bucket) partitioning — no extra shuffle.
+
+    ``max_dropped_mass`` (r9, the r8 verdict's last silent-cap edge):
+    when ``max_bucket`` is set, one eager aggregate measures the
+    fraction of banded-index mass the cap drops and raises past the
+    threshold — a duplicate group bigger than ``max_bucket`` saturates
+    ALL four of its bands at once (near-identical signatures land in
+    the same cell in every band), so unlike organic skew the loss is
+    not graceful. Explicit ``None`` opts out (scale harnesses that
+    time the degraded branch do). When the guard is active the narrow
+    (doc_id, simhash) frame is persisted across guard + main plan: the
+    signature vote is the expensive stage here, the opposite trade
+    from the gram index's recompute-wins A/B."""
+    _validate_dropped_mass(max_dropped_mass, "simhash_near_dup")
     n_bits = 60 if token_hash == "portable" else 64
 
     def _bit(i: int) -> int:
@@ -1159,6 +1207,11 @@ def simhash_near_dup(
         bit = F.when(F.col(f"v{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     sigs = voted.select("doc_id", sim.alias("simhash"))
+    run_guard = max_bucket is not None and max_dropped_mass is not None
+    if run_guard:
+        # one narrow row per doc — cheap to cache, expensive to recompute
+        # (the per-bit vote aggregation is the heavy stage)
+        sigs = sigs.transform(track_persist)
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     banded = sigs.select(
         "doc_id",
@@ -1178,6 +1231,15 @@ def simhash_near_dup(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     banded = banded.repartition(parallelism, "band", "bucket")
+    if run_guard:
+        _guard_bucket_saturation(
+            banded.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("df")
+            ),
+            max_bucket,
+            max_dropped_mass,
+            "simhash_near_dup",
+        )
     if max_bucket is not None:
         from pyspark.sql.window import Window as _W
 

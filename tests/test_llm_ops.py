@@ -267,6 +267,41 @@ def test_ngram_jaccard_max_df_saturation_guard_trips_on_duplication(
         )
 
 
+def test_simhash_max_bucket_saturation_guard_trips_on_duplication(
+    spark, tables
+):
+    """r9 (r8 verdict #3): simhash's max_bucket dropped whole
+    over-populated cells with no dropped-mass measurement — and a
+    duplicate group bigger than the cap saturates ALL four bands at
+    once (identical signatures land in the same cell of every band),
+    so recall collapses to zero, not gracefully. The guard turns that
+    into a loud error; explicit opt-out keeps the degraded branch as a
+    caller choice."""
+    schema = tables["documents"].schema
+    # 12 verbatim replicas: one signature, so each band has one cell of
+    # population 12 > max_bucket 4 — 100% of the banded mass dropped
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta", "en", "src", 34)
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, schema=schema)
+    with pytest.raises(ValueError, match="banded index"):
+        dedup.simhash_near_dup(docs, token_hash="portable", max_bucket=4)
+    # explicit opt-out: proceeds and exhibits exactly the measured
+    # blindness (0 pairs from 12 identical docs)
+    blind = dedup.simhash_near_dup(
+        docs, token_hash="portable", max_bucket=4, max_dropped_mass=None
+    )
+    assert blind.count() == 0
+    # a cap above the duplicate-group size passes the guard and finds
+    # every replica pair
+    ok = dedup.simhash_near_dup(docs, token_hash="portable", max_bucket=16)
+    assert ok.count() == 12 * 11 // 2
+    # bad knob value rejected at construction even without max_bucket
+    with pytest.raises(ValueError, match="max_dropped_mass"):
+        dedup.simhash_near_dup(docs, max_dropped_mass=1.5)
+
+
 def test_lsh_topk_results_are_subset_of_brute_force_candidates(spark, tables):
     emb = tables["embeddings"]
     qs = similarity.queries_from_corpus(emb, 3)

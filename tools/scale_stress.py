@@ -123,8 +123,15 @@ OPS = {
     # cap); the uncapped form re-measured 56.7 s at 10x (32x total, the
     # quadratic mega-bucket blow-up SCALE.md records) — keep tracking
     # the path queries actually run
+    # max_dropped_mass=None: the replica corpus saturates the cell cap
+    # by construction and this harness TIMES the degraded branch (the
+    # r8 rule — scale harnesses opt out of the guards explicitly)
     "simhash_near_dup(h<=8,cap200)": lambda d, e: dedup.simhash_near_dup(
-        d, max_hamming=8, token_hash="portable", max_bucket=200
+        d,
+        max_hamming=8,
+        token_hash="portable",
+        max_bucket=200,
+        max_dropped_mass=None,
     ),
     "lsh_quantized_topk": lambda d, e: similarity.lsh_quantized_topk(e),
     "source_overlap_matrix": lambda d, e: dedup.source_overlap_matrix(d),
