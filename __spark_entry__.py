@@ -3521,9 +3521,12 @@ def oracle_sql() -> dict[str, str]:
         # sketch-then-verify heavy hitters: the verified output is the
         # exact > support frequency set
         "q_heavy_hitters": (
+            # unrounded frac (r9 tie-class retirement); CAST AS DOUBLE,
+            # not * 1.0 — DuckDB types a 1.0 literal as DECIMAL and a
+            # decimal division is NOT the IEEE double quotient Spark runs
             "WITH t AS (SELECT COUNT(*) AS total FROM events) "
             "SELECT event_type, COUNT(*) AS n, "
-            "ROUND(COUNT(*) * 1.0 / max(t.total), 4) AS frac "
+            "CAST(COUNT(*) AS DOUBLE) / max(t.total) AS frac "
             "FROM events, t GROUP BY event_type "
             "HAVING COUNT(*) > 0.1 * max(t.total)"
         ),
@@ -4787,13 +4790,21 @@ def _cluster_safe_split_oracle_sql(threshold: float = 0.2) -> str:
     )
 
 
-def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, max_bucket: int | None = None
+) -> str:
     """DuckDB replay of dedup.minhash_lsh_candidates(shingle_hash=
     'portable'): same 3-gram shingles as the q_ngram_jaccard oracle, base
     hash = first 32 bits of md5(shingle), h_i(x) = ((2i+1)*x + 7919i+1)
     mod 4294967311, banded candidates via exact slice equality (Spark
     buckets on xxhash64 of the slice — equal iff the slices are equal,
-    collisions aside), agreement counted over all 32 positions."""
+    collisions aside), agreement counted over all 32 positions.
+    ``max_bucket`` (r9) replays the per-(band, bucket) population cap
+    as the same windowed count the operator runs; the slice-equality
+    caveat applies to the cell population too (an xxhash64 collision
+    could merge two cells in Spark but not here — vanishingly unlikely
+    and differential-watched). max_bucket=None emits the r8 string
+    byte-identically (q_near_dup's banked rows stay honest)."""
     p = 4294967311
     rows_per_band = num_hashes // bands
     mins = ", ".join(
@@ -4812,6 +4823,16 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
     agree = " + ".join(
         f"CAST(sa.mh_{i} = sb.mh_{i} AS INT)" for i in range(num_hashes)
     )
+    if max_bucket is None:
+        bandkeys_cte = f"bandkeys AS ({band_selects}), "
+    else:
+        bandkeys_cte = (
+            f"bk0 AS ({band_selects}), "
+            "bandkeys AS (SELECT doc_id, band, bkey FROM ("
+            "SELECT doc_id, band, bkey, COUNT(*) OVER ("
+            "PARTITION BY band, bkey) AS bsz FROM bk0) "
+            f"WHERE bsz <= {int(max_bucket)}), "
+        )
     return (
         "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
         "'\\s+') AS t FROM documents), "
@@ -4821,7 +4842,7 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
         "hx AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) "
         "AS BIGINT) AS h FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id), "
-        f"bandkeys AS ({band_selects}), "
+        f"{bandkeys_cte}"
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bandkeys a JOIN bandkeys b ON a.band = b.band "
         "AND a.bkey = b.bkey AND a.doc_id < b.doc_id) "

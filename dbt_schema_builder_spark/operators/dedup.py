@@ -137,8 +137,10 @@ def _guard_df_saturation(df_table, max_df, max_dropped_mass, op: str):
             "recall collapses toward 0 (SCALE.md r7b measured this at "
             "100x duplication). Raise max_df above the per-gram "
             "replica multiplicity, use minhash_lsh_candidates (its "
-            "band buckets stay recall-robust under duplication), or "
-            "pass max_dropped_mass=None to proceed anyway"
+            "band buckets stay recall-robust under duplication — at "
+            "the cost of quadratic per-group candidate volume, "
+            "measured 25.8x wall at 100x replication, SCALE.md r9), "
+            "or pass max_dropped_mass=None to proceed anyway"
         )
 
 
@@ -983,12 +985,33 @@ def minhash_lsh_candidates(
     bands: int = 8,
     n: int = 3,
     shingle_hash: str = "xxhash64",
+    max_bucket: int | None = None,
+    max_dropped_mass: float | None = 0.5,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: slice each signature into ``bands``
     rows, hash the slice, self-join on (band, slice-hash). Candidates come
     out with their raw signature agreement count (``n_agree``, exact
     integer — the oracle-safe surface) and the estimated Jaccard
-    (``est_jaccard`` = n_agree / num_hashes, the API convenience)."""
+    (``est_jaccard`` = n_agree / num_hashes, the API convenience —
+    tie-safe under 4-decimal ROUND only because num_hashes is a power
+    of two, making every value k/num_hashes binary-exact; a non-power-
+    of-two num_hashes would re-open the r9 rounded-ratio tie class).
+
+    Candidate volume under duplication (measured r9, SCALE.md): a
+    duplicate GROUP of g docs has near-identical signatures, so every
+    band collides and the group alone yields C(g,2) candidates — all
+    TRUE near-dup pairs, i.e. inherent output volume, not an index
+    artifact. At 100x replication that is 25.8x wall (41 s at 500k
+    docs): minhash pays for its duplication-robust recall with
+    quadratic per-group candidates. ``max_bucket`` (r9) bounds the
+    per-(band, bucket) cell population like simhash's cap, BUT unlike
+    a df cap it drops true pairs — so the dropped-mass guard
+    (``max_dropped_mass``, loud by default, explicit ``None`` opt-out)
+    refuses a blinding cap, and the honest scale remediations are
+    collapsing verbatim copies first (exact_dedup) or consuming the
+    capped output as cluster seeds rather than an exhaustive pair
+    list."""
+    _validate_dropped_mass(max_dropped_mass, "minhash_lsh_candidates")
     rows_per_band = num_hashes // bands
     # persist: the signature pipeline (explode + 32-way min agg) feeds
     # both sides of the self-join and would otherwise run twice
@@ -1014,6 +1037,24 @@ def minhash_lsh_candidates(
     # quadratic per bucket, which AQE's pre-join coalescing can't see
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(parallelism, "band", "bucket")
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        if max_dropped_mass is not None:
+            _guard_bucket_saturation(
+                banded.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("df")
+                ),
+                max_bucket,
+                max_dropped_mass,
+                "minhash_lsh_candidates",
+            )
+        bw = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     agree = F.size(
         F.filter(

@@ -209,6 +209,10 @@ def heavy_hitters(
 
     Emits exact (value, n, frac) for items with frequency > support —
     deterministic and oracle-checkable, unlike the raw sketch output.
+    ``frac`` is the UNROUNDED n/total quotient (r9, the jaccard
+    tie-class retirement): ROUND of a double ratio of integers diverges
+    between engines on 4-decimal-tie rationals; the raw IEEE quotient
+    of the same int64s is identical everywhere.
     """
     cands = df.stat.freqItems([col], support).collect()[0][0]
     if not cands:
@@ -223,7 +227,7 @@ def heavy_hitters(
         .select(
             col,
             "n",
-            F.round(F.col("n") / F.col("_total"), 4).alias("frac"),
+            (F.col("n") / F.col("_total")).alias("frac"),
         )
     )
 
