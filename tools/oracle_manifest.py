@@ -107,6 +107,15 @@ def main() -> int:
             "rows) or revert the generator edit; then --update"
         )
         return 1
+    if d["changed_in_window"] or d["added"]:
+        # r9 ADVICE: printing "consistent" here let a pending --update
+        # survive round end (q_heavy_hitters). In-window changes are
+        # legal but the manifest is stale until regenerated.
+        print(
+            "in-window changes pending — run --update before round end "
+            f"({len(d['changed_in_window'])} changed, {len(d['added'])} added)"
+        )
+        return 2
     print(f"manifest consistent: {len(cur)} keys")
     return 0
 
