@@ -1987,178 +1987,38 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-9 window: (a) the 2 r8-staged promotions (q_nb_apply,
-    q_hybrid_search — differential-tested oracles, driver-style sf0.01
-    checks passed in r8); (b) the 3 keys whose oracle strings changed in
-    the r8 _det_avg tie fix (q_bigram_logprob, q_conversion_latency,
-    q_centroid_outliers — fixture values verified unchanged at both SFs
-    in r8, but changed oracles re-earn rows, the r5 rule); (c) the 3
-    keys whose emitted surfaces went UNROUNDED in r9 (q_ngram_jaccard,
-    q_ppjoin_jaccard via the shared generator, q_tfidf_cosine_pairs —
-    retiring the ROUND(int/int, 4) tie class, 84 divergent rationals
-    measured at denominators <= 4000); (d) the 7 r5-stale keys; (e) 35
-    of the 48 r6-stale keys. 2 + 3 + 3 + 7 + 35 = exactly 50. The 13
-    deferred r6 keys are the static Tier-A config/policy shapes
-    (lowest oracle-churn risk: banned/include/exclude/regex filters,
-    renames, quoting, redaction, soft-delete, schema tests, chunked
-    union, sort-collect, scalar kernel) — first in line for r10
-    alongside the 50 r7 keys (see CLAUDE.md r10 pre-plan). Every key
-    below the boundary carries a green round-5/6/7/8 row under its
+    keys. Round-10 window (CLAUDE.md r10 pre-plan, executed): (a) the 14
+    keys whose oracle strings changed in the r10 ROUND(int/int, 4)
+    tie-class retirement — every emitted rounded ratio of exact integers
+    is now the raw IEEE quotient on both sides (changed oracles re-earn
+    rows, the r5 rule, manifest-enforced); (b) all 13 r6-stale Tier-A
+    config/policy keys (oldest staleness in the repo); (c) 23 of the 45
+    remaining r7-stale keys, choosing the LLM-pipeline/dedup/ANN family
+    whose oracles churn most. 14 + 13 + 23 = exactly 50. The 22 deferred
+    r7 keys (TPC-H/SQL shapes, static relational/window/catalog,
+    timeseries basics — lowest churn) all hold green r7 rows and are
+    first in line for r11 alongside the 36 remaining r8-stale keys.
+    Every key below the boundary carries a green r7/r8/r9 row under its
     CURRENT oracle string (tests/test_query_window.py +
     tests/test_oracle_manifest.py audit both halves of that claim)."""
     return {
-        # (a) r9 promotions: oracles staged + differential-tested in r8
-        "q_nb_apply": q_nb_apply,
-        "q_hybrid_search": q_hybrid_search,
-        # (b) r8 tie-fix oracle re-pins (below-window strings changed)
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_conversion_latency": q_conversion_latency,
-        "q_centroid_outliers": q_centroid_outliers,
-        # (c) r9 unrounded-surface re-pins (ROUND tie class retired)
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_ppjoin_jaccard": q_ppjoin_jaccard,
-        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        # (d) the 7 r5-stale keys
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_histogram": q_histogram,
-        "q_anomaly_events": q_anomaly_events,
-        "q_sql_promo_revenue": q_sql_promo_revenue,
-        "q_sql_cust_order_dist": q_sql_cust_order_dist,
-        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
-        "q_tokenizer_fertility": q_tokenizer_fertility,
-        # (e) 35 of the 48 r6-stale rotations
-        "q_approx_distinct": q_approx_distinct,
-        "q_asof_join": q_asof_join,
-        "q_bpe_learn": q_bpe_learn,
-        "q_cube": q_cube,
-        "q_evolving_read": q_evolving_read,
-        "q_exact_dedup": q_exact_dedup,
-        "q_group_quantiles": q_group_quantiles,
-        "q_grouping_sets": q_grouping_sets,
-        "q_hash_agg": q_hash_agg,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_json_extract": q_json_extract,
-        "q_kmeans": q_kmeans,
-        "q_lang_id": q_lang_id,
-        "q_lsh_topk": q_lsh_topk,
-        "q_merge_latest": q_merge_latest,
-        "q_near_dup": q_near_dup,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_range_join": q_range_join,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
-        "q_semi_anti": q_semi_anti,
-        "q_session_window": q_session_window,
-        "q_simhash_near_dup": q_simhash_near_dup,
-        "q_sliding_window": q_sliding_window,
-        "q_sql_correlated_exists": q_sql_correlated_exists,
-        "q_sql_shipping_priority": q_sql_shipping_priority,
-        "q_star_join": q_star_join,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_join": q_stream_join,
-        "q_stream_session": q_stream_session,
-        "q_topk_similarity": q_topk_similarity,
-        "q_zorder_layout": q_zorder_layout,
-        # ---- driver window boundary (position 50 = q_zorder_layout)
-        # every key below carries a green r5-r8 driver row under its
-        # current oracle string
-        "q_cut_duplicate_spans": q_cut_duplicate_spans,
-        "q_span_stats": q_span_stats,
-        "q_nb_classifier": q_nb_classifier,
-        "q_temperature_mix": q_temperature_mix,
-        "q_cluster_diversity": q_cluster_diversity,
-        "q_dupe_detection": q_dupe_detection,
-        "q_centroid_by_label": q_centroid_by_label,
-        "q_token_count": q_token_count,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_bpe_tokens": q_bpe_tokens,
+        # (a) 14 r10 changed-oracle re-pins (ROUND(int/int, 4)
+        # tie-class retirement: raw IEEE quotients on both sides)
+        "q_source_overlap": q_source_overlap,
         "q_quality_score": q_quality_score,
         "q_text_stats": q_text_stats,
-        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition_stats": q_repetition_stats,
+        "q_oov_rate": q_oov_rate,
+        "q_zipf_stats": q_zipf_stats,
+        "q_json_extract": q_json_extract,
+        "q_profile": q_profile,
+        "q_trend_slope": q_trend_slope,
+        "q_source_mix": q_source_mix,
+        "q_dedup_stats": q_dedup_stats,
         "q_pandas_udf": q_pandas_udf,
         "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_frame_sample": q_frame_sample,
         "q_prep_pipeline": q_prep_pipeline,
-        "q_pivot": q_pivot,
-        "q_unpivot": q_unpivot,
-        "q_profile": q_profile,
-        "q_pii_scrub": q_pii_scrub,
-        "q_repetition_stats": q_repetition_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_hash_split": q_hash_split,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_source_mix": q_source_mix,
-        "q_percentile_filter": q_percentile_filter,
-        "q_cap_per_source": q_cap_per_source,
-        "q_oov_rate": q_oov_rate,
-        "q_dedup_stats": q_dedup_stats,
-        "q_weighted_sample": q_weighted_sample,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_zipf_stats": q_zipf_stats,
-        "q_curriculum_bins": q_curriculum_bins,
-        "q_quantized_topk": q_quantized_topk,
-        "q_source_overlap": q_source_overlap,
-        "q_winnowing": q_winnowing,
-        "q_stratified_sample": q_stratified_sample,
-        "q_multimodal_features": q_multimodal_features,
-        "q_audio_features": q_audio_features,
-        "q_gopher_rules": q_gopher_rules,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_apply_bpe": q_apply_bpe,
-        "q_skew_report": q_skew_report,
-        "q_merge_partial_aggs": q_merge_partial_aggs,
-        "q_stream_funnel": q_stream_funnel,
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_user_state": q_stream_user_state,
-        "q_tumbling_window": q_tumbling_window,
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
-        "q_metadata_merge_join": q_metadata_merge_join,
-        "q_rollup": q_rollup,
-        "q_window_rank": q_window_rank,
-        "q_window_running": q_window_running,
-        "q_topk": q_topk,
-        "q_set_ops": q_set_ops,
-        "q_ivf_topk": q_ivf_topk,
-        "q_catalog_scan": q_catalog_scan,
-        "q_cluster_safe_split": q_cluster_safe_split,
-        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
-        "q_shared_ngram_fraction": q_shared_ngram_fraction,
-        "q_pq_topk": q_pq_topk,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_keep_canonical": q_keep_canonical,
-        "q_stream_dedup_history": q_stream_dedup_history,
-        "q_frame_dedup": q_frame_dedup,
-        "q_gapfill_locf": q_gapfill_locf,
-        "q_funnel": q_funnel,
-        "q_cohort_retention": q_cohort_retention,
-        "q_mad_outliers": q_mad_outliers,
-        "q_bm25_search": q_bm25_search,
-        "q_pmi_pairs": q_pmi_pairs,
-        "q_pagerank": q_pagerank,
-        "q_gapfill_interp": q_gapfill_interp,
-        "q_rolling_active": q_rolling_active,
-        "q_interval_coverage": q_interval_coverage,
-        "q_source_kl": q_source_kl,
-        "q_containment": q_containment,
-        "q_transition_matrix": q_transition_matrix,
-        "q_cumulative_users": q_cumulative_users,
-        "q_scd2": q_scd2,
-        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
-        "q_knn_label_agreement": q_knn_label_agreement,
-        "q_trend_slope": q_trend_slope,
-        "q_categorical_profile": q_categorical_profile,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_dsir_importance": q_dsir_importance,
-        "q_source_mix_waterfill": q_source_mix_waterfill,
-        "q_substring_dedup": q_substring_dedup,
+        # (b) all 13 r6-stale Tier-A config/policy keys
         "q_safe_view_redaction": q_safe_view_redaction,
         "q_schema_tests": q_schema_tests,
         "q_pii_view_projection": q_pii_view_projection,
@@ -2172,6 +2032,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_quoting": q_keyword_quoting,
         "q_regex_anti_filter": q_regex_anti_filter,
         "q_scalar_kernel": q_scalar_kernel,
+        # (c) 23 r7-stale rotations (high-churn operator families)
+        "q_bm25_search": q_bm25_search,
+        "q_cluster_safe_split": q_cluster_safe_split,
+        "q_containment": q_containment,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dsir_importance": q_dsir_importance,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_frame_dedup": q_frame_dedup,
+        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "q_ivf_topk": q_ivf_topk,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_keep_canonical": q_keep_canonical,
+        "q_knn_label_agreement": q_knn_label_agreement,
+        "q_pagerank": q_pagerank,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_pq_topk": q_pq_topk,
+        "q_shared_ngram_fraction": q_shared_ngram_fraction,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_source_kl": q_source_kl,
+        "q_source_mix_waterfill": q_source_mix_waterfill,
+        "q_stream_dedup_history": q_stream_dedup_history,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_user_state": q_stream_user_state,
+        "q_substring_dedup": q_substring_dedup,
+        # ---- driver window boundary (position 50 = q_substring_dedup)
+        # every key below carries a green r7-r9 row under its
+        # current oracle string
+        # deferred r7-stale (22, lowest churn — r11 must-rotate)
+        "q_catalog_scan": q_catalog_scan,
+        "q_categorical_profile": q_categorical_profile,
+        "q_cohort_retention": q_cohort_retention,
+        "q_cumulative_users": q_cumulative_users,
+        "q_funnel": q_funnel,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_gapfill_interp": q_gapfill_interp,
+        "q_gapfill_locf": q_gapfill_locf,
+        "q_interval_coverage": q_interval_coverage,
+        "q_mad_outliers": q_mad_outliers,
+        "q_metadata_merge_join": q_metadata_merge_join,
+        "q_rolling_active": q_rolling_active,
+        "q_rollup": q_rollup,
+        "q_scd2": q_scd2,
+        "q_set_ops": q_set_ops,
+        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
+        "q_topk": q_topk,
+        "q_transition_matrix": q_transition_matrix,
+        "q_tumbling_window": q_tumbling_window,
+        "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
+        # r8-stale (36)
+        "q_apply_bpe": q_apply_bpe,
+        "q_audio_features": q_audio_features,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_cap_per_source": q_cap_per_source,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_cluster_diversity": q_cluster_diversity,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_cut_duplicate_spans": q_cut_duplicate_spans,
+        "q_decontaminate": q_decontaminate,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_dupe_detection": q_dupe_detection,
+        "q_frame_sample": q_frame_sample,
+        "q_gopher_rules": q_gopher_rules,
+        "q_hash_split": q_hash_split,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_merge_partial_aggs": q_merge_partial_aggs,
+        "q_multimodal_features": q_multimodal_features,
+        "q_nb_classifier": q_nb_classifier,
+        "q_pack_sequences": q_pack_sequences,
+        "q_percentile_filter": q_percentile_filter,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
+        "q_quantized_topk": q_quantized_topk,
+        "q_skew_report": q_skew_report,
+        "q_span_stats": q_span_stats,
+        "q_stratified_sample": q_stratified_sample,
+        "q_stream_funnel": q_stream_funnel,
+        "q_temperature_mix": q_temperature_mix,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_token_count": q_token_count,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unpivot": q_unpivot,
+        "q_weighted_sample": q_weighted_sample,
+        "q_winnowing": q_winnowing,
+        # r9-stale (49)
+        "q_anomaly_events": q_anomaly_events,
+        "q_approx_distinct": q_approx_distinct,
+        "q_asof_join": q_asof_join,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_bpe_learn": q_bpe_learn,
+        "q_centroid_outliers": q_centroid_outliers,
+        "q_conversion_latency": q_conversion_latency,
+        "q_cube": q_cube,
+        "q_evolving_read": q_evolving_read,
+        "q_exact_dedup": q_exact_dedup,
+        "q_group_quantiles": q_group_quantiles,
+        "q_grouping_sets": q_grouping_sets,
+        "q_hash_agg": q_hash_agg,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_histogram": q_histogram,
+        "q_hybrid_search": q_hybrid_search,
+        "q_kmeans": q_kmeans,
+        "q_lang_id": q_lang_id,
+        "q_lsh_topk": q_lsh_topk,
+        "q_merge_latest": q_merge_latest,
+        "q_nb_apply": q_nb_apply,
+        "q_near_dup": q_near_dup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ppjoin_jaccard": q_ppjoin_jaccard,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_range_join": q_range_join,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
+        "q_semi_anti": q_semi_anti,
+        "q_session_window": q_session_window,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_sliding_window": q_sliding_window,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
+        "q_sql_correlated_exists": q_sql_correlated_exists,
+        "q_sql_cust_order_dist": q_sql_cust_order_dist,
+        "q_sql_promo_revenue": q_sql_promo_revenue,
+        "q_sql_shipping_priority": q_sql_shipping_priority,
+        "q_star_join": q_star_join,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_join": q_stream_join,
+        "q_stream_session": q_stream_session,
+        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_topk_similarity": q_topk_similarity,
+        "q_zorder_layout": q_zorder_layout,
     }
 
 
@@ -2372,18 +2369,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'o_custkey' AS column_name, COUNT(*) AS n, "
             "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
             "COUNT(DISTINCT o_custkey) AS n_distinct, "
-            "ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4) AS min_value, "
-            "ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4) AS max_value, "
-            "ROUND(SUM(CAST(ROUND(CAST(o_custkey AS DOUBLE) * 1000000) AS BIGINT)) "
-            "/ (COUNT(o_custkey) * 1000000.0), 4) + 0.0 AS avg_value FROM orders "
+            "CAST(MIN(o_custkey) AS DOUBLE) AS min_value, "
+            "CAST(MAX(o_custkey) AS DOUBLE) AS max_value, "
+            "CAST(SUM(CAST(ROUND(CAST(o_custkey AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS DOUBLE) / (COUNT(o_custkey) * CAST(1000000 AS DOUBLE)) "
+            "AS avg_value FROM orders "
             "UNION ALL "
             "SELECT 'o_totalprice', COUNT(*), "
             "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
             "COUNT(DISTINCT o_totalprice), "
-            "ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4), "
-            "ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4), "
-            "ROUND(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT)) "
-            "/ (COUNT(o_totalprice) * 1000000.0), 4) + 0.0 FROM orders"
+            "CAST(MIN(o_totalprice) AS DOUBLE), "
+            "CAST(MAX(o_totalprice) AS DOUBLE), "
+            "CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS DOUBLE) / (COUNT(o_totalprice) * CAST(1000000 AS DOUBLE)) "
+            "FROM orders"
         ),
         "q_tumbling_window": (
             "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events, "
@@ -2737,7 +2736,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_json_extract": (
             "SELECT event_type, COUNT(*) AS n_events, "
-            "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS DOUBLE) / COUNT(json_extract_string(props, '$.k')) "
             "AS avg_k, "
             "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
             "FROM events GROUP BY event_type"
@@ -2859,17 +2859,21 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_score": (
             "WITH toks AS (SELECT doc_id, length(text) AS n_chars, "
             "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) "
+            # unrounded raw quotients (r10 tie-class retirement); CAST AS
+            # DOUBLE, never * 1.0 — DuckDB types 1.0 as DECIMAL and a
+            # decimal division is not the IEEE quotient Spark runs
             "SELECT doc_id, n_chars, len(t) AS n_tokens, "
-            "ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4) "
-            "AS avg_token_len, "
-            "ROUND(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
-            "* 1.0 / len(t), 4) AS stopword_ratio FROM toks"
+            "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) "
+            "/ len(t) AS avg_token_len, "
+            "CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
+            "AS DOUBLE) / len(t) AS stopword_ratio FROM toks"
         ),
         "q_text_stats": (
             "SELECT lang, COUNT(*) AS n_docs, "
-            "ROUND(AVG(n_chars), 4) AS avg_chars, "
-            "ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) "
-            "AS avg_tokens FROM documents GROUP BY lang"
+            "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS DOUBLE) / COUNT(*) AS avg_tokens "
+            "FROM documents GROUP BY lang"
         ),
         "q_tfidf_terms": (
             "WITH terms AS (SELECT doc_id, unnest("
@@ -2947,8 +2951,9 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition_stats": (
             "WITH toks AS (SELECT doc_id, "
             "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            # unrounded raw quotients, CAST AS DOUBLE (r10 retirement)
             "base AS (SELECT doc_id, len(t) AS n_tokens, "
-            "ROUND((len(t) - len(list_distinct(t))) * 1.0 / len(t), 4) "
+            "CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) "
             "AS dup_token_fraction, t FROM toks), "
             "bi AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram "
             "FROM base, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)), "
@@ -2958,7 +2963,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM cnt) "
             "SELECT b.doc_id, b.n_tokens, b.dup_token_fraction, "
             "t.bigram AS top_bigram, "
-            "ROUND(t.cnt * 1.0 / (b.n_tokens - 1), 4) AS top_bigram_fraction "
+            "CAST(t.cnt AS DOUBLE) / (b.n_tokens - 1) AS top_bigram_fraction "
             "FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1"
         ),
         "q_decontaminate": (
@@ -3139,7 +3144,8 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
             "tot AS (SELECT COUNT(*) AS n_sources FROM per) "
             "SELECT source, n_docs, n_tokens, "
-            "ROUND(LEAST(1.0, 100000.0 / (n_sources * n_tokens)), 6) + 0.0 "
+            "LEAST(CAST(1 AS DOUBLE), CAST(100000 AS DOUBLE) "
+            "/ (n_sources * n_tokens)) "
             "AS sample_rate FROM per CROSS JOIN tot"
         ),
         "q_percentile_filter": (
@@ -3178,7 +3184,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks t LEFT JOIN vocab v USING (token)) "
             "SELECT doc_id, COUNT(*) AS n_tokens, "
             "CAST(SUM(oov) AS BIGINT) AS n_oov, "
-            "ROUND(CAST(SUM(oov) AS BIGINT) * 1.0 / COUNT(*), 4) + 0.0 "
+            "CAST(SUM(oov) AS DOUBLE) / COUNT(*) "
             "AS oov_rate FROM marked GROUP BY doc_id"
         ),
         "q_dedup_stats": (
@@ -3187,8 +3193,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT source, COUNT(*) AS n_docs, "
             "COUNT(DISTINCT k) AS n_distinct, "
-            "ROUND((COUNT(*) - COUNT(DISTINCT k)) * 1.0 / COUNT(*), 4) "
-            "+ 0.0 AS dup_rate FROM keyed GROUP BY source"
+            "CAST(COUNT(*) - COUNT(DISTINCT k) AS DOUBLE) / COUNT(*) "
+            "AS dup_rate FROM keyed GROUP BY source"
         ),
         "q_weighted_sample": (
             # A-Res priority replayed in ANSI SQL: u from the md5-prefix
@@ -3215,22 +3221,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_pandas_udf": (
             "SELECT doc_id, length(text) AS n_chars, "
-            "ROUND(length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) "
-            "* 1.0 / GREATEST(length(text), 1), 4) AS vowel_ratio "
+            "CAST(length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) "
+            "AS DOUBLE) / GREATEST(length(text), 1) AS vowel_ratio "
             "FROM documents"
         ),
         "q_lang_stats_pandas": (
             "SELECT lang, COUNT(*) AS n_docs, "
-            "ROUND(AVG(n_chars), 4) AS mean_chars, "
+            "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars, "
             "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars "
             "FROM documents GROUP BY lang"
         ),
         "q_prep_pipeline": (
             "WITH toks AS (SELECT doc_id, lang, text, "
             "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            # unrounded stop_ratio: must mirror quality_score's r10
+            # raw-quotient surface or the filter admits different rows
             "q AS (SELECT doc_id, lang, text, len(t) AS n_tokens, "
-            "ROUND(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
-            "* 1.0 / len(t), 4) AS stop_ratio FROM toks), "
+            "CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
+            "AS DOUBLE) / len(t) AS stop_ratio FROM toks), "
             "f AS (SELECT * FROM q WHERE n_tokens >= 30 AND stop_ratio <= 0.5), "
             "d AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k, "
             "MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, "
@@ -3290,11 +3298,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(ln(freq) * 1000000) AS BIGINT) AS y FROM r) "
             "SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens, "
             "CAST(count(*) AS BIGINT) AS n_types, "
-            "round(CAST(count(*) AS DOUBLE) / CAST(sum(freq) AS DOUBLE), 6) "
-            "+ 0.0 AS ttr, "
+            "CAST(count(*) AS DOUBLE) / sum(freq) AS ttr, "
             "CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0 THEN 0.0 "
-            "ELSE round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) "
-            "/ CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 4) + 0.0 "
+            "ELSE CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) "
+            "/ CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE) "
             "END AS zipf_slope "
             "FROM m GROUP BY source"
         ),
@@ -3319,8 +3326,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_shared FROM sh a JOIN sh b "
             "ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
             "SELECT source_a, source_b, n_shared, "
-            "ROUND(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 4) "
-            "+ 0.0 AS jaccard "
+            "CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) "
+            "AS jaccard "
             "FROM inter JOIN sizes sa ON sa.source = source_a "
             "JOIN sizes sb ON sb.source = source_b"
         ),
@@ -3468,8 +3475,8 @@ def oracle_sql() -> dict[str, str]:
             "n_days * sxy - sx * sy AS slope_num, "
             "n_days * sxx - sx * sx AS slope_den, "
             "CASE WHEN n_days * sxx - sx * sx = 0 THEN 0.0 "
-            "ELSE ROUND((n_days * sxy - sx * sy) "
-            "/ CAST(n_days * sxx - sx * sx AS DOUBLE), 4) + 0.0 END "
+            "ELSE CAST(n_days * sxy - sx * sy AS DOUBLE) "
+            "/ CAST(n_days * sxx - sx * sx AS DOUBLE) END "
             "AS slope_micro_per_day FROM a"
         ),
         "q_categorical_profile": (

@@ -892,13 +892,12 @@ def dedup_stats(documents: DataFrame, by: str = "source") -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("content_md5").alias("n_distinct"),
+            # raw IEEE quotient of exact ints (r10 tie-class retirement)
             (
-                F.round(
-                    (F.count(F.lit(1)) - F.countDistinct("content_md5"))
-                    / F.count(F.lit(1)),
-                    4,
+                (F.count(F.lit(1)) - F.countDistinct("content_md5")).cast(
+                    "double"
                 )
-                + F.lit(0.0)
+                / F.count(F.lit(1))
             ).alias("dup_rate"),
         )
     )
@@ -1012,6 +1011,30 @@ def minhash_lsh_candidates(
     capped output as cluster seeds rather than an exhaustive pair
     list."""
     _validate_dropped_mass(max_dropped_mass, "minhash_lsh_candidates")
+    if max_bucket is None and max_dropped_mass not in (None, 0.5):
+        # r9 ADVICE: a caller tightening the guard without setting the
+        # cap it guards would get no guard and no error — the same
+        # validated-but-unused-knob class jaccard_pairs' prefix branch
+        # rejects (r7 streaming_funnel rule)
+        raise ValueError(
+            "minhash_lsh_candidates: max_dropped_mass guards the "
+            "max_bucket cell cap; with max_bucket=None there is no cap "
+            "and no guard — drop the non-default "
+            f"max_dropped_mass={max_dropped_mass!r} or set max_bucket"
+        )
+    if num_hashes < 1 or num_hashes & (num_hashes - 1):
+        # est_jaccard = ROUND(n_agree / num_hashes, 4) is tie-safe ONLY
+        # for power-of-two num_hashes (k/2^m is binary-exact, so both
+        # engines see the true decimal tie and both round half-away);
+        # any other denominator re-opens the r9 rounded-ratio tie class.
+        # Construction-time raise per the r3 hypothesis lesson: bad
+        # config must never become a silent cross-engine divergence.
+        raise ValueError(
+            "minhash_lsh_candidates: num_hashes must be a power of two "
+            f"(got {num_hashes}) — the emitted est_jaccard rounds "
+            "n_agree/num_hashes and only dyadic denominators are "
+            "tie-safe across engines"
+        )
     rows_per_band = num_hashes // bands
     # persist: the signature pipeline (explode + 32-way min agg) feeds
     # both sides of the self-join and would otherwise run twice
@@ -1217,6 +1240,15 @@ def simhash_near_dup(
     signature vote is the expensive stage here, the opposite trade
     from the gram index's recompute-wins A/B."""
     _validate_dropped_mass(max_dropped_mass, "simhash_near_dup")
+    if max_bucket is None and max_dropped_mass not in (None, 0.5):
+        # r9 ADVICE: same validated-but-unused-knob rejection as
+        # minhash_lsh_candidates / jaccard_pairs' prefix branch
+        raise ValueError(
+            "simhash_near_dup: max_dropped_mass guards the max_bucket "
+            "cell cap; with max_bucket=None there is no cap and no "
+            "guard — drop the non-default "
+            f"max_dropped_mass={max_dropped_mass!r} or set max_bucket"
+        )
     n_bits = 60 if token_hash == "portable" else 64
 
     def _bit(i: int) -> int:
@@ -1426,9 +1458,12 @@ def source_overlap_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
             "source_a",
             "source_b",
             "n_shared",
-            (F.round(F.col("n_shared").cast("double") / union_sz, 4) + F.lit(0.0)).alias(
-                "jaccard"
-            ),
+            # raw IEEE quotient of exact int64s (r10: same tie-class
+            # retirement as the r9 ngram/ppjoin/tfidf surfaces — ROUND
+            # of n/d diverges engines on 4-decimal-half rationals, and
+            # this union is a shingle-set-size sum that reaches large
+            # denominators at scale)
+            (F.col("n_shared").cast("double") / union_sz).alias("jaccard"),
         )
     )
 

@@ -29,6 +29,9 @@ def props_stats_by_type(events: DataFrame) -> DataFrame:
     parsed = extract_props(events)
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("prop_k"), 4).alias("avg_k"),
+        # exact int64 sum / non-null count as a raw double quotient
+        # (r10 tie-class retirement: AVG+ROUND of ints is the
+        # ROUND(int/int, 4) class that diverges engines on ties)
+        (F.sum("prop_k").cast("double") / F.count("prop_k")).alias("avg_k"),
         F.max("prop_k").alias("max_k"),
     )

@@ -16,11 +16,13 @@ from pyspark.sql.types import NumericType
 def _det_avg_nullaware(c: str, scale: float = 1e6):
     """Order-independent mean: round inputs to fixed-point micro-units,
     sum exactly as integers, divide by the non-null count once. Plain
-    avg(float) depends on partial-aggregation order, so the 4th rounded
-    decimal can flip between runs/partitionings; this cannot. + 0.0
-    canonicalizes IEEE -0.0 out of the rounding."""
+    avg(float) depends on partial-aggregation order; this cannot. The
+    emitted surface is the RAW IEEE quotient of the exact int64 micro
+    sum (r10 tie-class retirement: ROUND of an exact-int ratio is the
+    class the r8 4-decimal-tie find proved divergent — see
+    similarity._det_avg_round4's docstring)."""
     units = F.round(F.col(c).cast("double") * scale).cast("long")
-    return F.round(F.sum(units) / (F.count(c) * F.lit(scale)), 4) + F.lit(0.0)
+    return F.sum(units).cast("double") / (F.count(c) * F.lit(scale))
 
 
 def profile_numeric(
@@ -50,8 +52,11 @@ def profile_numeric(
                 F.count(F.lit(1)).alias(f"{c}__n"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
                 distinct_agg(c).alias(f"{c}__n_distinct"),
-                F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
-                F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+                # raw min/max pass input values through untouched —
+                # ROUND of an arbitrary double diverges engines when an
+                # input sits on a 4-decimal shortest-repr tie (r10)
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
                 _det_avg_nullaware(c).alias(f"{c}__avg"),
             ]
         )
@@ -133,6 +138,13 @@ def mad_outliers(
             F.sum(
                 F.when(F.col("adev") > F.lit(n_mads) * F.col("mad"), 1).otherwise(0)
             ).cast("bigint").alias("n_outliers"),
+            # KEPT rounded (r10 sweep): exact-percentile interpolation
+            # is (a+b)/2 in Spark vs a+(b-a)*frac in DuckDB — same
+            # value mathematically but potentially one ulp apart, so
+            # the ROUND is load-bearing here (it masks the ulp, and
+            # med/mad are sqrt-free but interpolated doubles, not
+            # int/int rationals — divergence needs a <=5-digit
+            # shortest repr on an interpolated midpoint, measure ~0)
             (F.round(F.first("med"), 4) + F.lit(0.0)).alias("med_r4"),
             (F.round(F.first("mad"), 4) + F.lit(0.0)).alias("mad_r4"),
         )
@@ -153,8 +165,8 @@ def trend_slope(
     Every S is an EXACT integer aggregate: day indices are rebased per
     group (a window min over the bounded per-group day axis) so x stays
     small, y is the micro-unit daily sum. Numerator and denominator are
-    emitted as integers beside the rounded slope, so the hashed surface
-    is exact integers plus one deterministic division. One (group, day)
+    emitted as integers beside the raw-quotient slope, so the hashed
+    surface is exact integers plus one deterministic IEEE division. One (group, day)
     aggregate shuffle + one tiny per-group rollup. Int64 headroom:
     |Sxy| <= days^2 * max daily |sum| in micro-units — drop to
     milli-units beyond ~1e12 micro-units/day.
@@ -184,8 +196,11 @@ def trend_slope(
         "n_days",
         num.alias("slope_num"),
         den.alias("slope_den"),
+        # raw IEEE quotient of the exact integer surfaces emitted
+        # beside it (r10 tie-class retirement); den >= 0 by
+        # Cauchy-Schwarz, so a zero numerator cannot yield -0.0
         F.when(den == 0, F.lit(0.0))
-        .otherwise(F.round(num / den, 4) + F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope_micro_per_day"),
     )
 

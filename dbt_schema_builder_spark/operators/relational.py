@@ -52,7 +52,19 @@ def star_join_revenue(
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-shape hash aggregation with partial combine: per
-    (returnflag, linestatus) sums/averages/counts."""
+    (returnflag, linestatus) sums/averages/counts.
+
+    Tie-class bound (r10 ROUND sweep): the ROUND(SUM/AVG, n) money
+    surfaces here and in the other TPC-H shapes are KEPT deliberately —
+    they mirror TPC-H's published query form. avg_qty is technically
+    the int/int class (quantities are integral-valued doubles, sums
+    exact below 2^53), so a fixture whose group mean lands exactly on
+    k/20000 would diverge engines; 9 rounds x 2 SFs have not produced
+    one, and a hit shows up loudly as a driver hash mismatch whose
+    remediation is the same raw-quotient retirement applied elsewhere
+    in r10. The money SUMs are double accumulations (order-dependent in
+    the last ulps) — the r1-accepted class, stable because ROUND(.,2)
+    sits far above the accumulated error for these magnitudes."""
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -78,7 +78,15 @@ def brute_force_topk(
         out = out.select(
             "query_id",
             "vec_id",
-            # + 0.0 folds IEEE -0.0 from rounding tiny negative sims
+            # + 0.0 folds IEEE -0.0 from rounding tiny negative sims.
+            # Tie-class bound (r10 sweep): sim is a sqrt-normalized
+            # float cosine, so a cross-engine ROUND divergence needs
+            # its shortest decimal repr to be an exact 4-decimal half
+            # — a <=5-digit repr, measure ~0 for transcendental-derived
+            # doubles (unlike int/int rationals, which were retired).
+            # Both engines round the SAME double (oracles replay the
+            # identical sequential float ops), so this is the only
+            # residual mechanism.
             (F.round("sim", round_to) + F.lit(0.0)).alias("sim"),
             "rank",
         )

@@ -34,6 +34,8 @@ def salted_sum(
         .agg(F.sum(value).alias("_partial"))
     )
     return partial.groupBy(key).agg(
+        # KEPT rounded (r10 sweep): double money-sum class — see the
+        # bound note on relational.pricing_summary
         F.round(F.sum("_partial"), 2).alias(f"sum_{value}")
     )
 

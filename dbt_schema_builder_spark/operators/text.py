@@ -144,8 +144,11 @@ def quality_score(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         n_toks.alias("n_tokens"),
-        F.round(total_tok_chars / n_toks, 4).alias("avg_token_len"),
-        F.round(stop_hits / n_toks, 4).alias("stopword_ratio"),
+        # raw IEEE quotients of exact integers (r10 tie-class
+        # retirement: ROUND(int/int, 4) diverges engines on 4-decimal
+        # halves; the raw double quotient is bit-identical everywhere)
+        (total_tok_chars.cast("double") / n_toks).alias("avg_token_len"),
+        (stop_hits.cast("double") / n_toks).alias("stopword_ratio"),
     )
 
 
@@ -156,8 +159,15 @@ def text_stats_by_lang(documents: DataFrame) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            # exact int64 sum / count as a raw double quotient (r10
+            # tie-class retirement — AVG+ROUND of ints is the
+            # ROUND(int/int, 4) class)
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
         )
     )
 
@@ -265,6 +275,10 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     scored = tf.join(df_counts, "term").select(
         "doc_id",
         "term",
+        # KEPT rounded (r10 sweep): tf*ln(n/df) is transcendental
+        # except df == n_docs, where it is exactly 0.0 on both engines
+        # — a log-derived double's shortest repr is never a 4-decimal
+        # half, so the int/int tie class does not apply
         F.round(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
         ).alias("tfidf"),
@@ -334,12 +348,10 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         "doc_id",
         toks.alias("toks"),
         F.size(toks).alias("n_tokens"),
+        # raw IEEE quotient of exact ints (r10 tie-class retirement)
         (
-            F.round(
-                (F.size(toks) - F.size(F.array_distinct(toks)))
-                / F.size(toks),
-                4,
-            )
+            (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+            / F.size(toks)
         ).alias("dup_token_fraction"),
     )
     n_bi = F.size(F.col("toks")) - 1
@@ -368,7 +380,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             "n_tokens",
             "dup_token_fraction",
             F.col("bigram").alias("top_bigram"),
-            F.round(F.col("cnt") / (F.col("n_tokens") - 1), 4).alias(
+            (F.col("cnt").cast("double") / (F.col("n_tokens") - 1)).alias(
                 "top_bigram_fraction"
             ),
         )
@@ -580,8 +592,10 @@ def source_mix(
     One agg shuffle on the source key; the per-source table is tiny, so
     the share division happens against a 1-row broadcast of the source
     count. Token totals are integer sums (exact, order-independent);
-    the rate is a single rational division rounded once — deterministic
-    on any engine."""
+    the rate is the RAW IEEE quotient of the exact budget by the exact
+    int64 token product (r10 tie-class retirement: ROUND of an
+    exact-int rational diverges engines on decimal-half ties) —
+    bit-identical on any engine."""
     per = documents.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens())).alias("n_tokens"),
@@ -598,7 +612,7 @@ def source_mix(
             by,
             "n_docs",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            (F.round(rate, 6) + F.lit(0.0)).alias("sample_rate"),
+            rate.alias("sample_rate"),
         )
     )
 
@@ -899,7 +913,8 @@ def oov_rate(documents: DataFrame, vocab: DataFrame) -> DataFrame:
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         n_oov.alias("n_oov"),
-        (F.round(n_oov / F.count(F.lit(1)), 4) + F.lit(0.0)).alias("oov_rate"),
+        # raw IEEE quotient of exact ints (r10 tie-class retirement)
+        (n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
 
 
@@ -1026,14 +1041,19 @@ def lexical_zipf_stats(documents: DataFrame) -> DataFrame:
     n = F.col("n_types")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # raw IEEE quotients of exact int64s (r10 tie-class retirement).
+    # Casting an int64 above 2^53 to double rounds, but both engines
+    # cast the SAME exact integer identically (IEEE round-to-nearest),
+    # so the quotient stays bit-identical cross-engine. den >= 0 by
+    # Cauchy-Schwarz, so a zero numerator cannot produce -0.0.
     slope = F.when(den == 0, F.lit(0.0)).otherwise(
-        F.round(num.cast("double") / den.cast("double"), 4) + F.lit(0.0)
+        num.cast("double") / den.cast("double")
     )
     return agg.select(
         "source",
         "n_tokens",
         "n_types",
-        (F.round(n.cast("double") / F.col("n_tokens").cast("double"), 6) + F.lit(0.0)).alias("ttr"),
+        (n.cast("double") / F.col("n_tokens")).alias("ttr"),
         slope.alias("zipf_slope"),
     )
 
@@ -1341,6 +1361,9 @@ def pmi_pairs(
         "w1",
         "w2",
         "c_ab",
+        # KEPT rounded (r10 sweep): log-derived double — never a
+        # 4-decimal-half shortest repr except log(1)=0.0 exactly, which
+        # both engines emit identically
         (F.round(pmi, 4) + F.lit(0.0)).alias("pmi_r4"),
     )
 

@@ -38,7 +38,10 @@ def text_metrics_pandas(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.round(vowel_ratio(F.col("text")), 4).alias("vowel_ratio"),
+        # raw IEEE quotient (r10 tie-class retirement): the UDF divides
+        # two exact ints in float64 — identical to any engine's
+        # CAST(int AS DOUBLE)/int; ROUND re-opened the decimal-half class
+        vowel_ratio(F.col("text")).alias("vowel_ratio"),
     )
 
 
@@ -62,7 +65,14 @@ def lang_stats_apply_in_pandas(documents: DataFrame) -> DataFrame:
             {
                 "lang": [pdf["lang"].iloc[0]],
                 "n_docs": [len(pdf)],
-                "mean_chars": [round(float(pdf["n_chars"].mean()), 4)],
+                # raw IEEE quotient (r10): pandas mean of ints is the
+                # exact float64 sum / n — Python round() here was
+                # BANKER'S at ties, diverging from every SQL engine
+                "mean_chars": [float(pdf["n_chars"].mean())],
+                # p90 stays rounded: linear-interpolated quantiles can
+                # differ from quantile_cont by an ulp (lerp forms), so
+                # the round is load-bearing; a 4-decimal-half tie on an
+                # interpolated double is measure ~0 (not int/int class)
                 "p90_chars": [
                     round(float(pdf["n_chars"].quantile(0.9, interpolation="linear")), 4)
                 ],

@@ -300,6 +300,30 @@ def test_simhash_max_bucket_saturation_guard_trips_on_duplication(
     # bad knob value rejected at construction even without max_bucket
     with pytest.raises(ValueError, match="max_dropped_mass"):
         dedup.simhash_near_dup(docs, max_dropped_mass=1.5)
+    # r10 (r9 ADVICE): a VALID non-default max_dropped_mass without the
+    # cap it guards is the validated-but-unused-knob class — reject,
+    # don't silently ignore (both LSH miners)
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.simhash_near_dup(docs, max_dropped_mass=0.1)
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.minhash_lsh_candidates(docs, max_dropped_mass=0.1)
+    # defaults (0.5) and explicit None stay legal without a cap
+    dedup.simhash_near_dup(docs, max_dropped_mass=None)
+    dedup.minhash_lsh_candidates(docs)
+
+
+def test_minhash_rejects_non_power_of_two_num_hashes(spark, tables):
+    """r10: est_jaccard = ROUND(n_agree/num_hashes, 4) is tie-safe only
+    for dyadic denominators (k/2^m is binary-exact, both engines round
+    the true tie half-away); any other num_hashes re-opens the r9
+    rounded-ratio tie class, so it is rejected at construction."""
+    docs = tables["documents"]
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.minhash_lsh_candidates(docs, num_hashes=24, bands=8)
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.minhash_lsh_candidates(docs, num_hashes=0, bands=1)
+    # powers of two construct fine
+    dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
 
 
 def test_lsh_topk_results_are_subset_of_brute_force_candidates(spark, tables):
@@ -1030,7 +1054,7 @@ def test_dedup_stats_counts_planted_dupes(spark, tables):
     )
     out = {r.source: r for r in dedup.dedup_stats(docs).collect()}
     assert out["a"].n_docs == 3 and out["a"].n_distinct == 2
-    assert out["a"].dup_rate == round(1 / 3, 4)
+    assert out["a"].dup_rate == 1 / 3  # raw IEEE quotient since r10
     assert out["b"].dup_rate == 0.0
 
 
@@ -1131,13 +1155,14 @@ def test_zipf_stats_known_values(spark, tables):
     )
     row = text.lexical_zipf_stats(docs).collect()[0]
     assert row["n_tokens"] == 7 and row["n_types"] == 3
-    assert row["ttr"] == round(3 / 7, 6)
+    assert row["ttr"] == 3 / 7  # raw IEEE quotient since r10
     xs = [round(math.log(r) * 1e6) for r in (1, 2, 3)]
     ys = [round(math.log(f) * 1e6) for f in (4, 2, 1)]
     n = 3
     num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
     den = n * sum(x * x for x in xs) - sum(xs) ** 2
-    assert row["zipf_slope"] == round(num / den, 4)
+    # raw quotient since r10, cast-each-then-divide like the operator
+    assert row["zipf_slope"] == float(num) / float(den)
 
 
 def test_curriculum_bins_ordered_and_complete(tables):
@@ -1203,7 +1228,7 @@ def test_source_overlap_matrix_planted(spark, tables):
     r = pairs[("sA", "sB")]
     assert r["n_shared"] == 3  # the 3 tri-grams inside the shared run
     # each source has 5 distinct tri-grams (7 tokens)
-    assert r["jaccard"] == round(3 / (5 + 5 - 3), 4)
+    assert r["jaccard"] == 3 / (5 + 5 - 3)  # raw quotient since r10
 
 
 def test_bigram_logprob_invariants(spark, tables):
