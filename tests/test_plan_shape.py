@@ -522,3 +522,26 @@ def test_nb_apply_single_tokenize_and_broadcast_model(tables):
     # 1 tokenize on the scoring side; the other Generates live in the
     # broadcast (vocab-bounded) model subtree
     assert plan.count("Generate") <= 5, plan
+
+
+def test_hybrid_search_global_topk_and_pruned_postings(tables):
+    """r10 (carried r8 #6): the q_hybrid_search plan pin every earlier
+    promotion shipped with. Both rankers must reach their top-k via
+    TakeOrderedAndProject (distributed top-k, never a single-partition
+    corpus window), the raw-tf ranker's query-term filter must sit
+    under its aggregation (postings pruned before the shuffle), and the
+    1-row corpus stats fold back by broadcast, never a cartesian."""
+    from dbt_schema_builder_spark.operators import text
+
+    docs = tables["documents"]
+    docs.sparkSession.catalog.clearCache()
+    plan = _plan(text.hybrid_search(docs, ("data", "dup"), topk=20))
+    # one distributed top-k per ranker (formatted plans print each op
+    # twice: tree + detail section, hence the 2x counts)
+    assert plan.count("TakeOrderedAndProject") == 4, plan
+    assert "CartesianProduct" not in plan, plan
+    # row_number windows run over the <=topk TakeOrdered survivors:
+    # 3 windows total — 2 per-ranker ranks + 1 fused rank
+    assert plan.count("+- Window") == 3, plan
+    # tokenize passes stay bounded (2 real + broadcast-subtree reprints)
+    assert plan.count("Generate") <= 8, plan
