@@ -1,0 +1,188 @@
+"""Differential-coverage audit (r10, carried from the r8 verdict #4).
+
+Every real cross-engine bug this repo has found — the _det_avg
+4-decimal tie (r8), the 2^53 integral-div headroom (r9), the 57/800
+ROUND divergence (r9) — came from RANDOM-CORPUS DIFFERENTIALS: running
+the oracle SQL (the exact string or its generator) against DuckDB on
+hypothesis-generated inputs and comparing with the Spark operator. The
+driver only ever sees one fixture corpus, so generator/operator drift
+on shapes the fixture lacks is visible ONLY to this machinery. This
+audit makes its coverage a checked invariant:
+
+- A key counts as COVERED when a test file references its oracle
+  string (``oracle_sql()["q_x"]``) or its generator function by name.
+- Every other key must carry an explicit exemption with a reason.
+- A key that is both covered and exempted fails the audit (stale
+  exemption — delete it so the ratchet only tightens).
+- A new oracle key that is neither covered nor exempted fails the
+  audit (classify it when you add it).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Exemptions, grouped by reason. Shrink these lists by adding inline
+# differentials (tests that execute the key's oracle string / generator
+# against DuckDB on random frames); never grow a list without a reason
+# that names what ALREADY pins the key's semantics.
+
+_STATIC_CONFIG = {
+    # Static config/policy shapes on fixed catalog tables: pure
+    # projections/filters/renames with integer/string surfaces — no
+    # float semantics, no generative parameter. The driver's two-SF
+    # hash check exercises the full surface.
+    "q_banned_column_filter", "q_catalog_scan", "q_chunked_union",
+    "q_dupe_detection", "q_evolving_read", "q_exclude_filter",
+    "q_include_filter", "q_keyword_quoting", "q_metadata_merge_join",
+    "q_pii_view_projection", "q_prefix_rename", "q_regex_anti_filter",
+    "q_safe_view_redaction", "q_scalar_kernel", "q_schema_tests",
+    "q_soft_delete_filter", "q_sort_group_collect",
+}
+
+_RELATIONAL_SHAPE = {
+    # Verbatim relational shapes on the TPC-H tables: the Spark plan
+    # and the oracle are the same algebra written twice, so a random
+    # corpus exercises nothing the fixture does not. The money-ROUND
+    # numeric bound is documented at relational.pricing_summary.
+    "q_star_join", "q_hash_agg", "q_rollup", "q_cube",
+    "q_grouping_sets", "q_window_rank", "q_window_running", "q_topk",
+    "q_set_ops", "q_semi_anti", "q_pivot", "q_unpivot",
+    "q_group_quantiles", "q_merge_partial_aggs", "q_salted_agg",
+    "q_salted_join", "q_skew_report", "q_fuzzy_match",
+    "q_sql_brand_qty_revenue", "q_sql_correlated_exists",
+    "q_sql_cust_order_dist", "q_sql_local_supplier_volume",
+    "q_sql_promo_revenue", "q_sql_scalar_subquery",
+    "q_sql_shipping_priority",
+}
+
+_EVENTS_FRAME_GAP = {
+    # Events/orders-frame operators: no random-event-frame differential
+    # harness yet (documented gap — the r8 streaming differentials
+    # cover the stateful twins of the window/session shapes, and the
+    # r9 tie-fix keys carry deterministic-integer or _det_avg_round4
+    # surfaces). First candidates for an r11 harness.
+    "q_anomaly_events", "q_approx_distinct", "q_asof_join",
+    "q_categorical_profile", "q_cohort_retention",
+    "q_conversion_latency", "q_cumulative_users", "q_funnel",
+    "q_gapfill_interp", "q_gapfill_locf", "q_heavy_hitters",
+    "q_histogram", "q_interval_coverage", "q_json_extract",
+    "q_mad_outliers", "q_merge_latest", "q_profile", "q_range_join",
+    "q_rolling_active", "q_scd2", "q_session_window",
+    "q_sliding_window", "q_transition_matrix", "q_trend_slope",
+    "q_tumbling_window",
+}
+
+_STREAMING_WRAPPER = {
+    # Streaming wrappers over batch shapes: the six stateful
+    # q_stream_* keys carry r8 streaming differentials; these two wrap
+    # covered batch kernels (dedup-vs-history anti-join, stream-static
+    # enrich join) around the same source plumbing.
+    "q_stream_dedup_history", "q_stream_enrich",
+}
+
+_TEXT_KERNEL_PINNED = {
+    # Documents-frame operators whose numeric kernel is pinned by an
+    # existing generator differential or whose surface is
+    # deterministic-integer/md5 (property-tested in Python, no float
+    # semantics to drift). Direct inline differentials are the next
+    # ratchet step.
+    "q_bigram_logprob", "q_bm25_search", "q_bpe_tokens",
+    "q_cap_per_source", "q_doc_fingerprint", "q_exact_dedup",
+    "q_hash_split", "q_incremental_dedup", "q_incremental_dedup_bloom",
+    "q_lang_stats_pandas", "q_pandas_udf", "q_percentile_filter",
+    "q_pii_scrub", "q_pmi_pairs", "q_source_kl", "q_stratified_sample",
+    "q_tfidf_cosine_pairs", "q_tfidf_terms", "q_token_count",
+    "q_weighted_sample",
+}
+
+_EMBEDDING_FRAME_GAP = {
+    # Embedding/binary-frame operators: the integer-vector kernels
+    # (quantization, integer L2/cosine, portable hyperplanes) are
+    # pinned by the PQ / IVF-PQ / kmeans / LSH generator differentials;
+    # these keys compose the same kernels. Direct random-embedding
+    # differentials are an r11 candidate.
+    "q_centroid_by_label", "q_centroid_outliers",
+    "q_embedding_near_dup", "q_frame_dedup", "q_frame_sample",
+    "q_ivf_topk", "q_quantize_embeddings", "q_quantized_topk",
+    "q_semantic_dedup_ivf", "q_topk_similarity",
+}
+
+EXEMPT = {}
+for _group in (
+    _STATIC_CONFIG,
+    _RELATIONAL_SHAPE,
+    _EVENTS_FRAME_GAP,
+    _STREAMING_WRAPPER,
+    _TEXT_KERNEL_PINNED,
+    _EMBEDDING_FRAME_GAP,
+):
+    for _k in _group:
+        assert _k not in EXEMPT, f"duplicate exemption {_k}"
+        EXEMPT[_k] = True
+
+
+def _generator_key_map(entry_src: str) -> dict[str, set[str]]:
+    """generator function name -> oracle keys it produces, from both
+    direct dict entries and _with_shared_oracles assignments."""
+    gen2keys: dict[str, set[str]] = {}
+    for pat in (
+        r'"(q_\w+)":\s*(_\w+_oracle_sql)\(',
+        r'\[\s*"(q_\w+)"\s*\]\s*=\s*(_\w+_oracle_sql)\(',
+    ):
+        for k, g in re.findall(pat, entry_src):
+            gen2keys.setdefault(g, set()).add(k)
+    return gen2keys
+
+
+def _covered_keys() -> set[str]:
+    entry_src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    gen2keys = _generator_key_map(entry_src)
+    test_src = ""
+    for f in glob.glob(os.path.join(REPO, "tests", "*.py")):
+        if os.path.basename(f) == os.path.basename(__file__):
+            continue
+        test_src += open(f).read()
+    covered = set(re.findall(r'oracle_sql\(\)\[\s*"(q_\w+)"\s*\]', test_src))
+    for g, keys in gen2keys.items():
+        if g in test_src:
+            covered |= keys
+    return covered
+
+
+def test_every_oracle_key_is_differential_covered_or_exempt():
+    import __spark_entry__ as entry
+
+    all_keys = set(entry.oracle_sql())
+    covered = _covered_keys() & all_keys
+    exempt = set(EXEMPT)
+
+    phantom = exempt - all_keys
+    assert not phantom, f"exemptions for nonexistent keys: {sorted(phantom)}"
+
+    stale = covered & exempt
+    assert not stale, (
+        "stale exemptions — these keys now have differentials, delete "
+        f"them from EXEMPT so the ratchet tightens: {sorted(stale)}"
+    )
+
+    unclassified = all_keys - covered - exempt
+    assert not unclassified, (
+        "oracle keys with neither a random-corpus differential nor a "
+        f"documented exemption: {sorted(unclassified)} — add an inline "
+        "differential (preferred) or classify in EXEMPT with a reason"
+    )
+
+
+def test_coverage_ratchet_floor():
+    """The covered set must not shrink: r10 froze 56 covered keys of
+    157. Deleting a differential (or renaming a generator without
+    updating tests) trips this before the coverage silently erodes."""
+    import __spark_entry__ as entry
+
+    covered = _covered_keys() & set(entry.oracle_sql())
+    assert len(covered) >= 56, sorted(covered)

@@ -2439,3 +2439,243 @@ def test_jaccard_unrounded_surface_tie_divergence(spark):
     # the prefix twin must agree bit-for-bit (shared driver oracle)
     pp = dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.05).collect()
     assert [tuple(r) for r in pp] == [tuple(r) for r in got]
+
+
+# ---------------------------------------------------------------------------
+# r10: inline oracle differentials for the ROUND(int/int) retirement batch —
+# the raw-quotient surfaces must match DuckDB bit-for-bit on corpora the
+# fixture never shows (tie-prone rationals, single-token docs, tiny groups)
+# ---------------------------------------------------------------------------
+
+
+def _duck_docs(rows):
+    """duckdb connection with a documents view shaped like DOC_SCHEMA."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [r[4] for r in rows],
+            }
+        ),
+    )
+    return con
+
+
+def _full_docs(spark, pairs):
+    rows = [
+        (i, t, "en", s, len(t)) for i, (s, t) in enumerate(pairs)
+    ]
+    return rows, spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+@settings(max_examples=8, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=10))
+def test_quality_score_inline_oracle_on_random_corpora(spark, text_list):
+    """avg_token_len / stopword_ratio as raw IEEE quotients: any n/d the
+    corpus produces must match DuckDB exactly (the retired ROUND form
+    diverged at 4-decimal-half rationals like 57/800)."""
+    import __spark_entry__ as entry
+
+    pairs = [("s", t) for t in text_list]
+    rows, docs = _full_docs(spark, pairs)
+    got = {tuple(r) for r in text.quality_score(docs).collect()}
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_quality_score"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=10))
+def test_oov_rate_inline_oracle_on_random_corpora(spark, text_list):
+    """oov_rate raw quotient + the derived top-20 vocab: corpora with
+    fewer than 20 distinct tokens exercise the LIMIT underflow, heavy
+    stopword mass exercises count ties in the vocab ranking."""
+    import __spark_entry__ as entry
+
+    pairs = [("s", t) for t in text_list]
+    rows, docs = _full_docs(spark, pairs)
+    got = {
+        tuple(r)
+        for r in text.oov_rate(docs, text.top_vocab(docs, size=20)).collect()
+    }
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_oov_rate"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1"]), lsh_texts),
+    min_size=1,
+    max_size=12,
+))
+def test_dedup_stats_inline_oracle_on_random_corpora(spark, pairs):
+    """dup_rate raw quotient over md5-keyed distinct counts: the
+    lsh vocabulary forces verbatim collisions, tiny groups force
+    denominators the fixture never has (1, 2, 3...)."""
+    import __spark_entry__ as entry
+
+    rows, docs = _full_docs(spark, pairs)
+    got = {tuple(r) for r in dedup.dedup_stats(docs).collect()}
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_dedup_stats"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1"]), lsh_texts),
+    min_size=1,
+    max_size=12,
+))
+def test_zipf_stats_inline_oracle_on_random_corpora(spark, pairs):
+    """ttr and the OLS slope as raw quotients of exact int64 micro
+    sums: degenerate single-type sources hit the den==0 branch, tiny
+    vocabularies hit every tie-prone small denominator."""
+    import __spark_entry__ as entry
+
+    rows, docs = _full_docs(spark, pairs)
+    got = {tuple(r) for r in text.lexical_zipf_stats(docs).collect()}
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_zipf_stats"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(text_list=st.lists(texts, min_size=1, max_size=10))
+def test_repetition_stats_inline_oracle_on_random_corpora(
+    spark, text_list
+):
+    """dup_token_fraction / top_bigram_fraction raw quotients plus the
+    lexicographic bigram tie-break, including sub-bigram docs (absent
+    from both sides)."""
+    import __spark_entry__ as entry
+
+    pairs = [("s", t) for t in text_list]
+    rows, docs = _full_docs(spark, pairs)
+    got = {tuple(r) for r in text.repetition_stats(docs).collect()}
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_repetition_stats"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]), texts),
+    min_size=1,
+    max_size=10,
+))
+def test_source_mix_inline_oracle_on_random_corpora(spark, pairs):
+    """sample_rate = min(1, budget/(n_sources*n_tokens)) as a raw
+    quotient: token products near/above the budget exercise both the
+    clamp and tie-prone small denominators."""
+    import __spark_entry__ as entry
+
+    rows, docs = _full_docs(spark, pairs)
+    got = {
+        tuple(r)
+        for r in text.source_mix(docs, budget_tokens=100_000).collect()
+    }
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_source_mix"]).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["en", "fr"]), texts),
+    min_size=1,
+    max_size=10,
+))
+def test_prep_pipeline_inline_oracle_on_random_corpora(spark, pairs):
+    """The composite prep pipeline end-to-end, most importantly the
+    UNROUNDED stop_ratio <= 0.5 FILTER boundary: a ratio that rounds to
+    0.5 but exceeds it raw must be rejected by BOTH engines (the r10
+    surface change altered row membership, not just emitted values)."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (i, t, lang, "s", len(t)) for i, (lang, t) in enumerate(pairs)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    # q_prep_pipeline takes (spark, sf_dir); replicate its composed body
+    # on the random frame (kept in lockstep with __spark_entry__)
+    from pyspark.sql import functions as FF
+
+    quality = text.quality_score(docs).where(
+        (FF.col("n_tokens") >= 30) & (FF.col("stopword_ratio") <= 0.5)
+    )
+    norm = FF.lower(FF.regexp_replace(FF.col("text"), r"\s+", " "))
+    keyed = docs.join(
+        quality.select("doc_id", "n_tokens"), "doc_id"
+    ).select("doc_id", "lang", "n_tokens", FF.md5(norm).alias("content_md5"))
+    deduped = keyed.groupBy("content_md5").agg(
+        FF.min("doc_id").alias("doc_id"),
+        FF.min_by("lang", "doc_id").alias("lang"),
+        FF.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    out = deduped.groupBy("lang").agg(
+        FF.count(FF.lit(1)).alias("n_docs"),
+        FF.sum("n_tokens").alias("token_budget"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_prep_pipeline"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["en", "fr"]), texts),
+    min_size=1,
+    max_size=10,
+))
+def test_text_stats_inline_oracle_on_random_corpora(spark, pairs):
+    """avg_chars / avg_tokens as raw quotients of exact int64 sums:
+    tiny per-lang groups hit every small tie-prone denominator."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (i, t, lang, "s", len(t)) for i, (lang, t) in enumerate(pairs)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {tuple(r) for r in text.text_stats_by_lang(docs).collect()}
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_text_stats"]).fetchall()
+    }
+    assert got == want
