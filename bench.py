@@ -216,9 +216,24 @@ def _near_dup_ivf_sharded05(spark, sf_dir):
 # q_cluster_diversity); x_nb_apply_heldout / x_hybrid_search graduated
 # with the r9 promotion (q_nb_apply / q_hybrid_search — same code paths,
 # classifier.nb_apply_heldout / text.hybrid_search).
+def _image_decode(spark, sf_dir):
+    """r10: the REAL pure-Python PPM decode path — synthesize a valid
+    P6 per document, parse it back, emit integer-exact channel sums +
+    the hex plane (oracle-matched in tests/test_multimodal_codecs.py)."""
+    from dbt_schema_builder_spark import multimodal
+    from dbt_schema_builder_spark.session import read_table
+
+    return multimodal.decoded_image_features(
+        multimodal.attach_ppm_image_bytes(
+            read_table(spark, f"{sf_dir}/documents.parquet")
+        )
+    )
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
+    "x_image_decode": _image_decode,
 }
 
 

@@ -1,12 +1,16 @@
 """Multimodal column plumbing (north-star: image/audio/video as opaque
 binary columns with typed metadata).
 
-The container has no image/audio codecs, so the *decode* step is stubbed —
-either a clearly-marked NotImplementedError (``decode_image_stub``) or a
-deterministic fake decoder (``image_features``) — but the Spark-side
-plumbing is real and tested: binary column schema, metadata struct,
-mapInPandas batch iteration, Arrow transfer of bytes, and partition-sized
-batching. Swapping in a real decoder (PIL / torchaudio / ffmpeg) changes
+The container has no codec LIBRARIES, but uncompressed formats need
+none: as of r10 the decode seam is REAL for binary PPM/PGM and
+uncompressed BMP (pure-Python parsers in ``codecs.py``, dispatched by
+``decode_image_stub`` and exercised end-to-end by
+``decoded_image_features``). Compressed formats (JPEG/PNG/audio) still
+raise a loud ValueError; ``image_features``/``audio_features`` keep
+their deterministic fake kernels for byte-level stats. The Spark-side
+plumbing is identical either way: binary column schema, metadata
+struct, mapInPandas batch iteration, Arrow transfer of bytes, and
+partition-sized batching — swapping in PIL/torchaudio/ffmpeg changes
 only the inner function body.
 
 Scale notes: binary payloads ride the same parquet scan as everything else;
@@ -59,13 +63,17 @@ def attach_fake_image_bytes(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> None:
-    """The real-decoder seam. Container ships no codecs, so this raises;
-    replace with e.g. PIL.Image.open(io.BytesIO(payload)) in production."""
-    raise NotImplementedError(
-        "image decoding requires a codec library not present in this "
-        "container; swap decode_image_stub for a real decoder"
-    )
+def decode_image_stub(payload: bytes):
+    """The real-decoder seam — REAL since r10 (carried r8 verdict #5):
+    dispatches to the pure-Python codecs (binary PPM/PGM, uncompressed
+    8/24-bit BMP — ``multimodal.codecs``). Compressed formats still
+    need a codec library; they raise ValueError with the supported
+    table, so a decode failure surfaces as a data error, never a wrong
+    plane. The name keeps the historical seam: swapping in PIL for
+    JPEG/PNG only widens the format dispatch."""
+    from .codecs import decode_image
+
+    return decode_image(payload)
 
 
 FEATURES_SCHEMA = StructType(
@@ -253,4 +261,97 @@ def frame_dedup(media: DataFrame, every: int = 256) -> DataFrame:
             F.count(F.lit(1)).alias("n_frames"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10: REAL decode path (pure-Python PPM/BMP codecs, multimodal/codecs.py)
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("plane_hex", StringType(), False),
+    ]
+)
+
+
+def attach_ppm_image_bytes(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID binary PPM (P6, 4x4 RGB) per document: header
+    + a 48-byte pixel plane derived from three md5 digests of the text.
+    This is a real image file a real parser must decode — and because
+    the plane derivation is md5, an ANSI oracle re-derives the expected
+    pixels from the text without parsing PPM in SQL (the hex-plane
+    pattern; same trick as the audio oracles)."""
+    plane = F.concat(
+        F.unhex(F.md5(F.col("text"))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit(":p1")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit(":p2")))),
+    )
+    payload = F.concat(F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"), plane)
+    return documents.select(
+        "doc_id",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decoded_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode + integer-exact features via mapInPandas: parse each
+    payload with the pure-Python codecs, emit dimensions, exact int64
+    per-channel sums, and the decoded plane as lowercase hex (the
+    surface an oracle matches byte-for-byte when the pixel source is
+    known — a wrong parse cannot hide). Grayscale planes report the
+    single channel's sum in all three columns.
+
+    Scale: a pure map over Arrow batches — no driver collect; cost is
+    the decode itself, linear in payload bytes. The input repartitions
+    to the session parallelism first (the r4 single-file-scan lesson:
+    a CPU-bound map over one local file otherwise runs on one core; on
+    a cluster reading many files, maxPartitionBytes already splits and
+    the exchange is one narrow pass over the payload column)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                arr = img.array().reshape(-1, img.channels)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                if img.channels == 1:
+                    sr = sg = sb = int(sums[0])
+                else:
+                    sr, sg, sb = (int(s) for s in sums)
+                rows.append(
+                    (
+                        int(doc_id),
+                        img.width,
+                        img.height,
+                        img.channels,
+                        sr,
+                        sg,
+                        sb,
+                        img.plane.hex(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(extract, DECODED_SCHEMA)
     )

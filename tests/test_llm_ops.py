@@ -656,7 +656,10 @@ def test_resize_images_fixed_output(spark, tables):
 
 
 def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+    # the seam is REAL since r10 (PPM/BMP parse for real); unsupported
+    # payloads fail loudly as DATA errors, not NotImplementedError —
+    # full decoder coverage lives in tests/test_multimodal_codecs.py
+    with pytest.raises(ValueError, match="unsupported format"):
         decode_image_stub(b"anything")
 
 
