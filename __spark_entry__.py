@@ -2576,28 +2576,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM st JOIN s_tot USING (source) JOIN g_tot USING (token) "
             "CROSS JOIN tot GROUP BY source"
         ),
-        "q_containment": (
-            # same shingle construction as q_ngram_jaccard's oracle;
-            # containment threshold + milli value are pure integer
-            # arithmetic (no float anywhere). max_df omitted like the
-            # jaccard oracle: a no-op on the organic corpus (max df 25)
-            "WITH toks AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, "
-            "array_to_string(t[i:i+2], ' ') AS shingle "
-            "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
-            "AS u(i)), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "COUNT(*) AS n_inter FROM sh a JOIN sh b "
-            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-            "GROUP BY a.doc_id, b.doc_id) "
-            "SELECT doc_a, doc_b, n_inter, sa.sz AS size_a, sb.sz AS size_b, "
-            "(n_inter * 1000) // least(sa.sz, sb.sz) AS containment_milli "
-            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
-            "JOIN sizes sb ON sb.doc_id = doc_b "
-            "WHERE n_inter * 1000 >= 500 * least(sa.sz, sb.sz)"
-        ),
+        # generator extracted r10 for the parameter-sweep differentials
+        # (byte-identical at the driver params — manifest-checked)
+        "q_containment": _containment_oracle_sql(),
         "q_bm25_search": (
             # mirrors text.bm25_search term for term: Lucene idf,
             # micro-unit integer score sums, (score, doc_id) tie-break,
@@ -4037,7 +4018,7 @@ def _zorder_layout_oracle_sql(bits: int, n_files: int) -> str:
     )
 
 
-def _ngram_jaccard_oracle_sql(threshold: float) -> str:
+def _ngram_jaccard_oracle_sql(threshold: float, n: int = 3) -> str:
     """Shared generator for the exact n-gram-Jaccard keys
     (q_ngram_jaccard at 0.2, q_ppjoin_jaccard at its honest 0.8 regime
     since r6) — one SQL body, threshold-parameterized, so the two keys'
@@ -4051,12 +4032,16 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
     correctly-rounded IEEE division of the same int64s in both engines
     at every input. Threshold CAST to DOUBLE (DuckDB parses bare float
     literals as DECIMAL — CLAUDE.md r5 rule)."""
+    # gram width parameterized r10 for the parameter-sweep
+    # differentials (emits the historical string byte-identically at
+    # n=3 — manifest-checked)
     return (
         "WITH toks AS (SELECT doc_id, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
         "sh AS (SELECT DISTINCT doc_id, "
-        "array_to_string(t[i:i+2], ' ') AS shingle "
-        "FROM toks, LATERAL unnest(generate_series(1, greatest(len(t)-2, 0))) "
+        f"array_to_string(t[i:i+{n - 1}], ' ') AS shingle "
+        "FROM toks, LATERAL unnest(generate_series(1, "
+        f"greatest(len(t)-{n - 1}, 0))) "
         "AS u(i)), "
         "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
@@ -4069,6 +4054,36 @@ def _ngram_jaccard_oracle_sql(threshold: float) -> str:
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
         "JOIN sizes sb ON sb.doc_id = doc_b) "
         f"WHERE j >= CAST({threshold} AS DOUBLE)"
+    )
+
+
+def _containment_oracle_sql(threshold_milli: int = 500, n: int = 3) -> str:
+    """DuckDB replay of dedup.containment_pairs: same shingle
+    construction as q_ngram_jaccard's oracle; containment threshold +
+    milli value are pure integer arithmetic (no float anywhere —
+    DuckDB's `//` truncates like Spark's `div`, both operands
+    non-negative here so truncate == floor). max_df omitted like the
+    jaccard oracle: a no-op on the organic corpus (max df 25).
+    Parameterized r10 for the sweep differentials; emits the historical
+    q_containment string byte-identically at the defaults."""
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        f"array_to_string(t[i:i+{n - 1}], ' ') AS shingle "
+        "FROM toks, LATERAL unnest(generate_series(1, "
+        f"greatest(len(t)-{n - 1}, 0))) "
+        "AS u(i)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "COUNT(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, n_inter, sa.sz AS size_a, sb.sz AS size_b, "
+        "(n_inter * 1000) // least(sa.sz, sb.sz) AS containment_milli "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE n_inter * 1000 >= {int(threshold_milli)} * least(sa.sz, sb.sz)"
     )
 
 

@@ -2679,3 +2679,189 @@ def test_text_stats_inline_oracle_on_random_corpora(spark, pairs):
         for r in con.execute(entry.oracle_sql()["q_text_stats"]).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r10: PARAMETER-SWEEP differentials over the dedup generators (carried
+# r8 verdict #8): the fixed-parameter differentials under-test exactly
+# the knobs users turn — and the r7 lesson says some widths (k=2 extent
+# geometry) are the ONE shape where a bug class is invisible. Sweep gram
+# width, band count/width, caps, and thresholds at boundary ratios.
+# ---------------------------------------------------------------------------
+
+
+def _duck_texts(texts):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)}),
+    )
+    return con
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(jacc_texts, min_size=2, max_size=8),
+    n=st.sampled_from([2, 3, 4]),
+    threshold=st.sampled_from([0.0, 0.2, 0.5, 2 / 3, 0.8]),
+)
+def test_ngram_jaccard_sweep_matches_generator(spark, texts, n, threshold):
+    """Gram width x threshold sweep, including 2/3 (a boundary the
+    4-token alphabet actually produces: j == 2/3 must PASS a >= 2/3
+    filter on both engines — the unrounded-filter contract)."""
+    from __spark_entry__ import _ngram_jaccard_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=n, threshold=threshold
+        ).collect()
+    }
+    con = _duck_texts(texts)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _ngram_jaccard_oracle_sql(threshold, n=n)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(jacc_texts, min_size=2, max_size=8),
+    n=st.sampled_from([2, 3]),
+    threshold=st.sampled_from([0.5, 2 / 3, 0.8, 1.0]),
+)
+def test_prefix_jaccard_sweep_matches_generator(spark, texts, n, threshold):
+    """The lossless prefix branch must equal the generator at EVERY
+    (width, threshold), not just the pinned t=0.8/n=3: the prefix
+    length depends on both knobs, so an off-by-one in ceil(t*|set|)
+    shows up only off the pinned point."""
+    from __spark_entry__ import _ngram_jaccard_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.jaccard_prefix_pairs(
+            docs, n=n, threshold=threshold
+        ).collect()
+    }
+    con = _duck_texts(texts)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _ngram_jaccard_oracle_sql(threshold, n=n)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(lsh_texts, min_size=2, max_size=8),
+    shape=st.sampled_from([(8, 2), (16, 4), (32, 8), (32, 4), (16, 16)]),
+    max_bucket=st.sampled_from([None, 2]),
+)
+def test_minhash_sweep_matches_generator(spark, texts, shape, max_bucket):
+    """num_hashes x bands x cap sweep (powers of two only — enforced at
+    construction since r10): the r8 lesson says table WIDTH, not count,
+    controls collisions, so (32,4)'s 8-row bands and (16,16)'s 1-row
+    bands exercise both extremes; max_bucket=2 replays the capped
+    bandkeys CTE on corpora where cells actually overflow."""
+    from __spark_entry__ import _minhash_oracle_sql
+
+    num_hashes, bands = shape
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.minhash_lsh_candidates(
+            docs,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_hash="portable",
+            max_bucket=max_bucket,
+            max_dropped_mass=None,
+        )
+        .select("doc_a", "doc_b", "n_agree")
+        .collect()
+    }
+    con = _duck_texts(texts)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _minhash_oracle_sql(
+                num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(lsh_texts, min_size=2, max_size=8),
+    max_hamming=st.sampled_from([4, 16, 32]),
+    max_bucket=st.sampled_from([3, 200]),
+)
+def test_simhash_sweep_matches_generator(spark, texts, max_hamming, max_bucket):
+    """Hamming radius x cap sweep: tight radii cut verified pairs, a
+    tight cap drops whole cells pre-join — both paths must replay."""
+    from __spark_entry__ import _simhash_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.simhash_near_dup(
+            docs,
+            max_hamming=max_hamming,
+            token_hash="portable",
+            max_bucket=max_bucket,
+            max_dropped_mass=None,
+        ).collect()
+    }
+    con = _duck_texts(texts)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _simhash_oracle_sql(
+                max_hamming=max_hamming, max_bucket=max_bucket
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(jacc_texts, min_size=2, max_size=8),
+    n=st.sampled_from([2, 3]),
+    threshold_milli=st.sampled_from([0, 200, 500, 800, 1000]),
+)
+def test_containment_sweep_matches_generator(
+    spark, texts, n, threshold_milli
+):
+    """Width x milli-threshold sweep incl. 1000 (full containment —
+    only exact subsets survive) and 0 (every intersecting pair): the
+    integer >= comparison must agree with DuckDB's at every boundary."""
+    from __spark_entry__ import _containment_oracle_sql
+
+    docs = _docs(spark, texts)
+    got = {
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, n=n, threshold_milli=threshold_milli
+        ).collect()
+    }
+    con = _duck_texts(texts)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            _containment_oracle_sql(threshold_milli=threshold_milli, n=n)
+        ).fetchall()
+    }
+    assert got == want
