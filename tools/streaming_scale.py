@@ -36,6 +36,9 @@ from dbt_schema_builder_spark.streaming import (  # noqa: E402
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# r10: replica factor for state-row cardinality (10 = the r6 rows,
+# 100 = the r10 verdict-#8 evidence run)
+FACTOR = int(os.environ.get("STREAM_FACTOR", "10"))
 N_FILES = 8
 
 spark = get_spark(app_name="streaming-scale")
@@ -53,15 +56,15 @@ def stage(df, tag):
 
 base = read_table(spark, f"{SF_DIR}/events.parquet")
 # 10x distinct users, same per-user event volume; event_id re-keyed unique
-reps = spark.range(10).select(F.col("id").alias("rep"))
+reps = spark.range(FACTOR).select(F.col("id").alias("rep"))
 ev10 = base.crossJoin(reps).select(
-    (F.col("event_id") * 10 + F.col("rep")).alias("event_id"),
+    (F.col("event_id") * FACTOR + F.col("rep")).alias("event_id"),
     "ts",
-    (F.col("user_id") * 10 + F.col("rep")).alias("user_id"),
+    (F.col("user_id") * FACTOR + F.col("rep")).alias("user_id"),
     "event_type",
     "value",
 )
-dirs = {"1x": stage(base, "1x"), "10x": stage(ev10, "10x")}
+dirs = {"1x": stage(base, "1x"), f"{FACTOR}x": stage(ev10, f"{FACTOR}x")}
 
 OPS = {
     "user_state": lambda src: streaming_user_state(src),
@@ -107,7 +110,7 @@ for op in OPS:
 # scaling ratios: 10x wall / 1x wall per drain shape
 for op in OPS:
     for label in ("availableNow", "mft1"):
-        a, b = out[f"{op}_1x_{label}"], out[f"{op}_10x_{label}"]
+        a, b = out[f"{op}_1x_{label}"], out[f"{op}_{FACTOR}x_{label}"]
         out[f"ratio_{op}_{label}"] = round(b["wall_s"] / max(a["wall_s"], 1e-9), 2)
 print(json.dumps(out, indent=1))
 
