@@ -61,20 +61,20 @@ _RELATIONAL_SHAPE = {
 }
 
 _EVENTS_FRAME_GAP = {
-    # Events/orders-frame operators: no random-event-frame differential
-    # harness yet (documented gap — the r8 streaming differentials
-    # cover the stateful twins of the window/session shapes, and the
-    # r9 tie-fix keys carry deterministic-integer or _det_avg_round4
-    # surfaces). First candidates for an r11 harness.
-    "q_anomaly_events", "q_approx_distinct", "q_asof_join",
+    # Events/orders-frame operators NOT yet wired into the r10 random
+    # events harness (tests/test_events_differentials.py — 14 keys
+    # moved to covered there). What keeps each of these out: mad's
+    # percentile-interpolation ROUND is deliberately ulp-masking
+    # (bound comment at the site), profile reads orders, approx_distinct
+    # is the HLL envelope (rows-only by design), and the rest need
+    # either multi-frame inputs (asof/range/merge join shapes) or
+    # per-key emission quirks worth their own careful replication.
+    # Next in line for the harness.
+    "q_approx_distinct", "q_asof_join",
     "q_categorical_profile", "q_cohort_retention",
-    "q_conversion_latency", "q_cumulative_users", "q_funnel",
-    "q_gapfill_interp", "q_gapfill_locf", "q_heavy_hitters",
-    "q_histogram", "q_interval_coverage", "q_json_extract",
-    "q_mad_outliers", "q_merge_latest", "q_profile", "q_range_join",
-    "q_rolling_active", "q_scd2", "q_session_window",
-    "q_sliding_window", "q_transition_matrix", "q_trend_slope",
-    "q_tumbling_window",
+    "q_gapfill_interp", "q_mad_outliers", "q_merge_latest",
+    "q_profile", "q_range_join",
+    "q_scd2", "q_sliding_window",
 }
 
 _STREAMING_WRAPPER = {
@@ -179,10 +179,10 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 
 def test_coverage_ratchet_floor():
-    """The covered set must not shrink: r10 froze 56 covered keys of
+    """The covered set must not shrink: r10 froze 72 covered keys of
     157. Deleting a differential (or renaming a generator without
     updating tests) trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 56, sorted(covered)
+    assert len(covered) >= 72, sorted(covered)
