@@ -86,18 +86,11 @@ _STREAMING_WRAPPER = {
 }
 
 _TEXT_KERNEL_PINNED = {
-    # Documents-frame operators whose numeric kernel is pinned by an
-    # existing generator differential or whose surface is
-    # deterministic-integer/md5 (property-tested in Python, no float
-    # semantics to drift). Direct inline differentials are the next
-    # ratchet step.
-    "q_bigram_logprob", "q_bm25_search", "q_bpe_tokens",
-    "q_cap_per_source", "q_doc_fingerprint", "q_exact_dedup",
-    "q_hash_split", "q_incremental_dedup", "q_incremental_dedup_bloom",
-    "q_lang_stats_pandas", "q_pandas_udf", "q_percentile_filter",
-    "q_pii_scrub", "q_pmi_pairs", "q_source_kl", "q_stratified_sample",
-    "q_tfidf_cosine_pairs", "q_tfidf_terms", "q_token_count",
-    "q_weighted_sample",
+    # (r10 late batch: ALL 20 documents-frame text-kernel keys moved to
+    # covered — inline differentials in test_llm_ops_properties.py run
+    # each driver operator call against its live oracle string on
+    # random corpora. The category stays as the landing spot for future
+    # text keys awaiting a differential.)
 }
 
 _EMBEDDING_FRAME_GAP = {
@@ -147,7 +140,10 @@ def _covered_keys() -> set[str]:
         if os.path.basename(f) == os.path.basename(__file__):
             continue
         test_src += open(f).read()
+    # two greppable access conventions: direct subscript and the
+    # property files' _entry_oracle("q_x") helper
     covered = set(re.findall(r'oracle_sql\(\)\[\s*"(q_\w+)"\s*\]', test_src))
+    covered |= set(re.findall(r'_entry_oracle\(\s*"(q_\w+)"\s*\)', test_src))
     for g, keys in gen2keys.items():
         if g in test_src:
             covered |= keys
@@ -179,10 +175,10 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 
 def test_coverage_ratchet_floor():
-    """The covered set must not shrink: r10 froze 72 covered keys of
+    """The covered set must not shrink: r10 froze 92 covered keys of
     157. Deleting a differential (or renaming a generator without
     updating tests) trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 72, sorted(covered)
+    assert len(covered) >= 92, sorted(covered)

@@ -2865,3 +2865,309 @@ def test_containment_sweep_matches_generator(
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r10 late batch: documents-frame differentials for the text-kernel keys
+# (shrinking _TEXT_KERNEL_PINNED in the coverage audit). Each runs the
+# exact driver operator call vs the key's LIVE oracle string on random
+# corpora. Word pool includes the driver's bm25 query terms so retrieval
+# postings are non-trivially exercised.
+# ---------------------------------------------------------------------------
+
+kernel_words = st.sampled_from(
+    ["alpha", "beta", "dup", "join", "vector", "the", "a", "x9"]
+)
+kernel_texts = st.lists(kernel_words, min_size=1, max_size=20).map(" ".join)
+kernel_pairs = st.lists(
+    st.tuples(st.sampled_from(["en", "fr", "de"]),
+              st.sampled_from(["s0", "s1"]),
+              kernel_texts),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _kernel_frames(spark, pairs):
+    rows = [
+        (i, t, lang, src, len(t))
+        for i, (lang, src, t) in enumerate(pairs)
+    ]
+    return rows, spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _kernel_check(spark, pairs, oracle, op):
+    import __spark_entry__ as entry  # noqa: F401  (callers pass its strings)
+
+    rows, docs = _kernel_frames(spark, pairs)
+    got = {tuple(r) for r in op(docs).collect()}
+    con = _duck_docs(rows)
+    want = {tuple(r) for r in con.execute(oracle).fetchall()}
+    assert got == want, got ^ want
+
+
+def _entry_oracle(key):
+    import __spark_entry__ as entry
+
+    return entry.oracle_sql()[key]
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_token_count_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark, pairs, _entry_oracle("q_token_count"), text.token_count
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_doc_fingerprint_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_doc_fingerprint"),
+        lambda d: text.fingerprint(d).select("doc_id", "content_md5"),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_bpe_tokens_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark, pairs, _entry_oracle("q_bpe_tokens"), text.bpe_ish_tokens
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_exact_dedup_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark, pairs, _entry_oracle("q_exact_dedup"), dedup.exact_dedup
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_hash_split_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark, pairs, _entry_oracle("q_hash_split"), text.hash_split
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_percentile_filter_oracle_on_random_corpora(spark, pairs):
+    """Tiny per-lang groups exercise FLOOR(0.1*n) == 0 (keep all) and
+    rank ties on equal n_chars broken by doc_id."""
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_percentile_filter"),
+        lambda d: text.percentile_filter(d, p=0.1),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_cap_per_source_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_cap_per_source"),
+        lambda d: text.cap_per_source(d, k=100),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["en", "fr"]), st.sampled_from(["s0"]),
+              st.lists(jacc_words, min_size=1, max_size=20).map(" ".join)),
+    min_size=1,
+    max_size=10,
+))
+def test_pii_scrub_noop_oracle_on_random_clean_corpora(spark, pairs):
+    """The oracle pins the exact no-op on PII-free text: the four
+    regexes must not over-fire on arbitrary clean tokens (planted-PII
+    behavior is unit-pinned separately)."""
+    _kernel_check(
+        spark, pairs, _entry_oracle("q_pii_scrub"), text.redact_pii
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_bm25_search_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_bm25_search"),
+        lambda d: text.bm25_search(d, ("dup", "join", "vector")),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_pmi_pairs_oracle_on_random_corpora(spark, pairs):
+    """min_count=5 on <=10-doc corpora exercises the empty result AND
+    (with the tiny alphabet) genuinely co-occurring pairs."""
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_pmi_pairs"),
+        lambda d: text.pmi_pairs(d, min_count=5),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_source_kl_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark, pairs, _entry_oracle("q_source_kl"), text.source_kl
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_tfidf_terms_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_tfidf_terms"),
+        lambda d: text.tfidf_top_terms(d, k=3),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_weighted_sample_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_weighted_sample"),
+        lambda d: text.weighted_sample_per_group(d, k=100),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_stratified_sample_oracle_on_random_corpora(spark, pairs):
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_stratified_sample"),
+        lambda d: text.stratified_sample(
+            d,
+            fractions={"en": 0.1, "de": 0.3, "es": 0.3,
+                       "fr": 0.3, "zh": 0.3},
+            key="doc_id",
+        ).select("doc_id", "lang"),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_bigram_logprob_oracle_on_random_corpora(spark, pairs):
+    """Covers the r8 tie-fix oracle (det_avg_round4 surfaces) on
+    random corpora — incl. single-token docs (no bigrams)."""
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_bigram_logprob"),
+        text.bigram_logprob,
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["en"]), st.sampled_from(["s0"]),
+              st.lists(jacc_words, min_size=4, max_size=12).map(" ".join)),
+    min_size=2,
+    max_size=8,
+))
+def test_tfidf_cosine_pairs_oracle_on_random_corpora(spark, pairs):
+    """The r9 unrounded-cosine surface at the driver params (n=3,
+    t=0.3, max_df=64 — never saturating on <=8-doc corpora)."""
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_tfidf_cosine_pairs"),
+        lambda d: dedup.tfidf_ngram_cosine_pairs(
+            d, n=3, threshold=0.3, max_df=64
+        ),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_pandas_udf_oracle_on_random_corpora(spark, pairs):
+    """The r10 raw-quotient vowel_ratio computed IN PYTHON (numpy
+    float64 division) must equal DuckDB's CAST-AS-DOUBLE quotient."""
+    from dbt_schema_builder_spark.operators import udf
+
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_pandas_udf"),
+        udf.text_metrics_pandas,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs)
+def test_lang_stats_pandas_oracle_on_random_corpora(spark, pairs):
+    """The applyInPandas group stats: raw-quotient mean (pandas float64
+    sum/n vs DuckDB SUM/COUNT) and the ulp-masked rounded p90 on tiny
+    per-lang groups."""
+    from dbt_schema_builder_spark.operators import udf
+
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_lang_stats_pandas"),
+        udf.lang_stats_apply_in_pandas,
+    )
+
+
+inc_pairs = st.lists(
+    st.tuples(st.sampled_from(["en", "fr"]),
+              st.sampled_from(["src1", "src2"]),
+              st.lists(lsh_words, min_size=1, max_size=8).map(" ".join)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=inc_pairs)
+def test_incremental_dedup_oracle_on_random_corpora(spark, pairs):
+    """src1/src2 split with a tiny duplicate-heavy alphabet: the seen
+    side is sometimes empty, sometimes swallows the whole batch."""
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_incremental_dedup"),
+        lambda d: dedup.incremental_dedup(
+            d.where(~F.col("source").rlike("^src1.*$")),
+            text.fingerprint(d.where(F.col("source").rlike("^src1.*$"))),
+            broadcast_seen=True,
+        ).select("doc_id", "lang", "source"),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=inc_pairs)
+def test_incremental_dedup_bloom_oracle_on_random_corpora(spark, pairs):
+    """The Bloom prefilter must be EXACTLY output-neutral on every
+    split shape (no false negatives; verify join removes positives) —
+    the oracle is the plain anti-join by design."""
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_incremental_dedup_bloom"),
+        lambda d: dedup.incremental_dedup_bloom(
+            d.where(~F.col("source").rlike("^src1.*$")),
+            text.fingerprint(d.where(F.col("source").rlike("^src1.*$"))),
+            k=3,
+        ).select("doc_id", "lang", "source"),
+    )
