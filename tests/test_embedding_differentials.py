@@ -1,0 +1,144 @@
+"""r10: random EMBEDDINGS-frame differentials — shrinking the coverage
+audit's embedding category. Vector components are dyadic grid values
+(k/1024: exact in BOTH float32 — the fixture's storage type — and
+float64), so Spark's float->double casts and DuckDB's doubles see the
+same numbers; everything downstream is either integer-exact (the
+quantization/centroid fixed-point kernels) or the identical sequential
+float ops the fixture's full-precision driver hash already pins.
+
+The frame (binary payload) keys ride the documents table with the
+ASCII word pool their oracle's value-safety note requires."""
+
+import __spark_entry__ as entry
+from hypothesis import given, settings, strategies as st
+
+from dbt_schema_builder_spark.operators import similarity
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+DIM = 8
+
+components = st.integers(min_value=-2048, max_value=2048)
+# first component strictly positive: keeps every VECTOR nonzero and
+# every label CENTROID nonzero (positive means can't cancel) — the
+# documented cosine() domain; the zero-norm ANSI crash this found is
+# recorded at similarity.cosine and staged for r11
+vectors = st.tuples(
+    st.integers(min_value=1, max_value=2048),
+    st.lists(components, min_size=DIM - 1, max_size=DIM - 1),
+).map(lambda t: [t[0]] + t[1])
+emb_rows = st.lists(
+    st.tuples(vectors, st.integers(min_value=0, max_value=2)),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _emb_frames(spark, rows):
+    import duckdb
+    import pandas as pd
+
+    data = [
+        (i, [k / 1024 for k in vec], lab)
+        for i, (vec, lab) in enumerate(rows)
+    ]
+    emb = spark.createDataFrame(data, EMB_SCHEMA)
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in data],
+                "embedding": [r[1] for r in data],
+                "label": [r[2] for r in data],
+            }
+        ),
+    )
+    return emb, con
+
+
+def _emb_check(spark, rows, oracle, op):
+    emb, con = _emb_frames(spark, rows)
+    got = {tuple(r) for r in op(emb).collect()}
+    want = {tuple(r) for r in con.execute(oracle).fetchall()}
+    assert got == want, got ^ want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=emb_rows)
+def test_topk_similarity_oracle_on_random_embeddings(spark, rows):
+    """Brute-force cosine top-k incl. corpora smaller than the query
+    set (LIMIT 5 of 2)."""
+    _emb_check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_topk_similarity"],
+        lambda emb: similarity.brute_force_topk(
+            emb, similarity.queries_from_corpus(emb, 5), k=5
+        ),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=emb_rows)
+def test_quantize_embeddings_oracle_on_random_embeddings(spark, rows):
+    """Int8 scalar quantization: dyadic components make the 127/maxabs
+    scale and every rounded element engine-exact."""
+    from pyspark.sql import functions as F
+
+    def op(emb):
+        q = similarity.quantize_embeddings(emb)
+        return q.select(
+            "vec_id",
+            F.md5(
+                F.array_join(F.col("qvec").cast("array<string>"), ",")
+            ).alias("qvec_md5"),
+            "q_scale",
+            "q_sqnorm",
+        )
+
+    _emb_check(
+        spark, rows, entry.oracle_sql()["q_quantize_embeddings"], op
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=emb_rows)
+def test_quantized_topk_oracle_on_random_embeddings(spark, rows):
+    _emb_check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_quantized_topk"],
+        lambda emb: similarity.quantized_topk(
+            emb, similarity.queries_from_corpus(emb, 5), k=5
+        ),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=emb_rows)
+def test_centroid_by_label_oracle_on_random_embeddings(spark, rows):
+    """Fixed-point centroid means on tiny label groups (n=1 centroids
+    equal their vector; tie-prone small denominators)."""
+    from pyspark.sql import functions as F
+
+    _emb_check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_centroid_by_label"],
+        lambda emb: similarity.centroid_by_label(emb).select(
+            "label", (F.col("pos") + 1).alias("pos"), "avg_val"
+        ),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=emb_rows)
+def test_centroid_outliers_oracle_on_random_embeddings(spark, rows):
+    """The r8 tie-fix surface (_det_avg_round4 family) at random
+    label groups, incl. singleton groups (self-centroid, sim 1)."""
+    _emb_check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_centroid_outliers"],
+        similarity.centroid_outliers,
+    )

@@ -3171,3 +3171,57 @@ def test_incremental_dedup_bloom_oracle_on_random_corpora(spark, pairs):
             k=3,
         ).select("doc_id", "lang", "source"),
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["en"]), st.sampled_from(["s0", "s1"]),
+              st.lists(jacc_words, min_size=1, max_size=30).map(" ".join)),
+    min_size=1,
+    max_size=10,
+))
+def test_frame_sample_oracle_on_random_corpora(spark, pairs):
+    """Fixed-stride frame sampling over the fake binary payloads: the
+    ASCII word pool keeps DuckDB's character slicing == byte slicing
+    (the oracle's documented value-safety precondition)."""
+    from pyspark.sql import functions as F
+
+    from dbt_schema_builder_spark.multimodal import (
+        attach_fake_image_bytes,
+        sample_frames,
+    )
+
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_frame_sample"),
+        lambda d: sample_frames(
+            attach_fake_image_bytes(d), every=256
+        ).select(
+            "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+        ),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from(["en"]), st.sampled_from(["s0", "s1"]),
+              st.lists(lsh_words, min_size=1, max_size=30).map(" ".join)),
+    min_size=2,
+    max_size=10,
+))
+def test_frame_dedup_oracle_on_random_corpora(spark, pairs):
+    """Cross-asset duplicate frames on a duplicate-heavy word pool —
+    identical payloads guarantee shared frames; ASCII-only per the
+    oracle precondition."""
+    from dbt_schema_builder_spark.multimodal import (
+        attach_fake_image_bytes,
+        frame_dedup,
+    )
+
+    _kernel_check(
+        spark,
+        pairs,
+        _entry_oracle("q_frame_dedup"),
+        lambda d: frame_dedup(attach_fake_image_bytes(d), every=256),
+    )
