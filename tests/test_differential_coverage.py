@@ -61,20 +61,17 @@ _RELATIONAL_SHAPE = {
 }
 
 _EVENTS_FRAME_GAP = {
-    # Events/orders-frame operators NOT yet wired into the r10 random
-    # events harness (tests/test_events_differentials.py — 14 keys
-    # moved to covered there). What keeps each of these out: mad's
-    # percentile-interpolation ROUND is deliberately ulp-masking
-    # (bound comment at the site), profile reads orders, approx_distinct
-    # is the HLL envelope (rows-only by design), and the rest need
-    # either multi-frame inputs (asof/range/merge join shapes) or
-    # per-key emission quirks worth their own careful replication.
-    # Next in line for the harness.
-    "q_approx_distinct", "q_asof_join",
-    "q_categorical_profile", "q_cohort_retention",
-    "q_gapfill_interp", "q_mad_outliers", "q_merge_latest",
-    "q_profile", "q_range_join",
-    "q_scd2", "q_sliding_window",
+    # (r10 late: 23 of 25 events/orders keys now covered by
+    # tests/test_events_differentials.py.) The two that stay out, each
+    # deliberately:
+    # - q_approx_distinct: the HLL envelope key — exact facts hash, the
+    #   sketch estimate is rows-only by design.
+    # - q_mad_outliers: its med/mad ROUND is deliberately ULP-MASKING
+    #   ((a+b)/2 vs lerp percentile forms — bound comment at the site);
+    #   a random differential would be knife-edge-flaky by
+    #   construction. The integer outlier COUNTS are pinned by unit
+    #   tests.
+    "q_approx_distinct", "q_mad_outliers",
 }
 
 _STREAMING_WRAPPER = {
@@ -179,10 +176,10 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 
 def test_coverage_ratchet_floor():
-    """The covered set must not shrink: r10 froze 99 covered keys of
+    """The covered set must not shrink: r10 froze 108 covered keys of
     157. Deleting a differential (or renaming a generator without
     updating tests) trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 99, sorted(covered)
+    assert len(covered) >= 108, sorted(covered)

@@ -257,3 +257,209 @@ def test_rolling_active_oracle_on_random_events(spark, rows):
         entry.oracle_sql()["q_rolling_active"],
         lambda ev: timeseries.rolling_active_users(ev, window_days=7),
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_sliding_window_oracle_on_random_events(spark, rows):
+    from dbt_schema_builder_spark.operators import timeseries
+
+    _check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_sliding_window"],
+        timeseries.sliding_window_stats,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_cohort_retention_oracle_on_random_events(spark, rows):
+    from dbt_schema_builder_spark.operators import timeseries
+
+    _check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_cohort_retention"],
+        timeseries.cohort_retention,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_scd2_oracle_on_random_events(spark, rows):
+    """SCD-2 history: same-ts updates, single-row users, and
+    consecutive-duplicate collapses all occur on random streams."""
+    from dbt_schema_builder_spark.operators import temporal
+
+    _check(
+        spark, rows, entry.oracle_sql()["q_scd2"], temporal.scd2_history
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_merge_latest_oracle_on_random_events(spark, rows):
+    """MERGE latest-wins over the event_id%3 base/updates split the
+    driver key uses — empty update sets and update-only users both
+    occur on random streams."""
+    from pyspark.sql import functions as F
+
+    from dbt_schema_builder_spark.operators import temporal
+    from dbt_schema_builder_spark.session import epoch_millis
+
+    def op(ev):
+        ev = ev.select("event_id", "ts", "user_id", "event_type", "value")
+        base = ev.where(F.col("event_id") % 3 != 0)
+        updates = ev.where(F.col("event_id") % 3 == 0)
+        return temporal.merge_latest(base, updates, key="user_id").select(
+            "user_id",
+            epoch_millis(F.col("ts")).alias("ts_ms"),
+            "event_type",
+            "value",
+            "event_id",
+        )
+
+    _check(spark, rows, entry.oracle_sql()["q_merge_latest"], op)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_categorical_profile_oracle_on_random_events(spark, rows):
+    """Integer-milli entropy/modal-share terms at tiny cardinalities
+    (single-value columns -> zero entropy, modal share 1000)."""
+    from dbt_schema_builder_spark.operators import profiling
+
+    _check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_categorical_profile"],
+        lambda ev: profiling.categorical_profile(
+            ev, ["event_type", "user_id"]
+        ),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_gapfill_interp_oracle_on_random_events(spark, rows):
+    """Linear interpolation over integer micro sums: the FLOOR-over-
+    double-division site (r4c lesson) on descending series and
+    single-bucket axes."""
+    from dbt_schema_builder_spark.operators import timeseries
+
+    _check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_gapfill_interp"],
+        lambda ev: timeseries.gapfill_interpolate(ev, bucket_minutes=15),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_asof_join_oracle_on_random_events(spark, rows):
+    """The union+window ASOF composition vs DuckDB's NATIVE ASOF LEFT
+    JOIN — same-ts click/purchase pairs are the boundary this
+    differential exists for."""
+    from pyspark.sql import functions as F
+
+    from dbt_schema_builder_spark.operators import temporal
+    from dbt_schema_builder_spark.session import epoch_millis
+
+    def op(events):
+        clicks = events.where("event_type = 'click'").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = events.where("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        return temporal.asof_join(
+            clicks, purchases, on_key="user_id", on_time="ts",
+            right_cols=["purchase_value"],
+        ).select(
+            "event_id", "user_id",
+            epoch_millis("ts").alias("ts_ms"),
+            F.col("asof_purchase_value").alias("last_purchase_value"),
+        )
+
+    _check(spark, rows, entry.oracle_sql()["q_asof_join"], op)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ev_rows)
+def test_range_join_oracle_on_random_events(spark, rows):
+    """Interval boundaries: purchases exactly 0 and exactly 3600 s
+    after a click occur on the minute grid."""
+    from pyspark.sql import functions as F
+
+    from dbt_schema_builder_spark.operators import temporal
+
+    def op(events):
+        clicks = events.where("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = events.where("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return temporal.range_join(
+            clicks, purchases, "cu", "pu", "click_ts", "purchase_ts", 3600
+        ).select("click_id", "purchase_id")
+
+    _check(spark, rows, entry.oracle_sql()["q_range_join"], op)
+
+
+# ---------------------------------------------------------------------------
+# orders-frame: the one profile key whose oracle reads `orders`
+# ---------------------------------------------------------------------------
+
+orders_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),        # o_custkey
+        st.integers(min_value=-(10**9), max_value=10**9),  # price micros
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=orders_rows)
+def test_profile_oracle_on_random_orders(spark, rows):
+    """profile_numeric's r10 raw surfaces (unrounded min/max passthrough
+    + the det-avg raw quotient) on random frames: duplicate keys,
+    negative prices, single-row frames — every small denominator."""
+    import duckdb
+    import pandas as pd
+
+    from dbt_schema_builder_spark.operators import profiling
+
+    data = [(k, micros / 1e6) for k, micros in rows]
+    orders = spark.createDataFrame(
+        data, "o_custkey long, o_totalprice double"
+    )
+    got = {
+        tuple(r)
+        for r in profiling.profile_numeric(
+            orders, ["o_custkey", "o_totalprice"], exact_distinct=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(
+            {
+                "o_custkey": [r[0] for r in data],
+                "o_totalprice": [r[1] for r in data],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["q_profile"]).fetchall()
+    }
+    assert got == want, got ^ want
