@@ -75,11 +75,9 @@ _EVENTS_FRAME_GAP = {
 }
 
 _STREAMING_WRAPPER = {
-    # Streaming wrappers over batch shapes: the six stateful
-    # q_stream_* keys carry r8 streaming differentials; these two wrap
-    # covered batch kernels (dedup-vs-history anti-join, stream-static
-    # enrich join) around the same source plumbing.
-    "q_stream_dedup_history", "q_stream_enrich",
+    # (r10 late: both wrappers moved to covered — staged-drain
+    # differentials in test_llm_ops_properties.py. All EIGHT q_stream_*
+    # keys now carry random-stream replays.)
 }
 
 _TEXT_KERNEL_PINNED = {
@@ -176,10 +174,10 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 
 def test_coverage_ratchet_floor():
-    """The covered set must not shrink: r10 froze 108 covered keys of
+    """The covered set must not shrink: r10 froze 110 covered keys of
     157. Deleting a differential (or renaming a generator without
     updating tests) trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 108, sorted(covered)
+    assert len(covered) >= 110, sorted(covered)

@@ -3225,3 +3225,105 @@ def test_frame_dedup_oracle_on_random_corpora(spark, pairs):
         _entry_oracle("q_frame_dedup"),
         lambda d: frame_dedup(attach_fake_image_bytes(d), every=256),
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_dedup_history_oracle_replays_random_streams(spark, rows):
+    """The stateless stream-static anti-join wrapper: streamed events
+    minus the event_id%3==0 history slice must equal the plain filter
+    oracle on any stream — empty histories and all-history streams
+    both arise here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_dedup_against_history,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    src = stream_events(spark, d).select(
+        "event_id", "user_id", "event_type"
+    )
+    seen = (
+        spark.createDataFrame(pdf[["event_id"]])
+        .where("event_id % 3 = 0")
+        .distinct()
+    )
+    name = f"t_prop_dedup_hist_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_dedup_against_history(src, seen, on="event_id"),
+        name,
+        "append",
+    )
+    _drop_stream_dir(d)
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_stream_dedup_history"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ev_stream)
+def test_stream_enrich_oracle_replays_random_streams(spark, rows):
+    """Stream-static broadcast enrichment: random user ids hit both
+    matched and unmatched dimension rows (LEFT join NULL segment)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from dbt_schema_builder_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        streaming_static_enrich,
+    )
+
+    d, pdf = _stage_random_stream(spark, rows)
+    # dimension covers only the even user ids: odd ids exercise the
+    # unmatched LEFT-join branch
+    dim_rows = [(u, f"SEG{u % 3}") for u in range(0, 12, 2)]
+    dim = spark.createDataFrame(dim_rows, "user_id long, segment string")
+    src = stream_events(spark, d).select(
+        "event_id", "user_id", "event_type"
+    )
+    name = f"t_prop_enrich_{next(_stream_seq_counter)}"
+    out = run_stream_to_memory(
+        streaming_static_enrich(src, dim, on="user_id"), name, "append"
+    )
+    _drop_stream_dir(d)
+    # positional tuple compare: align to the oracle's column order (the
+    # join hoists user_id first; the driver sorts by NAME so never sees
+    # this)
+    got = {
+        tuple(r)
+        for r in out.select(
+            "event_id", "user_id", "event_type", "segment"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    con.register(
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": [r[0] for r in dim_rows],
+                "c_mktsegment": [r[1] for r in dim_rows],
+            }
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_stream_enrich"]
+        ).fetchall()
+    }
+    assert got == want
