@@ -96,7 +96,12 @@ _EMBEDDING_FRAME_GAP = {
     #   order (not sequential), so its post-ROUND surface is only
     #   ulp-masked — a random differential would be knife-edge-flaky
     #   by construction; recall/exactness pins cover it instead.
-    # - q_ivf_topk: rows-only assignment surface by design.
+    # - q_ivf_topk: a float-ARGMAX surface — the oracle ranks by
+    #   DuckDB's native list_cosine_similarity while Spark ranks by the
+    #   Catalyst HOF cosine (different float expression forms), so they
+    #   agree on the argmax except at near-ties between centroids; a
+    #   random differential would be knife-edge-flaky by construction
+    #   (the fixture's argmaxes are well-separated — green r7).
     # - q_semantic_dedup_ivf: the dual-branch envelope (exact facts +
     #   integer agreement flag) — on tiny random frames the lossy
     #   branch's agreement genuinely varies, which is the envelope
