@@ -300,15 +300,27 @@ def _det_avg_round4(val: Column) -> Column:
     lossily converts the numerator, and the truncating cast could then
     land one below the true quotient while the DuckDB oracle's exact
     integer `//` did not — the same divergence class the tie fix
-    closed, one magnitude up; r8 ADVICE). Now the only bound is
-    _det_avg's own int64 micro-sum headroom. Emits DOUBLE r/1e4
-    (exact for |r| < 2^52); + 0.0 canonicalizes any -0.0."""
+    closed, one magnitude up; r8 ADVICE).
+
+    r10 overflow fix (found by the round-end scale gate the r9 session
+    skipped): the r9 form computed floor((2|s| + d) / 2d) LITERALLY,
+    and 2|s| overflows int64 once the micro sum passes 2^62 —
+    conversion_latency at the 10x events replica crashed there under
+    ANSI. Half-away rounding is now quotient + remainder:
+    mag = (|s| div d) + (2*rem >= d), which equals floor((2|s|+d)/2d)
+    identically (|s| = q*d + rem => (2rem+d) div 2d = [2rem >= d]) —
+    the SIX oracle strings replaying the 2|s| formula in DuckDB HUGEINT
+    stay byte-valid and every non-overflow value is unchanged. The
+    remaining bound is _det_avg's own int64 micro-SUM headroom (~9.2e18
+    micro-units — drop the input to milli-units past that). Emits
+    DOUBLE r/1e4 (exact for |r| < 2^52); + 0.0 canonicalizes -0.0."""
     units = F.round(val.cast("double") * 1e6).cast("long")
     s = F.sum(units)
     d = F.count(F.lit(1)) * F.lit(100)  # micro -> 4-decimal scale
-    n2 = F.lit(2) * F.abs(s) + d
-    d2 = F.lit(2) * d
-    mag = F.call_function("div", n2, d2)
+    sa = F.abs(s)
+    q = F.call_function("div", sa, d)
+    rem = sa % d  # < d <= 100*count: 2*rem can never overflow
+    mag = q + (F.lit(2) * rem >= d).cast("long")
     r = F.when(s < 0, -mag).otherwise(mag)
     return r.cast("double") / F.lit(10000.0) + F.lit(0.0)
 

@@ -3327,3 +3327,24 @@ def test_stream_enrich_oracle_replays_random_streams(spark, rows):
         ).fetchall()
     }
     assert got == want
+
+
+def test_det_avg_round4_overflow_regression(spark):
+    """r10 regression pin — the r9 integral-div form computed
+    floor((2|s| + d) / 2d) LITERALLY, and 2|s| overflows int64 once the
+    micro sum passes 2^62 (conversion_latency at the 10x events replica
+    crashed under ANSI; found by the round-end scale gate r9 skipped).
+    The quotient+remainder form (q + [2*rem >= d]) is identical
+    mathematically and cannot overflow (rem < d <= 100*count). One
+    5e12 value: micro sum 5e18, 2|s| = 1e19 > int64 max."""
+    from pyspark.sql import functions as SF
+
+    val = 5e12
+    u = int(val * 1e6)
+    assert float(u) == val * 1e6 and 2 * u > 2**63 - 1
+    expected = ((2 * u + 100) // 200) / 10000.0  # exact in Python ints
+    df = spark.createDataFrame([(val,)], "val double")
+    got = df.agg(
+        similarity._det_avg_round4(SF.col("val")).alias("r")
+    ).collect()[0]["r"]
+    assert got == expected == val
