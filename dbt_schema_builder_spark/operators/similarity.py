@@ -52,10 +52,26 @@ def cosine(a: Column, b: Column) -> Column:
     zero — an ANSI-mode job CRASH, and a zero CENTROID is reachable
     from nonzero inputs (opposite vectors under one label cancel the
     fixed-point mean exactly). Guarding here (when(norm==0, ...)) would
-    change every consumer's green oracle, so it is staged for r11 with
-    its re-pin budget; until then callers own the nonzero-norm
-    precondition and the embedding differentials generate inside it."""
+    change every consumer's green oracle, so the guarded twin is STAGED
+    as ``cosine_safe`` below for the r11 swap + re-pins; until then
+    callers own the nonzero-norm precondition and the embedding
+    differentials generate inside it."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_safe(a: Column, b: Column) -> Column:
+    """STAGED r11 twin of ``cosine``: zero-norm operands score 0.0 (a
+    zero vector has no direction — neither similar nor dissimilar, the
+    convention ANN libraries use) instead of crashing an ANSI-mode job.
+    The oracle change per consumer is one CASE WHEN on the norm sums —
+    replayable verbatim. The r11 promotion is a one-line swap in each
+    consumer plus its in-window re-pin (consumers enumerated in the
+    CLAUDE.md r10 addendum). UNWIRED as of r10: no driver key calls
+    this, so no oracle drifts."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
+        _dot(a, b) / (na * nb)
+    )
 
 
 def brute_force_topk(

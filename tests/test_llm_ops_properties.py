@@ -3348,3 +3348,46 @@ def test_det_avg_round4_overflow_regression(spark):
         similarity._det_avg_round4(SF.col("val")).alias("r")
     ).collect()[0]["r"]
     assert got == expected == val
+
+
+def test_cosine_safe_staged_guard(spark):
+    """r10 staged for r11: cosine_safe scores zero-norm operands 0.0
+    where cosine crashes under ANSI (the embedding-differential find —
+    incl. the zero CENTROID reachable from opposite nonzero vectors),
+    and equals cosine exactly on the nonzero domain."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (1, [1.0, 2.0, -3.0], [0.5, -1.0, 2.0]),   # ordinary pair
+        (2, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),     # identical -> 1.0
+        (3, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),     # zero left
+        (4, [1.0, 2.0, 3.0], [0.0, 0.0, 0.0]),     # zero right
+        (5, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),     # both zero
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = {
+        r.id: r.s
+        for r in df.select(
+            "id", similarity.cosine_safe(SF.col("a"), SF.col("b")).alias("s")
+        ).collect()
+    }
+    assert got[2] == 1.0
+    assert got[3] == got[4] == got[5] == 0.0
+    assert abs(got[1]) < 1.0
+    # equal to the unguarded cosine wherever that one is defined
+    ok = df.where("id <= 2")
+    both = ok.select(
+        "id",
+        similarity.cosine(SF.col("a"), SF.col("b")).alias("u"),
+        similarity.cosine_safe(SF.col("a"), SF.col("b")).alias("g"),
+    ).collect()
+    assert all(r.u == r.g for r in both)
+    # and the unguarded one really does crash on the zero rows under
+    # ANSI (the regression this staging exists to close)
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.where("id = 3").select(
+            similarity.cosine(SF.col("a"), SF.col("b")).alias("s")
+        ).collect()
