@@ -45,19 +45,20 @@ _STATIC_CONFIG = {
 }
 
 _RELATIONAL_SHAPE = {
-    # Verbatim relational shapes on the TPC-H tables: the Spark plan
-    # and the oracle are the same algebra written twice, so a random
-    # corpus exercises nothing the fixture does not. The money-ROUND
-    # numeric bound is documented at relational.pricing_summary.
-    "q_star_join", "q_hash_agg", "q_rollup", "q_cube",
-    "q_grouping_sets", "q_window_rank", "q_window_running", "q_topk",
-    "q_set_ops", "q_semi_anti", "q_pivot", "q_unpivot",
-    "q_group_quantiles", "q_merge_partial_aggs", "q_salted_agg",
-    "q_salted_join", "q_skew_report", "q_fuzzy_match",
-    "q_sql_brand_qty_revenue", "q_sql_correlated_exists",
-    "q_sql_cust_order_dist", "q_sql_local_supplier_volume",
-    "q_sql_promo_revenue", "q_sql_scalar_subquery",
-    "q_sql_shipping_priority",
+    # (r10 late: 24 of 25 TPC-H/relational keys moved to covered —
+    # tests/test_tpch_differentials.py drives the exact driver
+    # callables over random TPC-H frames with exact-in-float64 money
+    # values. First run immediately found an engine divergence the
+    # fixture can't reach: ROLLUP/CUBE on EMPTY input emits the
+    # grand-total row in DuckDB but zero rows in Spark — pinned in that
+    # file's comment.) The one key that stays out, deliberately:
+    # - q_group_quantiles: ROUND(percentile(...), 4) is the
+    #   load-bearing-round class (masks lerp-vs-midpoint ulp
+    #   differences between the engines' interpolated-percentile
+    #   forms, and the 0.9*(n-1) index itself is inexact in binary) —
+    #   a random differential would be knife-edge-flaky by
+    #   construction, the same reason as q_mad_outliers.
+    "q_group_quantiles",
 }
 
 _EVENTS_FRAME_GAP = {
@@ -179,10 +180,11 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 
 def test_coverage_ratchet_floor():
-    """The covered set must not shrink: r10 froze 110 covered keys of
-    157. Deleting a differential (or renaming a generator without
-    updating tests) trips this before the coverage silently erodes."""
+    """The covered set must not shrink: the r10 TPC-H harness raised
+    the floor from 110 to 134 covered keys of 157. Deleting a
+    differential (or renaming a generator without updating tests)
+    trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 110, sorted(covered)
+    assert len(covered) >= 134, sorted(covered)
