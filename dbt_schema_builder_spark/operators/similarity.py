@@ -150,7 +150,33 @@ def hyperplane_signature(
         sig = sig.bitwiseOR(
             F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    return sig
+    # Dim-mismatch guard: zip_with pads the shorter side with NULLs, so
+    # a wrong `dim` would NULL every dot and silently collapse ALL rows
+    # into bucket 0 (quadratic candidates, wrong neighbors). The error
+    # must live in its OWN branch — when(c, sig).otherwise(sig) gets
+    # collapsed by SimplifyConditionals, deleting the check entirely.
+    d = len(planes[0]) if planes else 0
+    return F.when(F.size(vec) == F.lit(d), sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("hyperplane_signature: embedding dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != plane dim {d} — pass dim=<your embedding dim>"),
+            )
+        ).cast("long")
+    )
+
+
+def _check_gemm_dim(M, P, op: str) -> None:
+    """Executor-side dim guard for the Arrow GEMM kernels: a mismatched
+    `dim` otherwise dies in a cryptic gufunc core-dimension error (and
+    the Catalyst fallback would silently bucket everything together —
+    see hyperplane_signature's guard)."""
+    if M.shape[1] != P.shape[0]:
+        raise ValueError(
+            f"{op}: embedding dim {M.shape[1]} != configured dim "
+            f"{P.shape[0]} — pass dim={M.shape[1]}"
+        )
 
 
 def _vectorized_signature(planes: list[list[float]]):
@@ -172,6 +198,7 @@ def _vectorized_signature(planes: list[list[float]]):
         if len(v) == 0:
             return pd.Series([], dtype="int64")
         M = np.vstack(v.to_numpy()).astype("float64")
+        _check_gemm_dim(M, P, "hyperplane signature")
         return pd.Series(((M @ P) > 0) @ weights)
 
     return sig
@@ -195,6 +222,7 @@ def _vectorized_table_buckets(
         if len(v) == 0:
             return pd.Series([], dtype="object")
         M = np.vstack(v.to_numpy()).astype("float64")
+        _check_gemm_dim(M, P, "LSH table buckets")
         signs = (M @ P) > 0  # N x (bits*tables)
         packed = signs.reshape(len(M), tables, bits) @ weights  # N x tables
         return pd.Series(list(packed))
@@ -687,6 +715,13 @@ def embedding_near_dup(
       then chooses: "ivf_sharded" (bounded, lossy) or a bigger
       ``max_gemm_rows`` (they know their cluster budget).
     """
+    if strategy not in ("auto", "lsh", "blocked", "ivf_sharded"):
+        # validate at plan construction (the r6 rule) — an unknown
+        # strategy previously fell through to the LSH branch silently
+        raise ValueError(
+            f"embedding_near_dup: unknown strategy {strategy!r}; "
+            "one of 'auto', 'lsh', 'blocked', 'ivf_sharded'"
+        )
     if strategy == "auto":
         strategy = "lsh" if threshold >= 0.8 else "blocked"
     if strategy == "ivf_sharded":
@@ -913,6 +948,7 @@ def _int_signature(planes: list[list[int]]):
         if len(v) == 0:
             return pd.Series([], dtype="int64")
         M = np.vstack(v.to_numpy()).astype("int64")
+        _check_gemm_dim(M, P, "int hyperplane signature")
         return pd.Series(((M @ P) > 0) @ weights)
 
     return sig

@@ -1786,11 +1786,17 @@ def tokenizer_fertility(
             "n_docs",
             "n_words",
             "n_subwords",
-            F.expr("(1000 * n_subwords) div n_words").alias(
-                "fertility_milli"
-            ),
-            F.expr("(1000 * n_chars) div n_subwords").alias(
-                "chars_per_subword_milli"
-            ),
+            # NULL on a zero denominator (a language whose docs carry no
+            # words — whitespace/punctuation-only slices DO occur at
+            # corpus scale): matches the oracle's DuckDB `//`, which
+            # yields NULL on zero; Spark's `div` would raise under ANSI
+            F.expr(
+                "CASE WHEN n_words = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE (1000 * n_subwords) div n_words END"
+            ).alias("fertility_milli"),
+            F.expr(
+                "CASE WHEN n_subwords = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE (1000 * n_chars) div n_subwords END"
+            ).alias("chars_per_subword_milli"),
         )
     )

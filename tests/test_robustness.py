@@ -333,3 +333,115 @@ def test_documents_corpus_is_printable_ascii_across_sfs():
             params=[path],
         ).fetchone()[0]
         assert bad == 0, f"{path}: {bad} docs with non-printable-ASCII chars"
+
+
+def test_hyperplane_dim_mismatch_raises_not_corrupts(spark):
+    """r10 probe find: hyperplane kernels were built for a FIXED dim
+    (default 64) and dim-mismatched data either died in a cryptic numpy
+    gufunc error (Arrow path) or — worse — silently NULLed every dot
+    and collapsed ALL rows into bucket 0 (Catalyst path: zip_with pads
+    the shorter side with NULLs). Both paths must now raise with the
+    remediation in the message."""
+    import pytest
+
+    from dbt_schema_builder_spark.operators import similarity
+
+    emb8 = spark.createDataFrame(
+        [(0, [1.0] * 8, 0), (1, [0.5] * 8, 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    qs = similarity.queries_from_corpus(emb8, 1)
+
+    # Arrow GEMM path (vectorized=True default)
+    with pytest.raises(Exception, match="dim 8 != configured dim 64"):
+        similarity.lsh_bucketed_topk(emb8, qs, k=1).collect()
+
+    # pure-Catalyst fallback: previously returned WRONG results silently
+    with pytest.raises(Exception, match="!= plane dim 64"):
+        similarity.lsh_bucketed_topk(
+            emb8, qs, k=1, vectorized=False
+        ).collect()
+
+    # multi-table bucket kernel via the near-dup LSH branch
+    with pytest.raises(Exception, match="dim 8 != configured dim 64"):
+        similarity.embedding_near_dup(
+            emb8, threshold=0.9, strategy="lsh"
+        ).collect()
+
+    # correct dim passes end-to-end on both paths
+    assert (
+        similarity.lsh_bucketed_topk(emb8, qs, k=1, dim=8).count() >= 0
+    )
+    assert (
+        similarity.lsh_bucketed_topk(
+            emb8, qs, k=1, dim=8, vectorized=False
+        ).count() >= 0
+    )
+
+
+def test_embedding_near_dup_rejects_unknown_strategy(spark, tables):
+    """r10 probe find: an unknown strategy fell through to the LSH
+    branch silently (the validated-config r6 rule says raise at plan
+    construction)."""
+    import pytest
+
+    from dbt_schema_builder_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="unknown strategy 'exact'"):
+        similarity.embedding_near_dup(
+            tables["embeddings"], threshold=0.9, strategy="exact"
+        )
+
+
+def test_tokenizer_fertility_zero_word_language_yields_null(spark):
+    """r10 probe find: a language slice whose docs carry no words
+    (whitespace/punctuation-only — real at corpus scale) made the milli
+    ratio `div` raise under ANSI, while the oracle's DuckDB `//`
+    yields NULL on a zero denominator. The operator now emits NULL on
+    both ratios for that shape — same engine semantics, no oracle
+    change (fixture values untouched: no zero-word language exists
+    there)."""
+    import duckdb
+
+    from dbt_schema_builder_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "   ", "xx", "web", 3),  # zero words in lang xx
+            (1, "alpha beta", "en", "web", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = {
+        r["lang"]: r
+        for r in text.tokenizer_fertility(docs, [("t", "h")]).collect()
+    }
+    # the whitespace doc yields zero SUBWORDS (the div that crashed);
+    # chars/subword is NULL, fertility is whatever the word count gives
+    assert rows["xx"]["chars_per_subword_milli"] is None
+    # en side still computes
+    assert rows["en"]["fertility_milli"] is not None
+    # pin the DuckDB semantics the NULL mirrors
+    assert duckdb.sql("SELECT (1000 * 5) // 0").fetchone()[0] is None
+
+
+def test_weighted_sample_zero_weight_crash_is_pinned_for_r11(spark):
+    """r10 probe find, STAGED FOR R11 (oracle change => re-pin budget):
+    a stratum whose docs all have weight 0 makes priority = ln(u)/0
+    raise under ANSI. The Efraimidis-Spirakis semantics say zero-weight
+    docs are NEVER sampled, so the r11 fix is `WHERE weight > 0` in the
+    operator AND the q_weighted_sample oracle generator (DuckDB's /0
+    yields NULL and its DESC NULL ordering differs from Spark's, so a
+    NULL-priority alignment cannot work — the filter is the only form
+    both engines replay identically). Until then, pin the crash so the
+    behavior change is deliberate."""
+    import pytest
+
+    from dbt_schema_builder_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "web", 0), (1, "", "en", "web", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide"):
+        text.weighted_sample_per_group(docs, k=1).collect()

@@ -1,0 +1,253 @@
+"""Degenerate-input probe: drive every batch operator over adversarial
+but VALID inputs — empty frames, empty strings, single rows, all-equal
+corpora, zero vectors, k > n — and report which ops CRASH with an
+engine error (Py4J/Arithmetic/Analysis) rather than returning a frame
+or raising a deliberate ValueError. The cosine zero-norm ANSI crash
+(staged r11) and the r8 nb_prior empty-train crash are both from this
+class; this sweeps the whole surface instead of finding them one
+harness at a time.
+
+Run: python tools/degenerate_probe.py  (prints one line per finding)
+
+State after the r10 sweep: the remaining findings are EXACTLY the
+staged-r11 zero-division batch — the cosine zero-norm family
+(brute_topk / kmeans / centroid_outliers / near_dup_blocked /
+lsh_topk / semantic_dedup via similarity.cosine; fix = the staged
+cosine_safe swap + consumer re-pins) and weighted_sample's ln(u)/0
+(fix = WHERE weight > 0 on operator + oracle; pinned in
+tests/test_robustness.py). Everything else this probe found in r10
+(LSH dim-mismatch corruption, silent strategy fall-through, fertility
+zero-word div) was fixed same-session.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbt_schema_builder_spark.session import get_spark  # noqa: E402
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+import datetime  # noqa: E402
+
+_TS = datetime.datetime(2024, 1, 1)
+
+
+def doc_frames(spark):
+    mk = lambda rows: spark.createDataFrame(rows, DOC_SCHEMA)  # noqa: E731
+    return {
+        "empty": mk([]),
+        "one_row": mk([(0, "alpha beta", "en", "web", 10)]),
+        "empty_text": mk(
+            [(0, "", "en", "web", 0), (1, "alpha", "en", "web", 5)]
+        ),
+        "all_equal": mk(
+            [(i, "same same same", "en", "web", 14) for i in range(6)]
+        ),
+        "one_token": mk([(0, "x", "en", "web", 1), (1, "x", "fr", "b", 1)]),
+        "whitespace": mk([(0, "   ", "en", "web", 3)]),
+    }
+
+
+def emb_frames(spark):
+    mk = lambda rows: spark.createDataFrame(rows, EMB_SCHEMA)  # noqa: E731
+    return {
+        "empty": mk([]),
+        "one_vec": mk([(0, [1.0, 0.0, 0.0, 0.0], 0)]),
+        "zero_vec": mk(
+            [(0, [0.0, 0.0, 0.0, 0.0], 0), (1, [1.0, 0.0, 0.0, 0.0], 1)]
+        ),
+        "all_equal": mk([(i, [1.0, 2.0, -1.0, 0.5], i % 2) for i in range(5)]),
+        "opposite": mk(
+            # zero centroid from nonzero inputs (the staged r11 class)
+            [(0, [1.0, -1.0, 2.0, 0.0], 0), (1, [-1.0, 1.0, -2.0, 0.0], 0)]
+        ),
+    }
+
+
+def ev_frames(spark):
+    mk = lambda rows: spark.createDataFrame(rows, EV_SCHEMA)  # noqa: E731
+    return {
+        "empty": mk([]),
+        "one_event": mk([(0, _TS, 1, "view", 1.0, "{}")]),
+        "same_ts": mk(
+            [(i, _TS, 1, "view", 0.0, "{}") for i in range(4)]
+        ),
+        "zero_values": mk(
+            [(i, _TS + datetime.timedelta(minutes=i), 1, "view", 0.0, "{}")
+             for i in range(4)]
+        ),
+    }
+
+
+def probe(kind, frames, ops):
+    findings = []
+    for fname, df in frames.items():
+        for opname, op in ops.items():
+            try:
+                out = op(df)
+                out.collect()
+                status = "ok"
+            except ValueError as e:
+                status = f"VALUERROR(deliberate?): {str(e)[:110]}"
+            except Exception as e:  # noqa: BLE001
+                tb = traceback.format_exc()
+                status = f"CRASH {type(e).__name__}: {str(e).splitlines()[0][:160]}"
+                findings.append((kind, fname, opname, status, tb))
+            if status != "ok":
+                print(f"[{kind}/{fname}] {opname}: {status}", flush=True)
+    return findings
+
+
+def main():
+    spark = get_spark(
+        app_name="degenerate-probe", master="local[4]", shuffle_partitions=4
+    )
+    from pyspark.sql import functions as F
+
+    from dbt_schema_builder_spark.operators import (
+        classifier,
+        dedup,
+        graph,  # noqa: F401
+        profiling,
+        relational,
+        similarity,
+        text,
+        timeseries,
+    )
+
+    doc_ops = {
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": lambda d: dedup.ngram_jaccard_pairs(d, n=2, threshold=0.3),
+        "tfidf_cosine_pairs": lambda d: dedup.tfidf_ngram_cosine_pairs(d, n=2, threshold=0.2),
+        "containment_pairs": lambda d: dedup.containment_pairs(d, n=2, threshold_milli=500),
+        "shared_ngram_fraction": lambda d: dedup.shared_ngram_fraction(d, n=2),
+        "minhash_signatures": lambda d: dedup.minhash_signatures(d, num_hashes=16, n=2),
+        "minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d, num_hashes=16, n=2),
+        "simhash": lambda d: dedup.simhash_near_dup(d, max_hamming=12),
+        "chunk_dedup": lambda d: dedup.chunk_dedup(d, chunk=3, max_docs=2),
+        "source_overlap": lambda d: dedup.source_overlap_matrix(d, n=2),
+        "span_stats": lambda d: dedup.duplicate_span_stats(d, min_len=3, k=3),
+        "cut_spans": lambda d: dedup.cut_duplicate_spans(d, min_len=3, k=3),
+        "dedup_stats": lambda d: dedup.dedup_stats(d),
+        "keep_canonical": lambda d: dedup.keep_canonical(
+            d, dedup.ngram_jaccard_pairs(d, n=2, threshold=0.3)
+        ),
+        "cluster_diversity": lambda d: dedup.cluster_diversity_sample(
+            d, dedup.ngram_jaccard_pairs(d, n=2, threshold=0.3), m=1
+        ),
+        "quality_score": text.quality_score,
+        "text_stats": text.text_stats_by_lang,
+        "winnowing": lambda d: text.winnowing_fingerprints(d, k=3, window=3),
+        "tfidf_top_terms": lambda d: text.tfidf_top_terms(d, k=2),
+        "unigram_logprob": text.unigram_logprob,
+        "bigram_logprob": text.bigram_logprob,
+        "dsir": lambda d: text.dsir_importance(d, d.where(F.col("lang") == "en"), k=5),
+        "waterfill": lambda d: text.source_mix_waterfill(d, budget_tokens=10),
+        "temperature_mix": lambda d: text.source_mix_temperature(d, budget_tokens=10),
+        "percentile_filter": lambda d: text.percentile_filter(d, p=0.25),
+        "cap_per_source": lambda d: text.cap_per_source(d, k=2),
+        "weighted_sample": lambda d: text.weighted_sample_per_group(d, k=2),
+        "top_vocab": lambda d: text.top_vocab(d, size=5),
+        "oov_rate": lambda d: text.oov_rate(d, text.top_vocab(d, size=5)),
+        "lang_id": text.lang_id,
+        "zipf": text.lexical_zipf_stats,
+        "curriculum_bins": lambda d: text.curriculum_bins(d, n_bins=3),
+        "sliding_chunks": lambda d: text.sliding_chunks(d),
+        "bm25": lambda d: text.bm25_search(d, ("alpha", "x"), topk=5),
+        "hybrid": lambda d: text.hybrid_search(d, ("alpha", "x"), topk=5),
+        "pmi": lambda d: text.pmi_pairs(d, min_count=1, max_vocab=10),
+        "source_kl": text.source_kl,
+        "gopher": lambda d: text.gopher_quality_rules(d, min_tokens=1),
+        "ccnet": text.ccnet_buckets,
+        "bpe_learn": lambda d: text.learn_bpe_merges(d, n_merges=2)[1],
+        "apply_bpe": lambda d: text.apply_bpe_merges(d, [("t", "h")]),
+        "fertility": lambda d: text.tokenizer_fertility(d, [("t", "h")]),
+        "repetition": text.repetition_stats,
+        "pack_sequences": lambda d: text.pack_sequences(d, budget=8),
+        "hash_split": text.hash_split,
+        "stratified": lambda d: text.stratified_sample(d, default_fraction=0.5),
+        "nb_scores": lambda d: classifier.nb_scores(d, label="text LIKE '%a%'"),
+        "nb_apply_heldout": lambda d: classifier.nb_apply_heldout(
+            d, label="text LIKE '%a%'"
+        ),
+        "fingerprint": text.fingerprint,
+        "token_count": text.token_count,
+        "decontaminate": lambda d: dedup.decontaminate(
+            d,
+            d.sparkSession.createDataFrame(
+                [(0, "alpha beta")], "bench_id bigint, text string"
+            ),
+            n=2,
+        ),
+    }
+
+    emb_ops = {
+        "brute_topk": lambda e: similarity.brute_force_topk(
+            e, similarity.queries_from_corpus(e, 2), k=3
+        ),
+        "centroid_by_label": similarity.centroid_by_label,
+        "kmeans_k4": lambda e: similarity.kmeans(e, k=4, iterations=2),
+        "quantize": similarity.quantize_embeddings,
+        "centroid_outliers": similarity.centroid_outliers,
+        "near_dup_blocked": lambda e: similarity.embedding_near_dup_blocked(
+            e, threshold=0.5, blocks=2
+        ),
+        "lsh_topk": lambda e: similarity.lsh_bucketed_topk(
+            e, similarity.queries_from_corpus(e, 2), k=3, dim=4
+        ),
+        "pq_topk": lambda e: similarity.pq_topk(
+            e, n_queries=2, k=3, subspaces=2, codes=4, rerank=8
+        ),
+        "knn_agreement": lambda e: similarity.knn_label_agreement(
+            e, n_queries=2, k=2
+        ),
+        "semantic_blocked": lambda e: similarity.semantic_dedup(
+            e, threshold=0.8, strategy="blocked"
+        ),
+    }
+
+    ev_ops = {
+        "tumbling": timeseries.tumbling_window_stats,
+        "sliding": timeseries.sliding_window_stats,
+        "sessionize": lambda ev: timeseries.sessionize(ev, gap_minutes=30),
+        "funnel": timeseries.funnel,
+        "cohort": timeseries.cohort_retention,
+        "locf": timeseries.gapfill_locf,
+        "interp": timeseries.gapfill_interpolate,
+        "rolling_active": timeseries.rolling_active_users,
+        "transition": timeseries.transition_matrix,
+        "conversion": timeseries.conversion_latency,
+        "cumulative": timeseries.cumulative_users,
+        "heavy_hitters": lambda ev: relational.heavy_hitters(ev, "event_type", support=0.2),
+        "trend_slope": profiling.trend_slope,
+        "histogram": profiling.value_histogram,
+        "sigma_outliers": lambda ev: profiling.sigma_outliers(ev, k=2),
+        "mad_outliers": profiling.mad_outliers,
+        "profile": lambda ev: profiling.profile_numeric(
+            ev.select("user_id", "value"), exact_distinct=True
+        ),
+    }
+
+    findings = []
+    findings += probe("docs", doc_frames(spark), doc_ops)
+    findings += probe("emb", emb_frames(spark), emb_ops)
+    findings += probe("events", ev_frames(spark), ev_ops)
+
+    print(f"\n=== {len(findings)} engine-crash findings ===")
+    for kind, fname, opname, status, _ in findings:
+        print(f"  {kind}/{fname} {opname}: {status}")
+    return 0 if not findings else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
