@@ -179,6 +179,32 @@ def _check_gemm_dim(M, P, op: str) -> None:
         )
 
 
+def _reject_null_vectors(s, op: str) -> None:
+    """Arrow kernels cannot propagate SQL NULLs the way the Catalyst
+    twins do — np.vstack over a None entry dies in a cryptic NoneType
+    error deep in the executor. Reject loudly with the remediation
+    instead (r10 degenerate-probe find)."""
+    if s.isna().any():
+        raise ValueError(
+            f"{op}: NULL embedding in batch — filter nulls upstream, "
+            'e.g. .where("embedding IS NOT NULL")'
+        )
+
+
+def _require_non_null(rows, cols, op: str):
+    """Driver-side sampling (codebooks, query sets) indexes collected
+    rows directly; a NULL embedding/label there raised bare NoneType
+    TypeErrors (r10 degenerate-probe find)."""
+    for r in rows:
+        for c in cols:
+            if r[c] is None:
+                raise ValueError(
+                    f"{op}: NULL {c} among the sampled rows — filter "
+                    "nulls upstream before sampling queries/codebooks"
+                )
+    return rows
+
+
 def _vectorized_signature(planes: list[list[float]]):
     """Arrow-batched hyperplane signature: one numpy GEMM per batch
     ((N x dim) @ (dim x bits)), sign bits packed into a long. Semantically
@@ -197,6 +223,7 @@ def _vectorized_signature(planes: list[list[float]]):
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
+        _reject_null_vectors(v, "hyperplane signature")
         M = np.vstack(v.to_numpy()).astype("float64")
         _check_gemm_dim(M, P, "hyperplane signature")
         return pd.Series(((M @ P) > 0) @ weights)
@@ -221,6 +248,7 @@ def _vectorized_table_buckets(
     def buckets(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
+        _reject_null_vectors(v, "LSH table buckets")
         M = np.vstack(v.to_numpy()).astype("float64")
         _check_gemm_dim(M, P, "LSH table buckets")
         signs = (M @ P) > 0  # N x (bits*tables)
@@ -497,6 +525,8 @@ def embedding_near_dup_blocked(
             return empty
         ids_a = a.vec_id.to_numpy()
         ids_b = b.vec_id.to_numpy()
+        _reject_null_vectors(a.nvec, "blocked GEMM")
+        _reject_null_vectors(b.nvec, "blocked GEMM")
         va = np.vstack(a.nvec.to_numpy())
         vb = np.vstack(b.nvec.to_numpy())
         sims = va @ vb.T
@@ -615,6 +645,7 @@ def embedding_near_dup_ivf_sharded(
         if len(pdf) < 2:
             return empty
         ids = pdf.vec_id.to_numpy()
+        _reject_null_vectors(pdf.nvec, "IVF-sharded GEMM")
         M = np.vstack(pdf.nvec.to_numpy())
         sims = M @ M.T
         ia, ib = np.nonzero(sims >= thr)
@@ -947,6 +978,7 @@ def _int_signature(planes: list[list[int]]):
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
+        _reject_null_vectors(v, "int hyperplane signature")
         M = np.vstack(v.to_numpy()).astype("int64")
         _check_gemm_dim(M, P, "int hyperplane signature")
         return pd.Series(((M @ P) > 0) @ weights)
@@ -1094,6 +1126,7 @@ def pq_codebook(
     )
     if not rows:
         return []
+    _require_non_null(rows, ["iv"], "pq_codebook")
     dim = len(rows[0]["iv"])
     if dim % subspaces:
         raise ValueError(
@@ -1165,6 +1198,7 @@ def pq_encode(
     def _codes(iv: pd.Series) -> pd.Series:
         if len(iv) == 0:
             return pd.Series([], dtype=object)
+        _reject_null_vectors(iv, "PQ encode")
         v = np.vstack(iv.to_numpy()).astype(np.int64)  # (n, dim)
         out = np.empty((v.shape[0], subspaces), dtype=np.int32)
         for s in range(subspaces):
@@ -1235,6 +1269,7 @@ def pq_topk(
         .select("vec_id", _int_embedding(F.col("embedding")).alias("iv"))
         .collect()
     )
+    _require_non_null(qrows, ["iv"], "pq_topk")
     sd = len(cb[0][0])
     table_rows = []
     for qr in qrows:
@@ -1347,6 +1382,7 @@ def pq_codebook_trained(
     )
     if not rows:
         return []
+    _require_non_null(rows, ["iv"], "pq_codebook_trained")
     X = np.array([list(r["iv"]) for r in rows], dtype=np.int64)
     dim = X.shape[1]
     if dim % subspaces:
@@ -1429,6 +1465,7 @@ def ivfpq_topk(
         .select(_int_embedding(F.col("embedding")).alias("iv"))
         .collect()
     )
+    _require_non_null(crows, ["iv"], "ivfpq_topk cells")
     cents = np.array([list(r["iv"]) for r in crows], dtype=np.int64)
     pq = [np.asarray(c, dtype=np.int64) for c in cb]
     S = len(pq)
@@ -1438,6 +1475,7 @@ def ivfpq_topk(
     def _cell_and_codes(iv: pd.Series) -> pd.Series:
         if len(iv) == 0:
             return pd.Series([], dtype=object)
+        _reject_null_vectors(iv, "IVF-PQ cell/codes")
         v = np.vstack(iv.to_numpy()).astype(np.int64)
         d2c = (
             (v * v).sum(axis=1, keepdims=True)
@@ -1463,6 +1501,7 @@ def ivfpq_topk(
         .collect()
     )
     probe_rows, table_rows = [], []
+    _require_non_null(qrows, ["iv"], "ivfpq_topk queries")
     for qr in qrows:
         qv = np.asarray(qr["iv"], dtype=np.int64)
         dc = ((cents - qv) ** 2).sum(axis=1)
@@ -1550,6 +1589,7 @@ def knn_label_agreement(
         return spark.createDataFrame(
             [], "query_id bigint, qlabel int, n_neighbors bigint, n_agree bigint"
         )
+    _require_non_null(qrows, ["iv", "label"], "knn_label_agreement")
     qdf = spark.createDataFrame(
         [(int(r["vec_id"]), list(r["iv"]), int(r["label"])) for r in qrows],
         "query_id bigint, qiv array<bigint>, qlabel int",

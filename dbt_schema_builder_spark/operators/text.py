@@ -126,6 +126,18 @@ def stratified_sample(
     keys = [
         r[0] for r in documents.select(strata_col).distinct().collect()
     ]
+    if any(k is None for k in keys):
+        # sampleBy rejects None dict keys (DISALLOWED_TYPE_FOR_CONTAINER)
+        # and would silently DROP null-strata rows even if it didn't —
+        # route the caller to the paths that handle unknown strata
+        # (r10 degenerate-probe find)
+        raise ValueError(
+            f"stratified_sample: NULL values in strata column "
+            f"{strata_col!r} — coalesce the column first, or use the "
+            "explicit-fractions hash path (fractions=..., "
+            "exhaustive=False), which draws default_fraction for any "
+            "stratum absent from the dict"
+        )
     fr = {k: (fractions or {}).get(k, default_fraction) for k in keys}
     return documents.sampleBy(strata_col, fractions=fr, seed=seed)
 
@@ -659,17 +671,19 @@ def source_mix_waterfill(
         )
         .transform(track_persist)
     )
-    rows = sorted(
-        per.select(by, "n_tokens").collect(), key=lambda r: (r[1], r[0])
-    )
-    if any(r[0] is None or r[1] is None for r in rows):
+    collected = per.select(by, "n_tokens").collect()
+    if any(r[0] is None or r[1] is None for r in collected):
         # a NULL group would be debited budget in the solve and then
         # silently dropped by the join-back (sum(alloc) != budget with
-        # no error) — refuse loudly, like the z-order null guard
+        # no error) — refuse loudly, like the z-order null guard. This
+        # check must run BEFORE the sort: Python's None-vs-str/int
+        # tuple compare crashed there first, masking the guard
+        # (r10 degenerate-probe find)
         raise ValueError(
             f"source_mix_waterfill: NULL {by} group (or all-NULL "
             "texts) — coalesce or filter before allocating"
         )
+    rows = sorted(collected, key=lambda r: (r[1], r[0]))
     m = len(rows)
     remaining, level = int(budget_tokens), 0
     allocs: dict = {}

@@ -239,6 +239,24 @@ def _op_nb_apply_heldout(docs):
     return classifier.nb_apply_heldout(docs, label="text LIKE '%dup%'")
 
 
+def _op_incremental_dedup(docs):
+    from dbt_schema_builder_spark.operators import dedup
+    from dbt_schema_builder_spark.operators import text
+
+    seen = text.fingerprint(docs.where(F.col("doc_id") % 2 == 0))
+    return dedup.incremental_dedup(docs.where(F.col("doc_id") % 2 == 1), seen)
+
+
+def _op_incremental_bloom(docs):
+    from dbt_schema_builder_spark.operators import dedup
+    from dbt_schema_builder_spark.operators import text
+
+    seen = text.fingerprint(docs.where(F.col("doc_id") % 2 == 0))
+    return dedup.incremental_dedup_bloom(
+        docs.where(F.col("doc_id") % 2 == 1), seen
+    )
+
+
 DOC_OPS = {
     "exact_dedup": lambda d: __import__(
         "dbt_schema_builder_spark.operators.dedup", fromlist=["x"]
@@ -362,6 +380,41 @@ DOC_OPS = {
     "repetition_stats": lambda d: __import__(
         "dbt_schema_builder_spark.operators.text", fromlist=["x"]
     ).repetition_stats(d),
+    "token_count": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).token_count(d),
+    "fingerprint": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).fingerprint(d),
+    "redact_pii": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).redact_pii(d),
+    "sliding_chunks": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).sliding_chunks(d, size=4, overlap=2),
+    "apply_bpe_merges": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).apply_bpe_merges(d, [("t", "h"), ("a", "l")]),
+    "source_mix": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).source_mix(d, budget_tokens=300),
+    "text_metrics_pandas": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.udf", fromlist=["x"]
+    ).text_metrics_pandas(d),
+    "lang_stats_pandas": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.udf", fromlist=["x"]
+    ).lang_stats_apply_in_pandas(d),
+    "jaccard_prefix_pairs": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.dedup", fromlist=["x"]
+    ).jaccard_prefix_pairs(d, n=2, threshold=0.5),
+    "incremental_dedup": _op_incremental_dedup,
+    "incremental_dedup_bloom": _op_incremental_bloom,
+    "dedup_stats": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.dedup", fromlist=["x"]
+    ).dedup_stats(d),
+    "duplicate_substring_spans": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.dedup", fromlist=["x"]
+    ).duplicate_substring_spans(d, min_len=3, k=3),
 }
 
 
@@ -386,6 +439,14 @@ def _op_lsh_topk(emb):
 
     return similarity.lsh_bucketed_topk(
         emb, similarity.queries_from_corpus(emb, 3), k=5, dim=8
+    )
+
+
+def _op_quantized_topk(emb):
+    from dbt_schema_builder_spark.operators import similarity
+
+    return similarity.quantized_topk(
+        emb, similarity.queries_from_corpus(emb, 3), k=5
     )
 
 
@@ -418,6 +479,17 @@ EMB_OPS = {
     "semantic_dedup": lambda e: __import__(
         "dbt_schema_builder_spark.operators.similarity", fromlist=["x"]
     ).semantic_dedup(e, threshold=0.8, strategy="blocked"),
+    "quantized_topk": _op_quantized_topk,
+    "lsh_quantized_topk": lambda e: __import__(
+        "dbt_schema_builder_spark.operators.similarity", fromlist=["x"]
+    ).lsh_quantized_topk(e, k=5, dim=8, n_queries=3),
+    "ivfpq_topk": lambda e: __import__(
+        "dbt_schema_builder_spark.operators.similarity", fromlist=["x"]
+    ).ivfpq_topk(e, n_queries=3, k=5, cells=4, nprobe=2, subspaces=4, codes=8, rerank=16),
+    # ivf_sharded is the OTHER differential-exempt near-dup branch
+    "embedding_near_dup_ivf_sharded": lambda e: __import__(
+        "dbt_schema_builder_spark.operators.similarity", fromlist=["x"]
+    ).embedding_near_dup_ivf_sharded(e, threshold=0.5, k_cells=8, nprobe=2),
 }
 
 
@@ -453,6 +525,43 @@ def _op_merge_partials(ev):
     )
 
 
+def _op_asof(ev):
+    from dbt_schema_builder_spark.operators import temporal
+
+    left = ev.where(F.col("event_type") == "view")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return temporal.asof_join(left, right, "user_id", "ts", ["click_value"])
+
+
+def _op_merge_latest(ev):
+    from dbt_schema_builder_spark.operators import temporal
+
+    base = ev.where(F.col("event_id") % 2 == 0)
+    updates = ev.where(F.col("event_id") % 2 == 1)
+    return temporal.merge_latest(base, updates)
+
+
+def _op_salted_sum(ev):
+    from dbt_schema_builder_spark.operators import skew
+
+    # micro-units first: salted partial sums re-associate the addition
+    ev = ev.withColumn("v", F.round(F.col("value") * 100).cast("long"))
+    return skew.salted_sum(ev, "event_type", "v")
+
+
+def _op_salted_join(ev):
+    from dbt_schema_builder_spark.operators import skew
+
+    small = (
+        ev.select("event_type").distinct().withColumn(
+            "type_rank", F.length("event_type")
+        )
+    )
+    return skew.salted_join(ev.select("event_id", "event_type"), small, "event_type")
+
+
 EV_OPS = {
     "heavy_hitters": lambda ev: __import__(
         "dbt_schema_builder_spark.operators.relational", fromlist=["x"]
@@ -481,6 +590,52 @@ EV_OPS = {
         "dbt_schema_builder_spark.operators.profiling", fromlist=["x"]
     ).profile_numeric(ev.select("user_id", "value"), exact_distinct=True),
     "merge_partial_aggregates": _op_merge_partials,
+    "tumbling_window": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).tumbling_window_stats(ev),
+    "sliding_window": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).sliding_window_stats(ev),
+    "funnel": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).funnel(ev),
+    "cohort_retention": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).cohort_retention(ev),
+    "gapfill_locf": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).gapfill_locf(ev),
+    "gapfill_interpolate": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).gapfill_interpolate(ev),
+    "rolling_active_users": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).rolling_active_users(ev),
+    "transition_matrix": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).transition_matrix(ev),
+    "cumulative_users": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.timeseries", fromlist=["x"]
+    ).cumulative_users(ev),
+    "interval_coverage": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.temporal", fromlist=["x"]
+    ).interval_coverage(ev),
+    "scd2_history": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.temporal", fromlist=["x"]
+    ).scd2_history(ev),
+    "asof_join": _op_asof,
+    "merge_latest": _op_merge_latest,
+    "salted_sum": _op_salted_sum,
+    "salted_join": _op_salted_join,
+    "skew_report": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.skew", fromlist=["x"]
+    ).skew_report(ev, "event_type", top_k=3),
+    "extract_props": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.json_ops", fromlist=["x"]
+    ).extract_props(ev),
+    "props_stats_by_type": lambda ev: __import__(
+        "dbt_schema_builder_spark.operators.json_ops", fromlist=["x"]
+    ).props_stats_by_type(ev),
 }
 
 
@@ -496,3 +651,11 @@ def test_pagerank_partition_invariant(spark):
     from dbt_schema_builder_spark.operators import graph
 
     _assert_invariant(spark, "edges", lambda e: graph.pagerank(e, iterations=3))
+
+
+def test_pagerank_topk_partition_invariant(spark):
+    from dbt_schema_builder_spark.operators import graph
+
+    _assert_invariant(
+        spark, "edges", lambda e: graph.pagerank_topk(e, iterations=3, k=7)
+    )

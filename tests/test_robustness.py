@@ -445,3 +445,67 @@ def test_weighted_sample_zero_weight_crash_is_pinned_for_r11(spark):
     )
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide"):
         text.weighted_sample_per_group(docs, k=1).collect()
+
+
+def test_null_embedding_inputs_raise_clear_errors(spark):
+    """r10 degenerate-probe find (NULL frames): the Arrow GEMM kernels
+    and driver-side codebook/query sampling died in bare NoneType
+    errors on a NULL embedding; they now raise ValueError with the
+    filter-upstream remediation. (Pure-Catalyst paths keep SQL NULL
+    propagation — nulls yield null similarity and fall out of top-k,
+    same as the DuckDB oracle.)"""
+    import pytest
+
+    from dbt_schema_builder_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, None, 0), (1, [1.0, 0.0, 0.0, 0.0], 1),
+         (2, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    qs = similarity.queries_from_corpus(emb.where("vec_id > 0"), 1)
+    with pytest.raises(Exception, match="NULL embedding"):
+        similarity.lsh_bucketed_topk(emb, qs, k=1, dim=4).collect()
+    with pytest.raises(Exception, match="NULL embedding"):
+        similarity.embedding_near_dup_blocked(
+            emb, threshold=0.5, blocks=2
+        ).collect()
+    # driver-side sampling: the NULL row is vec_id 0, first in the
+    # orderBy(vec_id) sample
+    with pytest.raises(ValueError, match="NULL iv"):
+        similarity.pq_topk(emb, n_queries=1, k=1, subspaces=2, codes=2)
+    with pytest.raises(ValueError, match="NULL"):
+        similarity.knn_label_agreement(emb, n_queries=2, k=1)
+    # null LABEL with valid vectors
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0], None), (1, [0.0, 1.0], 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        similarity.knn_label_agreement(emb2, n_queries=2, k=1)
+
+
+def test_null_group_keys_raise_clear_errors(spark):
+    """r10 degenerate-probe find (NULL frames): waterfill died in
+    Python's None-vs-str tuple compare and sampleBy in
+    DISALLOWED_TYPE_FOR_CONTAINER; both now raise with remediations,
+    and the hash-path sampler genuinely handles NULL strata via
+    default_fraction."""
+    import pytest
+
+    from dbt_schema_builder_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", None, None, 10), (1, "beta x", "en", "web", 6)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with pytest.raises(ValueError, match="NULL source group"):
+        text.source_mix_waterfill(docs, budget_tokens=10)
+    with pytest.raises(ValueError, match="NULL values in strata column"):
+        text.stratified_sample(docs, default_fraction=0.5)
+    # the advertised remediation works: hash path samples null strata
+    # at default_fraction without error
+    out = text.stratified_sample(
+        docs, fractions={"en": 1.0}, default_fraction=1.0
+    )
+    assert out.count() == 2

@@ -9,15 +9,18 @@ harness at a time.
 
 Run: python tools/degenerate_probe.py  (prints one line per finding)
 
-State after the r10 sweep: the remaining findings are EXACTLY the
-staged-r11 zero-division batch — the cosine zero-norm family
-(brute_topk / kmeans / centroid_outliers / near_dup_blocked /
-lsh_topk / semantic_dedup via similarity.cosine; fix = the staged
-cosine_safe swap + consumer re-pins) and weighted_sample's ln(u)/0
-(fix = WHERE weight > 0 on operator + oracle; pinned in
-tests/test_robustness.py). Everything else this probe found in r10
-(LSH dim-mismatch corruption, silent strategy fall-through, fertility
-zero-word div) was fixed same-session.
+State after the r10 sweep (incl. the NULL frames): the remaining
+findings are EXACTLY the staged-r11 zero-division batch — the cosine
+zero-norm family (brute_topk / kmeans / centroid_outliers /
+near_dup_blocked / lsh_topk / semantic_dedup via similarity.cosine;
+fix = the staged cosine_safe swap + consumer re-pins) and
+weighted_sample's ln(u)/0 on zero/NULL-char docs (fix = WHERE
+weight > 0 on operator + oracle; pinned in tests/test_robustness.py).
+Everything else this probe found in r10 (LSH dim-mismatch corruption,
+silent strategy fall-through, fertility zero-word div, NoneType
+crashes on NULL embeddings/labels in the Arrow kernels and
+driver-side sampling, waterfill/sampleBy NULL group keys) was fixed
+same-session with clear ValueErrors or SQL-NULL alignment.
 """
 
 from __future__ import annotations
@@ -55,6 +58,12 @@ def doc_frames(spark):
         ),
         "one_token": mk([(0, "x", "en", "web", 1), (1, "x", "fr", "b", 1)]),
         "whitespace": mk([(0, "   ", "en", "web", 3)]),
+        "null_text": mk(
+            [(0, None, "en", "web", 0), (1, "alpha beta", "en", "web", 10)]
+        ),
+        "null_meta": mk(
+            [(0, "alpha beta", None, None, 10), (1, "beta x", "en", "web", 6)]
+        ),
     }
 
 
@@ -71,6 +80,12 @@ def emb_frames(spark):
             # zero centroid from nonzero inputs (the staged r11 class)
             [(0, [1.0, -1.0, 2.0, 0.0], 0), (1, [-1.0, 1.0, -2.0, 0.0], 0)]
         ),
+        "null_vec": mk(
+            [(0, None, 0), (1, [1.0, 0.0, 0.0, 0.0], 1)]
+        ),
+        "null_label": mk(
+            [(0, [1.0, 0.0, 0.0, 0.0], None), (1, [0.0, 1.0, 0.0, 0.0], 1)]
+        ),
     }
 
 
@@ -86,6 +101,18 @@ def ev_frames(spark):
             [(i, _TS + datetime.timedelta(minutes=i), 1, "view", 0.0, "{}")
              for i in range(4)]
         ),
+        "null_value": mk(
+            [(0, _TS, 1, "view", None, "{}"),
+             (1, _TS + datetime.timedelta(minutes=2), 1, "click", 1.5, "{}")]
+        ),
+        "null_type_props": mk(
+            [(0, _TS, 1, None, 1.0, None),
+             (1, _TS + datetime.timedelta(minutes=2), 1, "view", 1.0, "{}")]
+        ),
+        "null_ts": mk(
+            [(0, None, 1, "view", 1.0, "{}"),
+             (1, _TS, 1, "click", 1.0, "{}")]
+        ),
     }
 
 
@@ -100,9 +127,18 @@ def probe(kind, frames, ops):
             except ValueError as e:
                 status = f"VALUERROR(deliberate?): {str(e)[:110]}"
             except Exception as e:  # noqa: BLE001
-                tb = traceback.format_exc()
-                status = f"CRASH {type(e).__name__}: {str(e).splitlines()[0][:160]}"
-                findings.append((kind, fname, opname, status, tb))
+                if "ValueError:" in str(e):
+                    # executor-side guard ValueErrors arrive wrapped in
+                    # PythonException — still deliberate, not a crash
+                    msg = str(e).split("ValueError:", 1)[1].splitlines()[0]
+                    status = f"VALUERROR(executor-side): {msg[:110]}"
+                else:
+                    tb = traceback.format_exc()
+                    status = (
+                        f"CRASH {type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:160]}"
+                    )
+                    findings.append((kind, fname, opname, status, tb))
             if status != "ok":
                 print(f"[{kind}/{fname}] {opname}: {status}", flush=True)
     return findings
