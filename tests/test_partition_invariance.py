@@ -116,11 +116,35 @@ def _edge_rows() -> list[tuple]:
     return sorted(seen)
 
 
+def _tied_doc_rows() -> list[tuple]:
+    """Adversarial tie corpus: every doc the same LENGTH, few distinct
+    texts, one lang, two sources — every window orderBy lands on its
+    tie-break column, which is exactly where a missing doc_id
+    tie-break turns rank assignment partition-dependent."""
+    texts = ["alpha beta gam", "alpha beta gam", "beta alpha gam", "gam beta alpha"]
+    return [
+        (i, texts[i % 4], "en", ["web", "books"][i % 2], 14)
+        for i in range(60)
+    ]
+
+
+def _tied_event_rows() -> list[tuple]:
+    """Same-timestamp, same-value events: session/rank/LOCF orderings
+    all tie."""
+    return [
+        (i, _BASE_TS + datetime.timedelta(minutes=(i // 6) * 10), i % 3,
+         ["view", "click"][i % 2], 5.0, "{}")
+        for i in range(48)
+    ]
+
+
 _ROWS = {
     "docs": (_doc_rows(), DOC_SCHEMA, "doc_id"),
     "emb": (_emb_rows(), EMB_SCHEMA, "vec_id"),
     "events": (_event_rows(), EV_SCHEMA, "event_id"),
     "edges": (_edge_rows(), EDGE_SCHEMA, "src"),
+    "tied_docs": (_tied_doc_rows(), DOC_SCHEMA, "doc_id"),
+    "tied_events": (_tied_event_rows(), EV_SCHEMA, "event_id"),
 }
 
 
@@ -645,6 +669,52 @@ def test_events_op_partition_invariant(spark, name):
 
 
 # --------------------------------------------------------------- graph ops
+
+
+# ------------------------------------------------------- tie-heavy corpora
+
+# rank/window/canon ops where ONLY the tie-break column decides order —
+# the exact spot a missing doc_id/event_id tie-break turns
+# partition-dependent
+_TIED_DOC_KEYS = (
+    "exact_dedup",
+    "keep_canonical",
+    "cluster_diversity_sample",
+    "percentile_filter",
+    "curriculum_bins",
+    "cap_per_source",
+    "weighted_sample",
+    "stratified_sample_hash",
+    "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_search",
+    "winnowing",
+    "pack_sequences",
+    "chunk_dedup",
+)
+
+_TIED_EV_KEYS = (
+    "sessionize",
+    "conversion_latency",
+    "gapfill_locf",
+    "gapfill_interpolate",
+    "transition_matrix",
+    "scd2_history",
+    "merge_latest",
+    "asof_join",
+    "heavy_hitters",
+    "mad_outliers",
+)
+
+
+@pytest.mark.parametrize("name", sorted(_TIED_DOC_KEYS))
+def test_tied_docs_op_partition_invariant(spark, name):
+    _assert_invariant(spark, "tied_docs", DOC_OPS[name])
+
+
+@pytest.mark.parametrize("name", sorted(_TIED_EV_KEYS))
+def test_tied_events_op_partition_invariant(spark, name):
+    _assert_invariant(spark, "tied_events", EV_OPS[name])
 
 
 def test_pagerank_partition_invariant(spark):
