@@ -142,3 +142,33 @@ def test_centroid_outliers_oracle_on_random_embeddings(spark, rows):
         entry.oracle_sql()["q_centroid_outliers"],
         similarity.centroid_outliers,
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=emb_rows)
+def test_embedding_near_dup_oracle_on_margin_gated_embeddings(spark, rows):
+    """The blocked-GEMM near-dup was differential-EXEMPT: BLAS-order
+    sums can flip a >=threshold compare or a ROUND(.,4) digit when the
+    exact cosine sits ON a boundary. Gate the examples instead of
+    skipping the key: discard corpora where ANY pair's float64 cosine
+    is within 1e-6 of the 0.5 threshold or of a 4-decimal rounding
+    boundary. Reassociation differences are ~1e-15 — nine orders below
+    the gate — so every surviving example must match the all-pairs
+    DuckDB oracle EXACTLY, ROUND surface included."""
+    import numpy as np
+    from hypothesis import assume
+
+    X = np.array(
+        [[k / 1024 for k in vec] for vec, _ in rows], dtype=np.float64
+    )
+    nrm = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = (nrm @ nrm.T)[np.triu_indices(len(rows), 1)]
+    assume(np.all(np.abs(sims - 0.5) > 1e-6))
+    d = sims * 1e4
+    assume(np.all(np.abs(d - np.floor(d) - 0.5) > 1e-2))
+    _emb_check(
+        spark,
+        rows,
+        entry.oracle_sql()["q_embedding_near_dup"],
+        lambda emb: similarity.embedding_near_dup(emb, threshold=0.5),
+    )
