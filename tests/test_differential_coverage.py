@@ -92,23 +92,17 @@ _TEXT_KERNEL_PINNED = {
 _EMBEDDING_FRAME_GAP = {
     # (r10 late: 7 keys moved to covered via
     # test_embedding_differentials.py + the frame differentials.)
-    # Remaining two, each for a specific reason (q_embedding_near_dup
-    # left this list in late r10: the MARGIN-GATED differential in
-    # test_embedding_differentials.py discards examples within 1e-6 of
-    # the threshold/ROUND boundaries, nine orders above BLAS
-    # reassociation noise, so the blocked-GEMM surface is now
-    # exact-checkable on random frames):
-    # - q_ivf_topk: a float-ARGMAX surface — the oracle ranks by
-    #   DuckDB's native list_cosine_similarity while Spark ranks by the
-    #   Catalyst HOF cosine (different float expression forms), so they
-    #   agree on the argmax except at near-ties between centroids; a
-    #   random differential would be knife-edge-flaky by construction
-    #   (the fixture's argmaxes are well-separated — green r7).
+    # Remaining one (q_embedding_near_dup and q_ivf_topk left this list
+    # in late r10: MARGIN-GATED differentials in
+    # test_embedding_differentials.py discard hypothesis examples
+    # within 1e-6 of a threshold/ROUND boundary or of a best-vs-second
+    # argmax tie — nine orders above float expression-form noise — so
+    # both float surfaces became exact-checkable on random frames):
     # - q_semantic_dedup_ivf: the dual-branch envelope (exact facts +
     #   integer agreement flag) — on tiny random frames the lossy
     #   branch's agreement genuinely varies, which is the envelope
     #   working as designed, not a replayable equality.
-    "q_ivf_topk", "q_semantic_dedup_ivf",
+    "q_semantic_dedup_ivf",
 }
 
 EXEMPT = {}
@@ -183,10 +177,10 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 def test_coverage_ratchet_floor():
     """The covered set must not shrink: the r10 TPC-H harness raised
     the floor from 110 to 134 covered keys of 157, and the margin-gated
-    blocked-GEMM differential to 135. Deleting a differential (or
+    GEMM/argmax differentials to 136. Deleting a differential (or
     renaming a generator without updating tests) trips this before the
     coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 135, sorted(covered)
+    assert len(covered) >= 136, sorted(covered)

@@ -172,3 +172,46 @@ def test_embedding_near_dup_oracle_on_margin_gated_embeddings(spark, rows):
         entry.oracle_sql()["q_embedding_near_dup"],
         lambda emb: similarity.embedding_near_dup(emb, threshold=0.5),
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=emb_rows)
+def test_ivf_assign_oracle_on_margin_gated_embeddings(spark, rows):
+    """The IVF coarse-assignment key was differential-EXEMPT: the
+    oracle ranks by DuckDB's list_cosine_similarity while Spark ranks
+    by the Catalyst HOF cosine (different float expression forms), so
+    they can disagree only at near-ties between centroids. Gate the
+    examples: every vector's best-vs-second centroid cosine gap must
+    exceed 1e-6 (expression-form noise is ~1e-15). Surviving examples
+    have a unique argmax both engines must agree on — the surface is
+    pure integer ids."""
+    import numpy as np
+    from hypothesis import assume
+
+    from pyspark.sql import functions as F
+
+    X = np.array(
+        [[k / 1024 for k in vec] for vec, _ in rows], dtype=np.float64
+    )
+    n_all = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # centroids = the 16 largest vec_ids (enumeration order = vec_id)
+    cent = n_all[max(0, len(rows) - 16):]
+    sims = n_all @ cent.T
+    if sims.shape[1] > 1:
+        part = np.sort(sims, axis=1)
+        assume(np.all(part[:, -1] - part[:, -2] > 1e-6))
+
+    def op(emb):
+        from dbt_schema_builder_spark.operators import similarity as sim
+
+        centroids = (
+            emb.orderBy(F.col("vec_id").desc())
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        return sim.ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+
+    _emb_check(spark, rows, entry.oracle_sql()["q_ivf_topk"], op)
