@@ -45,34 +45,28 @@ _STATIC_CONFIG = {
 }
 
 _RELATIONAL_SHAPE = {
-    # (r10 late: 24 of 25 TPC-H/relational keys moved to covered —
+    # (r10 late: ALL 25 TPC-H/relational keys covered —
     # tests/test_tpch_differentials.py drives the exact driver
     # callables over random TPC-H frames with exact-in-float64 money
-    # values. First run immediately found an engine divergence the
+    # values; first run immediately found an engine divergence the
     # fixture can't reach: ROLLUP/CUBE on EMPTY input emits the
     # grand-total row in DuckDB but zero rows in Spark — pinned in that
-    # file's comment.) The one key that stays out, deliberately:
-    # - q_group_quantiles: ROUND(percentile(...), 4) is the
-    #   load-bearing-round class (masks lerp-vs-midpoint ulp
-    #   differences between the engines' interpolated-percentile
-    #   forms, and the 0.9*(n-1) index itself is inexact in binary) —
-    #   a random differential would be knife-edge-flaky by
-    #   construction, the same reason as q_mad_outliers.
-    "q_group_quantiles",
+    # file's comment. q_group_quantiles converted last via the GRID
+    # argument: quantile positions are tenths over integer inputs, so
+    # the exact value can never sit on a ROUND-4 half-boundary and the
+    # lerp-vs-midpoint ulp noise is five orders below the 5e-5 gap.)
 }
 
 _EVENTS_FRAME_GAP = {
-    # (r10 late: 23 of 25 events/orders keys now covered by
-    # tests/test_events_differentials.py.) The two that stay out, each
+    # (r10 late: 24 of 25 events/orders keys now covered by
+    # tests/test_events_differentials.py — q_mad_outliers converted
+    # last on GRID values: integer-valued doubles make median/adev/MAD
+    # land on the half/quarter grid, binary-exact in both engines and
+    # never on a ROUND-4 half-boundary.) The one that stays out,
     # deliberately:
     # - q_approx_distinct: the HLL envelope key — exact facts hash, the
     #   sketch estimate is rows-only by design.
-    # - q_mad_outliers: its med/mad ROUND is deliberately ULP-MASKING
-    #   ((a+b)/2 vs lerp percentile forms — bound comment at the site);
-    #   a random differential would be knife-edge-flaky by
-    #   construction. The integer outlier COUNTS are pinned by unit
-    #   tests.
-    "q_approx_distinct", "q_mad_outliers",
+    "q_approx_distinct",
 }
 
 _STREAMING_WRAPPER = {
@@ -176,11 +170,12 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 
 def test_coverage_ratchet_floor():
     """The covered set must not shrink: the r10 TPC-H harness raised
-    the floor from 110 to 134 covered keys of 157, and the margin-gated
-    GEMM/argmax differentials to 136. Deleting a differential (or
-    renaming a generator without updating tests) trips this before the
-    coverage silently erodes."""
+    the floor from 110 to 134 covered keys of 157, the margin-gated
+    GEMM/argmax differentials to 136, and the grid-argument percentile
+    differentials to 138. Deleting a differential (or renaming a
+    generator without updating tests) trips this before the coverage
+    silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 136, sorted(covered)
+    assert len(covered) >= 138, sorted(covered)

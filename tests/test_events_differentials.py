@@ -463,3 +463,37 @@ def test_profile_oracle_on_random_orders(spark, rows):
         for r in con.execute(entry.oracle_sql()["q_profile"]).fetchall()
     }
     assert got == want, got ^ want
+
+
+# r10 continuation: the mad_outliers exemption converted on GRID values —
+# INTEGER-valued doubles make every stage binary-exact in both engines:
+# median = midpoint of ints (half grid), adev = |int - half| (half grid),
+# MAD = midpoint of halves (quarter grid), 3.0*mad and the > compare are
+# exact, and the quarter grid only hits even multiples of 0.5e-4 so the
+# ROUND(.,4) surfaces cannot land on a half-boundary.
+_mad_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=500),
+        st.sampled_from(["view", "click"]),
+        st.integers(min_value=-10000, max_value=10000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_mad_rows)
+def test_mad_outliers_oracle_on_integer_values(spark, rows):
+    from dbt_schema_builder_spark.operators import profiling
+
+    ev_rows = [
+        (u, m, t, v * 10**6, None) for (u, m, t, v) in rows
+    ]  # micros = whole units -> value column is an integer-valued double
+    _check(
+        spark,
+        ev_rows,
+        entry.oracle_sql()["q_mad_outliers"],
+        profiling.mad_outliers,
+    )

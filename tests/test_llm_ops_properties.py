@@ -3391,3 +3391,52 @@ def test_cosine_safe_staged_guard(spark):
         df.where("id = 3").select(
             similarity.cosine(SF.col("a"), SF.col("b")).alias("s")
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# r10 continuation: the percentile exemptions converted on GRID arguments —
+# quantile positions are tenths (q=0.5/0.9 over integer inputs), so the
+# exact interpolated value lives on a 1/10 rational grid that can NEVER sit
+# on a ROUND-4 half-boundary (boundaries are odd multiples of 0.5e-4; the
+# grid hits only even ones). Engine float noise is ~1e-12, five orders
+# below the 5e-5 gap, so the rounded surfaces must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_gq_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "fr"]),
+        st.integers(min_value=1, max_value=5000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_gq_rows)
+def test_group_quantiles_oracle_on_random_lengths(spark, rows):
+    import __spark_entry__ as entry
+
+    data = [(i, "x", lang, "web", n) for i, (lang, n) in enumerate(rows)]
+    docs = spark.createDataFrame(data, DOC_SCHEMA)
+    con = _duck_docs(data)
+    got = {
+        tuple(r)
+        for r in docs.groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias(
+                "median_chars"
+            ),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias(
+                "p90_chars"
+            ),
+        )
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["q_group_quantiles"]
+        ).fetchall()
+    }
+    assert got == want, got ^ want
