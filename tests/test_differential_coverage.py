@@ -32,16 +32,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # that names what ALREADY pins the key's semantics.
 
 _STATIC_CONFIG = {
-    # Static config/policy shapes on fixed catalog tables: pure
-    # projections/filters/renames with integer/string surfaces — no
-    # float semantics, no generative parameter. The driver's two-SF
-    # hash check exercises the full surface.
-    "q_banned_column_filter", "q_catalog_scan", "q_chunked_union",
-    "q_dupe_detection", "q_evolving_read", "q_exclude_filter",
-    "q_include_filter", "q_keyword_quoting", "q_metadata_merge_join",
-    "q_pii_view_projection", "q_prefix_rename", "q_regex_anti_filter",
-    "q_safe_view_redaction", "q_scalar_kernel", "q_schema_tests",
-    "q_soft_delete_filter", "q_sort_group_collect",
+    # (r10 late: 16 of the 17 static-config keys moved to covered —
+    # tests/test_config_differentials.py drives the exact driver
+    # callables over random frames, including shapes the fixture never
+    # shows: NULL shipdates through the soft-delete predicate,
+    # boundary-straddling sources through the anchored regex, and
+    # leading/trailing/multiple-'#' names through the scalar kernel.)
+    # The one that stays out, deliberately:
+    # - q_catalog_scan: its output is SCHEMA-derived and
+    #   data-independent (same columns in => same catalog out), so a
+    #   random-FRAME differential is vacuous by construction; the
+    #   driver's INFORMATION_SCHEMA oracle is already an independent
+    #   second engine deriving the same catalog.
+    "q_catalog_scan",
 }
 
 _RELATIONAL_SHAPE = {
@@ -171,11 +174,11 @@ def test_every_oracle_key_is_differential_covered_or_exempt():
 def test_coverage_ratchet_floor():
     """The covered set must not shrink: the r10 TPC-H harness raised
     the floor from 110 to 134 covered keys of 157, the margin-gated
-    GEMM/argmax differentials to 136, and the grid-argument percentile
-    differentials to 138. Deleting a differential (or renaming a
-    generator without updating tests) trips this before the coverage
-    silently erodes."""
+    GEMM/argmax differentials to 136, the grid-argument percentile
+    differentials to 138, and the config-key random-frame harness to
+    154. Deleting a differential (or renaming a generator without
+    updating tests) trips this before the coverage silently erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 138, sorted(covered)
+    assert len(covered) >= 154, sorted(covered)
