@@ -16,9 +16,10 @@ for the regex anti-filter, free-form names for the scalar kernel,
 NULL shipdates for the soft-delete filter, random nations for the
 evolving reader).
 
-The one key that stays exempt is q_catalog_scan: its output is
-SCHEMA-derived and data-independent, so a random-FRAME differential
-is vacuous by construction (same columns in = same catalog out).
+q_catalog_scan's output is SCHEMA-derived and data-independent, so a
+random-FRAME differential would be vacuous — its differential at the
+bottom of this file randomizes the SCHEMAS instead (random column
+sets through columns_catalog vs DuckDB's INFORMATION_SCHEMA).
 """
 
 from __future__ import annotations
@@ -402,3 +403,50 @@ def test_evolving_read_oracle_on_random_nations(spark, attrs):
         _run_key(
             spark, con, "q_evolving_read", entry.oracle_sql()["q_evolving_read"]
         )
+
+
+# --- q_catalog_scan: random SCHEMAS (random frames would be vacuous) --------
+
+_ident = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "k1", "k2", "val", "name", "ts_col", "x9"]
+)
+_tbl_schemas = st.fixed_dictionaries(
+    {
+        name: st.lists(_ident, min_size=1, max_size=6, unique=True)
+        for name in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    }
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(schemas=_tbl_schemas)
+def test_catalog_scan_oracle_on_random_schemas(spark, schemas):
+    """The catalog surface is data-independent, so this differential
+    randomizes the SCHEMAS instead: the driver callable's
+    columns_catalog derivation (names + 1-based ordinals) over
+    arbitrary column sets must equal DuckDB's INFORMATION_SCHEMA view
+    of identically-shaped registered relations."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    frames = {}
+    for name, cols in schemas.items():
+        frames[name] = spark.createDataFrame(
+            [], ", ".join(f"{c} string" for c in cols)
+        )
+        con.register(
+            name,
+            pd.DataFrame({c: pd.Series([], dtype="object") for c in cols}),
+        )
+    real_lt = entry.load_tables
+    entry.load_tables = lambda _spark, _sf_dir, names=None: frames
+    try:
+        _run_key(
+            spark, con, "q_catalog_scan", entry.oracle_sql()["q_catalog_scan"]
+        )
+    finally:
+        entry.load_tables = real_lt

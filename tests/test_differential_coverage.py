@@ -32,19 +32,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # that names what ALREADY pins the key's semantics.
 
 _STATIC_CONFIG = {
-    # (r10 late: 16 of the 17 static-config keys moved to covered —
+    # (r10 late: ALL 17 static-config keys moved to covered —
     # tests/test_config_differentials.py drives the exact driver
     # callables over random frames, including shapes the fixture never
     # shows: NULL shipdates through the soft-delete predicate,
-    # boundary-straddling sources through the anchored regex, and
-    # leading/trailing/multiple-'#' names through the scalar kernel.)
-    # The one that stays out, deliberately:
-    # - q_catalog_scan: its output is SCHEMA-derived and
-    #   data-independent (same columns in => same catalog out), so a
-    #   random-FRAME differential is vacuous by construction; the
-    #   driver's INFORMATION_SCHEMA oracle is already an independent
-    #   second engine deriving the same catalog.
-    "q_catalog_scan",
+    # boundary-straddling sources through the anchored regex,
+    # leading/trailing/multiple-'#' names through the scalar kernel,
+    # and — since q_catalog_scan's output is schema-derived — random
+    # SCHEMAS through columns_catalog vs INFORMATION_SCHEMA. The
+    # category stays as the landing spot for future config keys.)
 }
 
 _RELATIONAL_SHAPE = {
@@ -175,10 +171,11 @@ def test_coverage_ratchet_floor():
     """The covered set must not shrink: the r10 TPC-H harness raised
     the floor from 110 to 134 covered keys of 157, the margin-gated
     GEMM/argmax differentials to 136, the grid-argument percentile
-    differentials to 138, and the config-key random-frame harness to
-    154. Deleting a differential (or renaming a generator without
-    updating tests) trips this before the coverage silently erodes."""
+    differentials to 138, and the config-key random-frame/random-schema
+    harness to 155. Deleting a differential (or renaming a generator
+    without updating tests) trips this before the coverage silently
+    erodes."""
     import __spark_entry__ as entry
 
     covered = _covered_keys() & set(entry.oracle_sql())
-    assert len(covered) >= 154, sorted(covered)
+    assert len(covered) >= 155, sorted(covered)
