@@ -1987,79 +1987,34 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-10 window (CLAUDE.md r10 pre-plan, executed): (a) the 14
-    keys whose oracle strings changed in the r10 ROUND(int/int, 4)
-    tie-class retirement — every emitted rounded ratio of exact integers
-    is now the raw IEEE quotient on both sides (changed oracles re-earn
-    rows, the r5 rule, manifest-enforced); (b) all 13 r6-stale Tier-A
-    config/policy keys (oldest staleness in the repo); (c) 23 of the 45
-    remaining r7-stale keys, choosing the LLM-pipeline/dedup/ANN family
-    whose oracles churn most. 14 + 13 + 23 = exactly 50. The 22 deferred
-    r7 keys (TPC-H/SQL shapes, static relational/window/catalog,
-    timeseries basics — lowest churn) all hold green r7 rows and are
-    first in line for r11 alongside the 36 remaining r8-stale keys.
-    Every key below the boundary carries a green r7/r8/r9 row under its
-    CURRENT oracle string (tests/test_query_window.py +
-    tests/test_oracle_manifest.py audit both halves of that claim)."""
+    keys. Round-11 window (CLAUDE.md r11 pre-plan + opening digest,
+    executed): (a) the 5 keys whose oracle strings changed this round —
+    4 from the cosine zero-norm guard (the emitted/ranked-surface
+    consumers; the threshold-filtered pair miners agree WITHOUT oracle
+    changes because DuckDB clamps zero-norm cosines to -1.0, below any
+    positive threshold, see the q_embedding_near_dup oracle note) and
+    q_weighted_sample's WHERE weight > 0 (changed oracles re-earn rows,
+    the r5 rule, manifest-enforced); (b) all 22 r7-stale must-rotates
+    (they hit the 4-round staleness edge); (c) 23 of the 36 r8-stale
+    keys. 5 + 22 + 23 = exactly 50 (q_weighted_sample counts in (a) but
+    was itself r8-stale, so (c) draws 23 of the remaining 35). The 12
+    deferred r8 keys (static-SQL, lowest churn: pivot/unpivot, token
+    counts, fingerprints, BPE token surfaces, tfidf top-terms,
+    pii_scrub, hash_split, apply_bpe, curriculum_bins, cap_per_source,
+    unigram_logprob) all hold green r8 rows and are first in line for
+    r12 alongside the 46 remaining r9-stale keys. Every key below the
+    boundary carries a green r8/r9/r10 row under its CURRENT oracle
+    string (tests/test_query_window.py + tests/test_oracle_manifest.py
+    audit both halves of that claim)."""
     return {
-        # (a) 14 r10 changed-oracle re-pins (ROUND(int/int, 4)
-        # tie-class retirement: raw IEEE quotients on both sides)
-        "q_source_overlap": q_source_overlap,
-        "q_quality_score": q_quality_score,
-        "q_text_stats": q_text_stats,
-        "q_repetition_stats": q_repetition_stats,
-        "q_oov_rate": q_oov_rate,
-        "q_zipf_stats": q_zipf_stats,
-        "q_json_extract": q_json_extract,
-        "q_profile": q_profile,
-        "q_trend_slope": q_trend_slope,
-        "q_source_mix": q_source_mix,
-        "q_dedup_stats": q_dedup_stats,
-        "q_pandas_udf": q_pandas_udf,
-        "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_prep_pipeline": q_prep_pipeline,
-        # (b) all 13 r6-stale Tier-A config/policy keys
-        "q_safe_view_redaction": q_safe_view_redaction,
-        "q_schema_tests": q_schema_tests,
-        "q_pii_view_projection": q_pii_view_projection,
-        "q_soft_delete_filter": q_soft_delete_filter,
-        "q_banned_column_filter": q_banned_column_filter,
-        "q_include_filter": q_include_filter,
-        "q_exclude_filter": q_exclude_filter,
-        "q_chunked_union": q_chunked_union,
-        "q_sort_group_collect": q_sort_group_collect,
-        "q_prefix_rename": q_prefix_rename,
-        "q_keyword_quoting": q_keyword_quoting,
-        "q_regex_anti_filter": q_regex_anti_filter,
-        "q_scalar_kernel": q_scalar_kernel,
-        # (c) 23 r7-stale rotations (high-churn operator families)
-        "q_bm25_search": q_bm25_search,
-        "q_cluster_safe_split": q_cluster_safe_split,
-        "q_containment": q_containment,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_dsir_importance": q_dsir_importance,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_frame_dedup": q_frame_dedup,
-        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
+        # (a) 5 r11 changed-oracle re-pins: zero-norm cosine guard on
+        # the emitted/ranked surfaces + weighted_sample weight>0
+        "q_topk_similarity": q_topk_similarity,
         "q_ivf_topk": q_ivf_topk,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_keep_canonical": q_keep_canonical,
-        "q_knn_label_agreement": q_knn_label_agreement,
-        "q_pagerank": q_pagerank,
-        "q_pmi_pairs": q_pmi_pairs,
-        "q_pq_topk": q_pq_topk,
-        "q_shared_ngram_fraction": q_shared_ngram_fraction,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_source_kl": q_source_kl,
-        "q_source_mix_waterfill": q_source_mix_waterfill,
-        "q_stream_dedup_history": q_stream_dedup_history,
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_user_state": q_stream_user_state,
-        "q_substring_dedup": q_substring_dedup,
-        # ---- driver window boundary (position 50 = q_substring_dedup)
-        # every key below carries a green r7-r9 row under its
-        # current oracle string
-        # deferred r7-stale (22, lowest churn — r11 must-rotate)
+        "q_kmeans": q_kmeans,
+        "q_centroid_outliers": q_centroid_outliers,
+        "q_weighted_sample": q_weighted_sample,
+        # (b) all 22 r7-stale must-rotates (the 4-round staleness edge)
         "q_catalog_scan": q_catalog_scan,
         "q_categorical_profile": q_categorical_profile,
         "q_cohort_retention": q_cohort_retention,
@@ -2082,50 +2037,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_window": q_tumbling_window,
         "q_window_rank": q_window_rank,
         "q_window_running": q_window_running,
-        # r8-stale (36)
-        "q_apply_bpe": q_apply_bpe,
+        # (c) 23 r8-stale rotations (the higher-churn families first;
+        # 12 static-SQL r8 keys deferred to r12 with green r8 rows)
         "q_audio_features": q_audio_features,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_cap_per_source": q_cap_per_source,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_centroid_by_label": q_centroid_by_label,
         "q_chunk_dedup": q_chunk_dedup,
         "q_cluster_diversity": q_cluster_diversity,
-        "q_curriculum_bins": q_curriculum_bins,
         "q_cut_duplicate_spans": q_cut_duplicate_spans,
         "q_decontaminate": q_decontaminate,
-        "q_doc_fingerprint": q_doc_fingerprint,
         "q_dupe_detection": q_dupe_detection,
         "q_frame_sample": q_frame_sample,
         "q_gopher_rules": q_gopher_rules,
-        "q_hash_split": q_hash_split,
         "q_incremental_dedup": q_incremental_dedup,
         "q_merge_partial_aggs": q_merge_partial_aggs,
         "q_multimodal_features": q_multimodal_features,
         "q_nb_classifier": q_nb_classifier,
         "q_pack_sequences": q_pack_sequences,
         "q_percentile_filter": q_percentile_filter,
-        "q_pii_scrub": q_pii_scrub,
-        "q_pivot": q_pivot,
         "q_quantized_topk": q_quantized_topk,
         "q_skew_report": q_skew_report,
         "q_span_stats": q_span_stats,
         "q_stratified_sample": q_stratified_sample,
         "q_stream_funnel": q_stream_funnel,
         "q_temperature_mix": q_temperature_mix,
+        "q_winnowing": q_winnowing,
+        # ---- driver window boundary (position 50 = q_winnowing)
+        # every key below carries a green r8-r10 row under its
+        # current oracle string
+        # deferred r8-stale (12, static-SQL lowest churn — r12 first)
+        "q_apply_bpe": q_apply_bpe,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_cap_per_source": q_cap_per_source,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_hash_split": q_hash_split,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
         "q_tfidf_terms": q_tfidf_terms,
         "q_token_count": q_token_count,
         "q_unigram_logprob": q_unigram_logprob,
         "q_unpivot": q_unpivot,
-        "q_weighted_sample": q_weighted_sample,
-        "q_winnowing": q_winnowing,
-        # r9-stale (49)
+        # r9-stale (46 after the 3 re-pins moved up)
         "q_anomaly_events": q_anomaly_events,
         "q_approx_distinct": q_approx_distinct,
         "q_asof_join": q_asof_join,
         "q_bigram_logprob": q_bigram_logprob,
         "q_bpe_learn": q_bpe_learn,
-        "q_centroid_outliers": q_centroid_outliers,
         "q_conversion_latency": q_conversion_latency,
         "q_cube": q_cube,
         "q_evolving_read": q_evolving_read,
@@ -2136,7 +2094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_histogram": q_histogram,
         "q_hybrid_search": q_hybrid_search,
-        "q_kmeans": q_kmeans,
         "q_lang_id": q_lang_id,
         "q_lsh_topk": q_lsh_topk,
         "q_merge_latest": q_merge_latest,
@@ -2167,8 +2124,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_session": q_stream_session,
         "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "q_tokenizer_fertility": q_tokenizer_fertility,
-        "q_topk_similarity": q_topk_similarity,
         "q_zorder_layout": q_zorder_layout,
+        # r10-green (49 after q_ivf_topk moved up)
+        "q_source_overlap": q_source_overlap,
+        "q_quality_score": q_quality_score,
+        "q_text_stats": q_text_stats,
+        "q_repetition_stats": q_repetition_stats,
+        "q_oov_rate": q_oov_rate,
+        "q_zipf_stats": q_zipf_stats,
+        "q_json_extract": q_json_extract,
+        "q_profile": q_profile,
+        "q_trend_slope": q_trend_slope,
+        "q_source_mix": q_source_mix,
+        "q_dedup_stats": q_dedup_stats,
+        "q_pandas_udf": q_pandas_udf,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_prep_pipeline": q_prep_pipeline,
+        "q_safe_view_redaction": q_safe_view_redaction,
+        "q_schema_tests": q_schema_tests,
+        "q_pii_view_projection": q_pii_view_projection,
+        "q_soft_delete_filter": q_soft_delete_filter,
+        "q_banned_column_filter": q_banned_column_filter,
+        "q_include_filter": q_include_filter,
+        "q_exclude_filter": q_exclude_filter,
+        "q_chunked_union": q_chunked_union,
+        "q_sort_group_collect": q_sort_group_collect,
+        "q_prefix_rename": q_prefix_rename,
+        "q_keyword_quoting": q_keyword_quoting,
+        "q_regex_anti_filter": q_regex_anti_filter,
+        "q_scalar_kernel": q_scalar_kernel,
+        "q_bm25_search": q_bm25_search,
+        "q_cluster_safe_split": q_cluster_safe_split,
+        "q_containment": q_containment,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dsir_importance": q_dsir_importance,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_frame_dedup": q_frame_dedup,
+        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_keep_canonical": q_keep_canonical,
+        "q_knn_label_agreement": q_knn_label_agreement,
+        "q_pagerank": q_pagerank,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_pq_topk": q_pq_topk,
+        "q_shared_ngram_fraction": q_shared_ngram_fraction,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_source_kl": q_source_kl,
+        "q_source_mix_waterfill": q_source_mix_waterfill,
+        "q_stream_dedup_history": q_stream_dedup_history,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_user_state": q_stream_user_state,
+        "q_substring_dedup": q_substring_dedup,
     }
 
 
@@ -2787,16 +2793,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
         "q_topk_similarity": (
+            # r11 zero-norm guard: list_cosine_similarity CLAMPS
+            # zero-norm results to -1.0 while the guarded Spark cosine
+            # scores them 0.0 — the CASE mirrors cosine()'s na==0
+            # predicate exactly (same float squares, nonneg sum)
             "WITH q AS (SELECT vec_id AS query_id, "
             "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
-            "ORDER BY vec_id LIMIT 5) "
-            "SELECT query_id, vec_id, "
-            "ROUND(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) "
-            "+ 0.0 AS sim, "
+            "ORDER BY vec_id LIMIT 5), "
+            "s AS (SELECT query_id, vec_id, "
+            "CASE WHEN list_sum(list_transform(qv, x -> x*x)) = 0 "
+            "OR list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> x*x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) END "
+            "AS raw FROM q, embeddings) "
+            "SELECT query_id, vec_id, ROUND(raw, 4) + 0.0 AS sim, "
             "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
-            "list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) DESC, vec_id) "
-            "AS rank FROM q, embeddings QUALIFY rank <= 5"
+            "raw DESC, vec_id) AS rank FROM s QUALIFY rank <= 5"
         ),
+        # zero-norm note (r11): this string is intentionally UNCHANGED
+        # by the cosine guard — DuckDB clamps zero-norm cosines to -1.0
+        # and Spark's guard scores them 0.0, both strictly below the
+        # positive threshold, so zero-norm pairs are excluded on BOTH
+        # sides by the same WHERE. Same argument covers q_semantic_dedup
+        # and q_semantic_dedup_ivf (thr 0.4). (The sum-of-squares
+        # UNDERFLOW shape, where DuckDB clamps +inf to 1.0, is
+        # unreachable from float32 fixtures and dyadic differential
+        # grids — |x| >= 1e-154 keeps x*x normal.)
         "q_embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -2825,8 +2847,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY label, ord), "
             "cv AS (SELECT label, list(avg_val ORDER BY pos) AS cvec "
             "FROM cent GROUP BY label), "
+            # r11 zero-norm guard: a zero CENTROID is reachable from
+            # nonzero vectors (opposite pairs cancel the fixed-point
+            # mean exactly) — guarded cosine scores it 0.0 where DuckDB
+            # clamps to -1.0
             "s AS (SELECT e.vec_id, e.label, "
-            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cvec) "
+            "CASE WHEN list_sum(list_transform(CAST(e.embedding AS "
+            "DOUBLE[]), x -> x*x)) = 0 OR list_sum(list_transform("
+            "cv.cvec, x -> x*x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cvec) END "
             "AS sim FROM embeddings e JOIN cv USING (label)) "
             "SELECT vec_id, label, ROUND(sim, 4) + 0.0 AS sim_centroid, "
             "CAST(sim < 0.0 AS INT) AS is_outlier FROM s"
@@ -2902,14 +2931,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, lang) AS rn FROM s) WHERE rn = 1"
         ),
         "q_ivf_topk": (
+            # r11 zero-norm guard in the argmax: guarded 0.0 can WIN
+            # over negative sims, DuckDB's -1.0 clamp always loses —
+            # the one shape where the engines' rankings diverge
             "WITH c AS (SELECT vec_id AS centroid_id, "
             "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
             "ORDER BY vec_id DESC LIMIT 16) "
             "SELECT vec_id, centroid_id FROM "
             "(SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER "
             "(PARTITION BY e.vec_id ORDER BY "
-            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, "
-            "c.centroid_id) AS rn FROM embeddings e, c) WHERE rn = 1"
+            "CASE WHEN list_sum(list_transform(CAST(e.embedding AS "
+            "DOUBLE[]), x -> x*x)) = 0 OR list_sum(list_transform(c.cv, "
+            "x -> x*x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) END "
+            "DESC, c.centroid_id) AS rn FROM embeddings e, c) WHERE rn = 1"
         ),
         "q_pii_scrub": (
             # same pattern chain, same order as text.PII_PATTERNS; 'g'
@@ -3179,11 +3214,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_weighted_sample": (
             # A-Res priority replayed in ANSI SQL: u from the md5-prefix
-            # bucket, priority = ln(u)/weight, top-100 per lang
+            # bucket, priority = ln(u)/weight, top-100 per lang.
+            # WHERE n_chars > 0 (r11, both sides): ln(u)/0 is a
+            # non-finite priority, and the engines disagree on NULL
+            # placement under DESC — zero-weight rows have inclusion
+            # probability 0 in A-Res anyway, so filtering is the only
+            # replayable form (mirrors the operator's weight>0 filter)
             "WITH p AS (SELECT doc_id, lang, "
             "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), "
             "1, 8)) AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS priority "
-            "FROM documents) "
+            "FROM documents WHERE n_chars > 0) "
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "ROW_NUMBER() OVER (PARTITION BY lang "
             "ORDER BY priority DESC, doc_id) AS rk FROM p) WHERE rk <= 100"
@@ -4662,10 +4702,20 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:
     ]
     prev = "c0"
     for i in range(1, iterations + 1):
+        # r11 zero-norm guard per iteration: a zero centroid is
+        # reachable via exact fixed-point cancellation in the means —
+        # guarded cosine scores it 0.0 (can win over negative sims)
+        # where DuckDB's list_cosine_similarity clamps to -1.0
+        guarded = (
+            "CASE WHEN list_sum(list_transform(e.v, x -> x*x)) = 0 "
+            f"OR list_sum(list_transform({prev}.cv, x -> x*x)) = 0 "
+            "THEN CAST(0.0 AS DOUBLE) ELSE "
+            f"list_cosine_similarity(e.v, {prev}.cv) END"
+        )
         parts.append(
             f"a{i} AS (SELECT vec_id, cid FROM (SELECT e.vec_id, "
             f"{prev}.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
-            f"ORDER BY list_cosine_similarity(e.v, {prev}.cv) DESC, "
+            f"ORDER BY {guarded} DESC, "
             f"{prev}.cid) AS rn FROM e, {prev}) WHERE rn = 1)"
         )
         if i < iterations:

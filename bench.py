@@ -230,10 +230,30 @@ def _image_decode(spark, sf_dir):
     )
 
 
+def _semantic_dedup_ivf_bounded(spark, sf_dir):
+    """r11 (verdict item 8): the DEPLOYABLE branch of
+    q_semantic_dedup_ivf alone — the driver key's 20+ s price is the
+    dual-branch agreement ENVELOPE (it runs the exact blocked-GEMM
+    closure AND this bounded branch to hash the >=95% flag; the proof
+    is the point, r6 lesson, not to be optimized away). This entry
+    makes branch-level drift visible separately from the envelope."""
+    from dbt_schema_builder_spark.operators import similarity
+    from dbt_schema_builder_spark.session import read_table
+
+    return similarity.semantic_dedup(
+        read_table(spark, f"{sf_dir}/embeddings.parquet"),
+        threshold=0.4,
+        strategy="ivf_sharded",
+        k_cells=32,
+        nprobe=8,
+    )
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
     "x_image_decode": _image_decode,
+    "x_semantic_dedup_ivf_bounded": _semantic_dedup_ivf_bounded,
 }
 
 

@@ -46,32 +46,29 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two array<float/double> columns,
-    entirely in Catalyst expressions.
-
-    DOMAIN (r10 differential find): a zero-norm operand divides by
-    zero — an ANSI-mode job CRASH, and a zero CENTROID is reachable
-    from nonzero inputs (opposite vectors under one label cancel the
-    fixed-point mean exactly). Guarding here (when(norm==0, ...)) would
-    change every consumer's green oracle, so the guarded twin is STAGED
-    as ``cosine_safe`` below for the r11 swap + re-pins; until then
-    callers own the nonzero-norm precondition and the embedding
-    differentials generate inside it."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
-def cosine_safe(a: Column, b: Column) -> Column:
-    """STAGED r11 twin of ``cosine``: zero-norm operands score 0.0 (a
+    entirely in Catalyst expressions. Zero-norm operands score 0.0 (a
     zero vector has no direction — neither similar nor dissimilar, the
-    convention ANN libraries use) instead of crashing an ANSI-mode job.
-    The oracle change per consumer is one CASE WHEN on the norm sums —
-    replayable verbatim. The r11 promotion is a one-line swap in each
-    consumer plus its in-window re-pin (consumers enumerated in the
-    CLAUDE.md r10 addendum). UNWIRED as of r10: no driver key calls
-    this, so no oracle drifts."""
+    convention ANN libraries use) instead of crashing an ANSI-mode job
+    with DIVIDE_BY_ZERO — the r10 embedding-differential find, swapped
+    in r11: a zero CENTROID is reachable from nonzero inputs (opposite
+    vectors under one label cancel the fixed-point mean exactly).
+
+    Oracle note: DuckDB's list_cosine_similarity CLAMPS zero-norm
+    results to -1.0 (measured r11, any shape incl. zero-zero), so
+    threshold-filtered consumers (near-dup pair miners at thr > 0)
+    agree with unguarded oracles by exclusion on both sides, while
+    consumers that EMIT or RANK the value carry an explicit
+    CASE WHEN list_sum(squares) = 0 guard — that predicate is exactly
+    this ``na == 0`` (same float squares, nonneg sum)."""
     na, nb = _norm(a), _norm(b)
     return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
         _dot(a, b) / (na * nb)
     )
+
+
+# r11: the staged guarded twin became the one definition; the alias
+# stays for callers/tests that adopted the explicit name during staging.
+cosine_safe = cosine
 
 
 def brute_force_topk(
@@ -155,15 +152,25 @@ def hyperplane_signature(
     # into bucket 0 (quadratic candidates, wrong neighbors). The error
     # must live in its OWN branch — when(c, sig).otherwise(sig) gets
     # collapsed by SimplifyConditionals, deleting the check entirely.
+    # A NULL embedding propagates a NULL signature (r11 ADVICE fix:
+    # F.size(NULL) previously fell through to raise_error with a
+    # NULL-concat message, losing the remediation text AND violating
+    # the pure-Catalyst-paths-propagate-SQL-NULLs convention; NULL
+    # buckets join nothing, so NULL rows drop from candidate gen the
+    # same way they drop from every other Catalyst expression here).
     d = len(planes[0]) if planes else 0
-    return F.when(F.size(vec) == F.lit(d), sig).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("hyperplane_signature: embedding dim "),
-                F.size(vec).cast("string"),
-                F.lit(f" != plane dim {d} — pass dim=<your embedding dim>"),
-            )
-        ).cast("long")
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("long"))
+        .when(F.size(vec) == F.lit(d), sig)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("hyperplane_signature: embedding dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(f" != plane dim {d} — pass dim=<your embedding dim>"),
+                )
+            ).cast("long")
+        )
     )
 
 
@@ -326,10 +333,18 @@ def ivf_assign(
         "vec_id",
         "embedding",
         "centroid_id",
-        (
+        # zero-norm vector OR centroid scores 0.0 (the cosine() r11
+        # convention) — a zero centroid is reachable from nonzero
+        # inputs via exact fixed-point cancellation in kmeans' means
+        F.when(
+            (F.col("_vn") == F.lit(0.0)) | (F.col("_cn") == F.lit(0.0)),
+            F.lit(0.0),
+        )
+        .otherwise(
             _dot(F.col("embedding"), F.col("centroid_vec"))
             / (F.col("_vn") * F.col("_cn"))
-        ).alias("sim"),
+        )
+        .alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return (
@@ -488,7 +503,11 @@ def embedding_near_dup_blocked(
     """
     import pandas as pd
 
-    inv_norm = F.lit(1.0) / _norm(F.col("embedding"))
+    # zero-norm vectors normalize to the zero vector (guard, r11): all
+    # their GEMM dots are 0.0 == cosine()'s zero-norm score, so they
+    # pair with nothing at any positive threshold instead of crashing
+    nrm = _norm(F.col("embedding"))
+    inv_norm = F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(F.lit(1.0) / nrm)
     normed = embeddings.select(
         "vec_id",
         F.transform(
@@ -590,8 +609,11 @@ def embedding_near_dup_ivf_sharded(
             F.col("embedding").alias("centroid_vec"),
         )
     )
-    # normalize once; GEMM then needs only dot products
-    inv_norm = F.lit(1.0) / _norm(F.col("embedding"))
+    # normalize once; GEMM then needs only dot products. Zero-norm
+    # vectors map to the zero vector (guard, r11) — dots of 0.0 match
+    # cosine()'s zero-norm score and clear no positive threshold.
+    nrm = _norm(F.col("embedding"))
+    inv_norm = F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(F.lit(1.0) / nrm)
     normed = embeddings.select(
         "vec_id",
         F.transform(
@@ -609,9 +631,11 @@ def embedding_near_dup_ivf_sharded(
         "vec_id",
         "nvec",
         "centroid_id",
-        (_dot(F.col("nvec"), F.col("centroid_vec")) / F.col("_cn")).alias(
-            "csim"
-        ),
+        # zero-norm centroid: csim 0.0 (cosine() r11 convention); a
+        # zero nvec already dots to 0.0 against everything
+        F.when(F.col("_cn") == F.lit(0.0), F.lit(0.0))
+        .otherwise(_dot(F.col("nvec"), F.col("centroid_vec")) / F.col("_cn"))
+        .alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("centroid_id")
@@ -820,8 +844,13 @@ def embedding_near_dup(
         )
         .select(
             "vec_id",
+            # zero-norm -> zero vector (guard, r11); nonzero path keeps
+            # the exact x / n division the green oracles replay
             F.transform(
-                "embedding", lambda x: x.cast("double") / F.col("_n")
+                "embedding",
+                lambda x: F.when(F.col("_n") == F.lit(0.0), F.lit(0.0)).otherwise(
+                    x.cast("double") / F.col("_n")
+                ),
             ).alias("nvec"),
         )
     )

@@ -950,7 +950,14 @@ def weighted_sample_per_group(
 
     One window shuffle per stratum; WindowGroupLimit prunes to k per
     partition map-side before the exchange, so the shuffle carries
-    ~k * n_partitions rows, not the corpus."""
+    ~k * n_partitions rows, not the corpus.
+
+    Rows with weight <= 0 (or NULL) are excluded BEFORE the draw (r11,
+    the degenerate-probe find): ln(u)/0 is a non-finite priority, and
+    A-Res semantics give zero-weight items inclusion probability 0
+    anyway — while DuckDB sorts the resulting NULLs first on DESC and
+    Spark sorts them last, so filtering is the only replayable form.
+    The q_weighted_sample oracle carries the same WHERE."""
     from pyspark.sql.window import Window
 
     w_col = F.col(weight) if isinstance(weight, str) else weight
@@ -965,7 +972,8 @@ def weighted_sample_per_group(
     priority = F.log(u) / w_col.cast("double")
     win = Window.partitionBy(by).orderBy(F.col("priority").desc(), "doc_id")
     return (
-        documents.select("doc_id", by, priority.alias("priority"))
+        documents.where(w_col.cast("double") > F.lit(0.0))
+        .select("doc_id", by, priority.alias("priority"))
         .withColumn("rk", F.row_number().over(win))
         .where(F.col("rk") <= F.lit(k))
         .select("doc_id", by)

@@ -1139,14 +1139,16 @@ def test_ivfpq_topk_matches_oracle_on_random_vectors(spark, vecs):
     assert got == want
 
 
-# non-zero 4-dim vectors on the eighth grid: kmeans' cosine assignment
-# and the micro-unit centroid means are exact for these, and the
-# all-zero vector (undefined cosine) is excluded by construction
-nz_vec4 = vec4.filter(lambda v: any(x != 0 for x in v))
+# 4-dim vectors on the eighth grid — r11: the ZERO vector is legal now
+# (guarded cosine scores it 0.0 on both engines, as an input OR as a
+# cancelled centroid). No near-tie gate needed: a nonzero dot on this
+# grid is >= 1/64, so |cos| >= ~0.004 — computed sims never contend
+# with the exact-0.0 guard branch within float noise.
+nz_vec4 = vec4  # name kept for the other differentials below
 
 
 @settings(max_examples=6, deadline=None)
-@given(vecs=st.lists(nz_vec4, min_size=3, max_size=8))
+@given(vecs=st.lists(vec4, min_size=3, max_size=8))
 def test_kmeans_matches_oracle_on_random_vectors(spark, vecs):
     """r7 differential: the iterative Lloyd trajectory vs its unrolled
     DuckDB replay on random vectors — duplicate vectors (cosine ties
@@ -1430,7 +1432,10 @@ def test_semantic_dedup_matches_oracle_on_random_vectors(spark, vecs):
             dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
             na = math.sqrt(sum(a * a for a in vecs[i]))
             nb = math.sqrt(sum(b * b for b in vecs[j]))
-            assume(abs(dot / (na * nb) - t) > 1e-9)
+            # r11: zero-norm pairs score 0.0 under the guard (both
+            # engines exclude them at thr 0.4) — never boundary-gated
+            cos = 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+            assume(abs(cos - t) > 1e-9)
     emb = _embeddings(spark, vecs)
     got = {
         tuple(r)
@@ -3350,13 +3355,15 @@ def test_det_avg_round4_overflow_regression(spark):
     assert got == expected == val
 
 
-def test_cosine_safe_staged_guard(spark):
-    """r10 staged for r11: cosine_safe scores zero-norm operands 0.0
-    where cosine crashes under ANSI (the embedding-differential find —
-    incl. the zero CENTROID reachable from opposite nonzero vectors),
-    and equals cosine exactly on the nonzero domain."""
-    import pytest as _pytest
+def test_cosine_zero_norm_guard(spark):
+    """r11: the staged cosine_safe guard IS now cosine() — zero-norm
+    operands score 0.0 (the r10 embedding-differential find: a zero
+    CENTROID is reachable from opposite nonzero vectors under one
+    label) instead of crashing an ANSI-mode job, and the alias stays
+    equal to the canonical name."""
     from pyspark.sql import functions as SF
+
+    assert similarity.cosine_safe is similarity.cosine
 
     rows = [
         (1, [1.0, 2.0, -3.0], [0.5, -1.0, 2.0]),   # ordinary pair
@@ -3371,26 +3378,12 @@ def test_cosine_safe_staged_guard(spark):
     got = {
         r.id: r.s
         for r in df.select(
-            "id", similarity.cosine_safe(SF.col("a"), SF.col("b")).alias("s")
+            "id", similarity.cosine(SF.col("a"), SF.col("b")).alias("s")
         ).collect()
     }
     assert got[2] == 1.0
     assert got[3] == got[4] == got[5] == 0.0
     assert abs(got[1]) < 1.0
-    # equal to the unguarded cosine wherever that one is defined
-    ok = df.where("id <= 2")
-    both = ok.select(
-        "id",
-        similarity.cosine(SF.col("a"), SF.col("b")).alias("u"),
-        similarity.cosine_safe(SF.col("a"), SF.col("b")).alias("g"),
-    ).collect()
-    assert all(r.u == r.g for r in both)
-    # and the unguarded one really does crash on the zero rows under
-    # ANSI (the regression this staging exists to close)
-    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        df.where("id = 3").select(
-            similarity.cosine(SF.col("a"), SF.col("b")).alias("s")
-        ).collect()
 
 
 # ---------------------------------------------------------------------------

@@ -166,9 +166,21 @@ def _canon(v):
     return v
 
 
+def _sort_key(v):
+    # None-safe total order (r11 ADVICE fix): sorted() raises TypeError
+    # the moment two rows tie on every column before a None — encode
+    # each value (recursively, _canon nests tuples) as
+    # (is_none, type_name, value) so None never compares to a value
+    if isinstance(v, tuple):
+        return (False, "tuple", tuple(_sort_key(x) for x in v))
+    return (v is None, type(v).__name__, () if v is None else v)
+
+
 def _run(op, df) -> list[tuple]:
     out = op(df)
-    return sorted(tuple(_canon(v) for v in r) for r in out.collect())
+    return sorted(
+        (tuple(_canon(v) for v in r) for r in out.collect()), key=_sort_key
+    )
 
 
 def _assert_invariant(spark, frame: str, op):

@@ -425,26 +425,27 @@ def test_tokenizer_fertility_zero_word_language_yields_null(spark):
     assert duckdb.sql("SELECT (1000 * 5) // 0").fetchone()[0] is None
 
 
-def test_weighted_sample_zero_weight_crash_is_pinned_for_r11(spark):
-    """r10 probe find, STAGED FOR R11 (oracle change => re-pin budget):
-    a stratum whose docs all have weight 0 makes priority = ln(u)/0
-    raise under ANSI. The Efraimidis-Spirakis semantics say zero-weight
-    docs are NEVER sampled, so the r11 fix is `WHERE weight > 0` in the
-    operator AND the q_weighted_sample oracle generator (DuckDB's /0
-    yields NULL and its DESC NULL ordering differs from Spark's, so a
-    NULL-priority alignment cannot work — the filter is the only form
-    both engines replay identically). Until then, pin the crash so the
-    behavior change is deliberate."""
-    import pytest
-
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """r11 (was the staged r10 probe find): weight <= 0 or NULL rows
+    are filtered BEFORE the A-Res draw — ln(u)/0 was an ANSI crash,
+    Efraimidis-Spirakis gives zero-weight items inclusion probability
+    0, and the engines disagree on NULL placement under DESC so the
+    filter is the only replayable form (mirrored in the
+    q_weighted_sample oracle's WHERE n_chars > 0)."""
     from dbt_schema_builder_spark.operators import text
 
     docs = spark.createDataFrame(
-        [(0, "", "en", "web", 0), (1, "", "en", "web", 0)],
+        [
+            (0, "", "en", "web", 0),      # zero weight: excluded
+            (1, "", "en", "web", 0),
+            (2, "a", "en", "web", -3),    # negative weight: excluded
+            (3, "ab", "en", "web", 2),    # the one sampleable doc
+            (4, "ab", "fr", "web", None), # NULL weight: excluded
+        ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide"):
-        text.weighted_sample_per_group(docs, k=1).collect()
+    got = text.weighted_sample_per_group(docs, k=5).collect()
+    assert {(r.doc_id, r.lang) for r in got} == {(3, "en")}
 
 
 def test_null_embedding_inputs_raise_clear_errors(spark):
@@ -466,6 +467,14 @@ def test_null_embedding_inputs_raise_clear_errors(spark):
     qs = similarity.queries_from_corpus(emb.where("vec_id > 0"), 1)
     with pytest.raises(Exception, match="NULL embedding"):
         similarity.lsh_bucketed_topk(emb, qs, k=1, dim=4).collect()
+    # pure-Catalyst fallback keeps SQL NULL propagation (r11 ADVICE
+    # fix: a NULL embedding previously fell through the dim guard's
+    # otherwise-branch into raise_error with a NULL-concat message —
+    # now it signs to a NULL bucket and drops from candidate gen)
+    got = similarity.lsh_bucketed_topk(
+        emb, qs, k=5, dim=4, vectorized=False
+    ).collect()
+    assert {r.vec_id for r in got} <= {1, 2}
     with pytest.raises(Exception, match="NULL embedding"):
         similarity.embedding_near_dup_blocked(
             emb, threshold=0.5, blocks=2

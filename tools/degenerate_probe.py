@@ -9,18 +9,18 @@ harness at a time.
 
 Run: python tools/degenerate_probe.py  (prints one line per finding)
 
-State after the r10 sweep (incl. the NULL frames): the remaining
-findings are EXACTLY the staged-r11 zero-division batch — the cosine
-zero-norm family (brute_topk / kmeans / centroid_outliers /
-near_dup_blocked / lsh_topk / semantic_dedup via similarity.cosine;
-fix = the staged cosine_safe swap + consumer re-pins) and
-weighted_sample's ln(u)/0 on zero/NULL-char docs (fix = WHERE
-weight > 0 on operator + oracle; pinned in tests/test_robustness.py).
-Everything else this probe found in r10 (LSH dim-mismatch corruption,
-silent strategy fall-through, fertility zero-word div, NoneType
-crashes on NULL embeddings/labels in the Arrow kernels and
-driver-side sampling, waterfill/sampleBy NULL group keys) was fixed
-same-session with clear ValueErrors or SQL-NULL alignment.
+Since r11 this probe is a ROUND-END GATE (rc != 0 on any engine-crash
+finding; wrapped for pytest in tests/test_degenerate_gate.py): the r10
+staged zero-division batch — the cosine zero-norm family and
+weighted_sample's ln(u)/0 — landed in r11 (guarded cosine everywhere,
+WHERE weight > 0 on operator + oracle), which emptied the findings
+list. A new operator with an unguarded degenerate shape now fails the
+round the same way scale_stress catches magnitude bugs. Everything the
+r10 sweep found earlier (LSH dim-mismatch corruption, silent strategy
+fall-through, fertility zero-word div, NoneType crashes on NULL
+embeddings/labels in the Arrow kernels and driver-side sampling,
+waterfill/sampleBy NULL group keys) was fixed the session it was
+found, with clear ValueErrors or SQL-NULL alignment.
 """
 
 from __future__ import annotations
@@ -127,10 +127,25 @@ def probe(kind, frames, ops):
             except ValueError as e:
                 status = f"VALUERROR(deliberate?): {str(e)[:110]}"
             except Exception as e:  # noqa: BLE001
-                if "ValueError:" in str(e):
-                    # executor-side guard ValueErrors arrive wrapped in
-                    # PythonException — still deliberate, not a crash
-                    msg = str(e).split("ValueError:", 1)[1].splitlines()[0]
+                # executor-side guard ValueErrors arrive wrapped in
+                # PythonException; classify as deliberate ONLY when the
+                # wrapped traceback's TERMINAL exception line is a
+                # ValueError (r11 ADVICE fix: substring-matching the
+                # whole message also swallowed engine crashes that
+                # merely QUOTE a ValueError in a chained traceback)
+                import re as _re
+
+                tb_lines = [
+                    ln
+                    for ln in str(e).splitlines()
+                    if _re.match(r"\s*\S*ValueError: ", ln)
+                ]
+                terminal_valueerror = bool(tb_lines) and any(
+                    _re.match(r"\s*\S*ValueError: ", ln)
+                    for ln in str(e).splitlines()[-3:]
+                )
+                if terminal_valueerror:
+                    msg = tb_lines[-1].split("ValueError:", 1)[1]
                     status = f"VALUERROR(executor-side): {msg[:110]}"
                 else:
                     tb = traceback.format_exc()
