@@ -1154,11 +1154,16 @@ def test_kmeans_matches_oracle_on_random_vectors(spark, vecs):
     DuckDB replay on random vectors — duplicate vectors (cosine ties
     broken by centroid id), clusters that lose all members mid-run,
     and n barely above k all occur here but never in the driver
-    fixture."""
+    fixture. r11: a zero vector is APPENDED every example (all-zero on
+    the 17^4 grid is too rare to arise organically) — it exercises the
+    guarded assignment (all sims exactly 0.0 -> lowest centroid id) and,
+    as a cluster member, pulls means toward the reachable-zero-centroid
+    shape on both engines."""
     import duckdb
 
     from __spark_entry__ import _kmeans_oracle_sql
 
+    vecs = list(vecs) + [[0.0, 0.0, 0.0, 0.0]]
     emb = _embeddings(spark, vecs)
     got = {
         tuple(r)
@@ -3052,6 +3057,38 @@ def test_weighted_sample_oracle_on_random_corpora(spark, pairs):
         _entry_oracle("q_weighted_sample"),
         lambda d: text.weighted_sample_per_group(d, k=100),
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=kernel_pairs, n_zero=st.integers(min_value=1, max_value=4))
+def test_weighted_sample_oracle_with_zero_weight_docs(spark, pairs, n_zero):
+    """r11: the weight>0 filter boundary — kernel_texts never produces
+    an empty doc, so the shared-corpus differential above cannot reach
+    the shape the r10 probe crashed on. Interleave n_zero empty-text
+    (n_chars=0) docs among the organic rows: both engines must exclude
+    them BEFORE the A-Res draw (Spark's cast-double > 0.0 filter vs the
+    oracle's WHERE n_chars > 0 — equivalent for every bigint)."""
+    rows = [
+        (i, t, lang, src, len(t))
+        for i, (lang, src, t) in enumerate(pairs)
+    ]
+    base = len(rows)
+    rows += [
+        (base + j, "", ["en", "fr", "de"][j % 3], "s0", 0)
+        for j in range(n_zero)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        tuple(r)
+        for r in text.weighted_sample_per_group(docs, k=100).collect()
+    }
+    con = _duck_docs(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(_entry_oracle("q_weighted_sample")).fetchall()
+    }
+    assert got == want, got ^ want
+    assert all(doc_id < base for doc_id, _ in got)
 
 
 @settings(max_examples=8, deadline=None)
