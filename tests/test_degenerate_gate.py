@@ -20,7 +20,7 @@ def test_degenerate_probe_has_no_engine_crash_findings():
         [sys.executable, os.path.join(REPO, "tools", "degenerate_probe.py")],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,  # the r11 widened sweep (~37 ops x ~28 frames)
         cwd=REPO,
     )
     tail = "\n".join(proc.stdout.splitlines()[-40:])

@@ -240,6 +240,44 @@ def main():
             ),
             n=2,
         ),
+        # r11 gate-widening batch: the dedup families the original
+        # sweep reached only indirectly (small caps so the all-equal /
+        # dup-dense frames exercise the saturation guards too — a
+        # deliberate ValueError is a classified non-finding)
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_candidates": lambda d: dedup.minhash_lsh_candidates(
+            d, shingle_hash="portable"
+        ),
+        "simhash": lambda d: dedup.simhash_near_dup(
+            d, max_hamming=16, max_bucket=10
+        ),
+        "ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(
+            d, n=2, threshold=0.2
+        ),
+        "ppjoin": lambda d: dedup.jaccard_prefix_pairs(
+            d, n=2, threshold=0.8
+        ),
+        "tfidf_pairs": lambda d: dedup.tfidf_ngram_cosine_pairs(
+            d, n=2, threshold=0.1
+        ),
+        "containment": lambda d: dedup.containment_pairs(d, n=2),
+        "shared_ngram": lambda d: dedup.shared_ngram_fraction(d, n=2),
+        "chunk_dedup": lambda d: dedup.chunk_dedup(d, chunk=2, max_docs=1),
+        "span_stats": lambda d: dedup.duplicate_span_stats(d, min_len=2),
+        "cut_spans": lambda d: dedup.cut_duplicate_spans(d, min_len=2),
+        "source_overlap": lambda d: dedup.source_overlap_matrix(d, n=2),
+        "keep_canonical": lambda d: dedup.keep_canonical(
+            d, dedup.ngram_jaccard_pairs(d, n=2, threshold=0.3)
+        ),
+        "cluster_safe_split": lambda d: dedup.cluster_safe_split(
+            d, dedup.ngram_jaccard_pairs(d, n=2, threshold=0.3)
+        ),
+        # seen = a fingerprint table (content_md5), per the documented
+        # contract — the first probe draft passed raw docs and "found"
+        # its own API misuse
+        "incremental_bloom": lambda d: dedup.incremental_dedup_bloom(
+            d, text.fingerprint(d.limit(1))
+        ),
     }
 
     emb_ops = {
@@ -264,6 +302,37 @@ def main():
         ),
         "semantic_blocked": lambda e: similarity.semantic_dedup(
             e, threshold=0.8, strategy="blocked"
+        ),
+        # r11 gate-widening batch: the ANN variants the original sweep
+        # missed (ivf assignment direct, the integer/quantized paths,
+        # the LSH and IVF-sharded near-dup branches, two-level IVF-PQ)
+        "ivf_assign2": lambda e: similarity.ivf_assign(
+            e,
+            e.orderBy("vec_id")
+            .limit(2)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            ),
+        ),
+        "quantized_topk": lambda e: similarity.quantized_topk(
+            e, similarity.queries_from_corpus(e, 2), k=3
+        ),
+        "lsh_quant_topk": lambda e: similarity.lsh_quantized_topk(
+            e, k=3, bits=3, dim=4, n_queries=2
+        ),
+        "near_dup_lsh": lambda e: similarity.embedding_near_dup(
+            e, threshold=0.9, strategy="lsh", dim=4
+        ),
+        "near_dup_ivf_sharded": lambda e: similarity.embedding_near_dup_ivf_sharded(
+            e, threshold=0.5, k_cells=2, nprobe=2
+        ),
+        "ivfpq_topk": lambda e: similarity.ivfpq_topk(
+            e, n_queries=2, k=3, cells=2, nprobe=2, subspaces=2,
+            codes=2, rerank=8,
+        ),
+        "semantic_ivf": lambda e: similarity.semantic_dedup(
+            e, threshold=0.5, strategy="ivf_sharded", k_cells=2, nprobe=2
         ),
     }
 
