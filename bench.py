@@ -249,11 +249,37 @@ def _semantic_dedup_ivf_bounded(spark, sf_dir):
     )
 
 
+def _nfc_normalize(spark, sf_dir):
+    """r11 tests-only: Arrow-batched Unicode NFC + control strip over
+    the corpus — the hygiene pass every web pipeline runs pre-dedup."""
+    from dbt_schema_builder_spark.operators import udf
+    from dbt_schema_builder_spark.session import read_table
+
+    return udf.normalize_text(
+        read_table(spark, f"{sf_dir}/documents.parquet")
+    )
+
+
+def _k_anonymize(spark, sf_dir):
+    """r11 tests-only: window-count QI suppression gate at k=100 over
+    (lang, source) — one exchange, no join-back."""
+    from dbt_schema_builder_spark.operators import privacy
+    from dbt_schema_builder_spark.session import read_table
+
+    return privacy.k_anonymize(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        ["lang", "source"],
+        k=100,
+    )
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
     "x_image_decode": _image_decode,
     "x_semantic_dedup_ivf_bounded": _semantic_dedup_ivf_bounded,
+    "x_nfc_normalize": _nfc_normalize,
+    "x_k_anonymize": _k_anonymize,
 }
 
 

@@ -80,3 +80,67 @@ def lang_stats_apply_in_pandas(documents: DataFrame) -> DataFrame:
         )
 
     return documents.groupBy("lang").applyInPandas(stats, GROUP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (r11, tests-only — the window is full). Every
+# web-corpus pipeline runs an NFC pass before dedup/tokenization: the
+# same visible text arrives both precomposed (U+00E9) and decomposed
+# (e + U+0301), so fingerprints, shingles, and vocab entries silently
+# fork without it. Spark has no normalization built-in, so this is a
+# genuine member of the UDF surface: one Arrow-batched scalar UDF, and
+# every derived column reads the MATERIALIZED result (two-step select —
+# the UDF must not be inlined per consumer).
+
+# C0 controls except \t \n \r, plus DEL — the hygiene strip every
+# pipeline applies; the class is explicit byte ranges so the Java and
+# RE2 regex engines read the identical set.
+CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+_NF_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def _normalize_udf(form: str):
+    @F.pandas_udf(StringType())
+    def norm(text: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return text.map(
+            lambda t: t if t is None else unicodedata.normalize(form, t)
+        )
+
+    return norm
+
+
+def normalize_text(
+    documents: DataFrame, form: str = "NFC", strip_control: bool = True
+) -> DataFrame:
+    """Unicode-normalize the text column; emit
+    (doc_id, norm_text, changed, n_chars_norm).
+
+    - ``form="NFC"`` is the release default and the only form with a
+      cross-engine oracle (DuckDB ``nfc_normalize`` — differential in
+      tests/test_privacy.py over composition/ligature/jamo shapes);
+      NFD/NFKC/NFKD are API-side.
+    - ``strip_control`` removes C0 controls (except tab/newline/CR) and
+      DEL AFTER normalization, JVM-side (``CONTROL_CLASS``).
+    - NULL text propagates (NULL norm_text / NULL length), and
+      ``changed`` uses null-safe equality so an unchanged NULL row is 0.
+
+    Scale: one ArrowEvalPython node over the scan — map-only, no
+    shuffle; the changed/length columns read the materialized UDF
+    output, never re-invoke it."""
+    if form not in _NF_FORMS:
+        raise ValueError(
+            f"normalize_text: form must be one of {_NF_FORMS}, got {form!r}"
+        )
+    normed = _normalize_udf(form)(F.col("text"))
+    if strip_control:
+        normed = F.regexp_replace(normed, CONTROL_CLASS, "")
+    staged = documents.select("doc_id", "text", normed.alias("_norm"))
+    return staged.select(
+        "doc_id",
+        F.col("_norm").alias("norm_text"),
+        (~F.col("_norm").eqNullSafe(F.col("text"))).cast("int").alias("changed"),
+        F.length("_norm").cast("bigint").alias("n_chars_norm"),
+    )

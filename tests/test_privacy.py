@@ -1,0 +1,262 @@
+"""r11 tests-only operators: k-anonymity release gates
+(operators/privacy.py) and Unicode NFC normalization
+(operators/udf.normalize_text). No driver keys — the 50-slot window is
+structurally full (CLAUDE.md r11 lesson) — so these carry their value
+oracles HERE: fixed-shape pins plus hypothesis random-frame
+differentials against DuckDB, the same machinery the driver keys use.
+
+Every non-ASCII codepoint in TEST DATA is a \\uXXXX escape: literal
+composed/decomposed text in a source file can be silently
+re-normalized by tooling — which would rewrite exactly the
+distinctions these tests pin.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dbt_schema_builder_spark.operators import privacy, udf
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+# composition atoms, escape-only
+CAFE_NFC = "caf\u00e9"
+CAFE_NFD = "cafe\u0301"
+ENYE_NFC = "\u00f1"
+ENYE_NFD = "n\u0303"
+FI_LIGATURE = "\ufb01le"
+HANGUL_NFC = "\uac00"
+HANGUL_JAMO = "\u1100\u1161"
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t) if t is not None else 0)
+         for i, (lang, src, t) in enumerate(rows)],
+        DOC_SCHEMA,
+    )
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(rows))),
+                "text": [t for _, _, t in rows],
+                "lang": [lang for lang, _, _ in rows],
+                "source": [s for _, s, _ in rows],
+                "n_chars": [len(t) if t is not None else 0 for _, _, t in rows],
+            }
+        ),
+    )
+    return con
+
+
+def test_k_anonymize_fixed_shape(spark):
+    rows = (
+        [("en", "web", f"doc {i}") for i in range(5)]       # big group
+        + [("fr", "web", "petit")]                            # singleton
+        + [("de", "b", "zwei"), ("de", "b", "noch")]          # pair
+        + [(None, "web", "null lang"), (None, "web", "x")]    # NULL group
+    )
+    docs = _docs(spark, rows)
+    kept = privacy.k_anonymize(docs, ["lang", "source"], k=2)
+    got = {r.doc_id for r in kept.collect()}
+    # singleton fr group suppressed; NULL lang group (2 rows) KEPT —
+    # SQL grouping treats NULL as a key on both engines
+    assert got == {0, 1, 2, 3, 4, 6, 7, 8, 9}
+    # input columns unchanged, helper column dropped
+    assert kept.columns == docs.columns
+
+    rep = {
+        tuple(r)
+        for r in privacy.k_anonymity_report(
+            docs, ["lang", "source"], k=2
+        ).collect()
+    }
+    assert ("fr", "web", 1, 1) in rep
+    assert ("en", "web", 5, 0) in rep
+    assert (None, "web", 2, 0) in rep
+
+
+def test_k_anonymity_validates_config(spark):
+    docs = _docs(spark, [("en", "web", "x")])
+    with pytest.raises(ValueError, match="at least one column"):
+        privacy.k_anonymize(docs, [], k=2)
+    with pytest.raises(ValueError, match="not in frame"):
+        privacy.k_anonymity_report(docs, ["nope"], k=2)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        privacy.k_anonymize(docs, ["lang"], k=0)
+
+
+kanon_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "fr", "de", None]),
+        st.sampled_from(["s0", "s1"]),
+        st.sampled_from(["alpha", "beta gamma", ""]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=kanon_rows, k=st.integers(min_value=1, max_value=4))
+def test_k_anonymize_matches_duckdb_on_random_frames(spark, rows, k):
+    """Random-frame differential: suppression and the risk report vs
+    their ANSI replays — NULL QI groups, empty frames, k=1 (keep all),
+    and k above every group size all arise here."""
+    docs = _docs(spark, rows)
+    con = _duck(rows)
+
+    got = {
+        tuple(r)
+        for r in privacy.k_anonymize(docs, ["lang", "source"], k=k).collect()
+    }
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, text, lang, source, n_chars FROM ("
+            "SELECT *, COUNT(*) OVER (PARTITION BY lang, source) AS qn "
+            f"FROM documents) WHERE qn >= {k}"
+        ).fetchall()
+    }
+    assert got == want
+
+    got_rep = {
+        tuple(r)
+        for r in privacy.k_anonymity_report(
+            docs, ["lang", "source"], k=k
+        ).collect()
+    }
+    want_rep = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT lang, source, COUNT(*) AS n_rows, "
+            f"CAST(COUNT(*) < {k} AS INT) AS at_risk "
+            "FROM documents GROUP BY lang, source"
+        ).fetchall()
+    }
+    assert got_rep == want_rep
+
+
+def test_k_anonymize_plan_has_one_exchange(spark):
+    """Plan pin: the suppression filter is a WINDOW over the QI
+    partition — exactly one exchange, no aggregate-plus-join-back
+    second corpus scan."""
+    docs = _docs(spark, [("en", "web", "x"), ("en", "web", "y")])
+    plan = (
+        privacy.k_anonymize(docs, ["lang", "source"], k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+
+
+def test_normalize_text_fixed_shapes(spark):
+    rows = [
+        (0, "plain ascii"),
+        (1, CAFE_NFC),                      # precomposed: unchanged
+        (2, CAFE_NFD),                      # decomposed -> composes
+        (3, ENYE_NFD + " and more"),        # combining tilde
+        (4, HANGUL_JAMO),                   # jamo -> syllable under NFC
+        (5, FI_LIGATURE),                   # ligature fi: NFC keeps it
+        (6, "ctl\x01\x1f\x7fchars"),        # C0/DEL stripped
+        (7, "keep\ttabs\nand\rbreaks"),     # tab/newline/CR survive
+        (8, None),                          # NULL propagates
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in udf.normalize_text(df).collect()}
+    assert got[0].norm_text == "plain ascii" and got[0].changed == 0
+    assert got[1].norm_text == CAFE_NFC and got[1].changed == 0
+    assert got[2].norm_text == CAFE_NFC and got[2].changed == 1
+    assert got[2].n_chars_norm == 4
+    assert got[3].norm_text == ENYE_NFC + " and more" and got[3].changed == 1
+    assert got[4].norm_text == HANGUL_NFC and got[4].changed == 1
+    assert got[5].norm_text == FI_LIGATURE and got[5].changed == 0
+    assert got[6].norm_text == "ctlchars" and got[6].changed == 1
+    assert got[7].changed == 0
+    assert got[8].norm_text is None and got[8].changed == 0
+    assert got[8].n_chars_norm is None
+
+
+def test_normalize_text_validates_form(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="form must be one of"):
+        udf.normalize_text(df, form="NFX")
+
+
+def test_normalize_text_udf_evaluated_once(spark):
+    """The changed/length columns must read the MATERIALIZED UDF output:
+    exactly one ArrowEvalPython node in the plan."""
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    plan = (
+        udf.normalize_text(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+# Codepoint pool where Python's unicodedata and DuckDB's utf8proc are
+# long-stable-identical under NFC: ASCII, Latin-1 precomposed, their
+# decomposed twins, a ligature NFC keeps, Hangul jamo that compose, and
+# strip-class controls.
+_ATOMS = st.sampled_from(
+    [
+        "word", "x", "",
+        CAFE_NFC, CAFE_NFD,
+        ENYE_NFC, ENYE_NFD,
+        FI_LIGATURE,
+        HANGUL_NFC, HANGUL_JAMO,
+        "\x01", "\x1f", "\x7f",
+        "\t", " ",
+    ]
+)
+nfc_texts = st.lists(_ATOMS, min_size=0, max_size=8).map("".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(st.one_of(nfc_texts, st.none()), min_size=1, max_size=8))
+def test_normalize_text_matches_duckdb_on_random_strings(spark, texts):
+    """Random-string differential vs DuckDB's nfc_normalize + the same
+    explicit control-class strip: concatenated combining marks,
+    mark-after-mark, controls adjacent to composition sites, NULLs."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {tuple(r) for r in udf.normalize_text(df).collect()}
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH n AS (SELECT doc_id, text, "
+            "regexp_replace(nfc_normalize(text), "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') "
+            "AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CAST(norm_text IS DISTINCT FROM text AS INT) AS changed, "
+            "CAST(length(norm_text) AS BIGINT) AS n_chars_norm FROM n"
+        ).fetchall()
+    }
+    assert got == want, got ^ want

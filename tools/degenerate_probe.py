@@ -169,11 +169,13 @@ def main():
         classifier,
         dedup,
         graph,  # noqa: F401
+        privacy,
         profiling,
         relational,
         similarity,
         text,
         timeseries,
+        udf,
     )
 
     doc_ops = {
@@ -278,6 +280,14 @@ def main():
         "incremental_bloom": lambda d: dedup.incremental_dedup_bloom(
             d, text.fingerprint(d.limit(1))
         ),
+        # r11 tests-only additions
+        "k_anonymize": lambda d: privacy.k_anonymize(
+            d, ["lang", "source"], k=2
+        ),
+        "k_anon_report": lambda d: privacy.k_anonymity_report(
+            d, ["lang", "source"], k=2
+        ),
+        "nfc_normalize": udf.normalize_text,
     }
 
     emb_ops = {
