@@ -451,6 +451,15 @@ DOC_OPS = {
     "duplicate_substring_spans": lambda d: __import__(
         "dbt_schema_builder_spark.operators.dedup", fromlist=["x"]
     ).duplicate_substring_spans(d, min_len=3, k=3),
+    # r11 tests-only additions: window-count suppression is partition-
+    # invariant by construction (count over the full QI partition);
+    # NFC is map-only deterministic
+    "k_anonymize": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.privacy", fromlist=["x"]
+    ).k_anonymize(d, ["lang", "source"], k=3),
+    "nfc_normalize": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.udf", fromlist=["x"]
+    ).normalize_text(d),
 }
 
 
