@@ -64,6 +64,18 @@ def doc_frames(spark):
         "null_meta": mk(
             [(0, "alpha beta", None, None, 10), (1, "beta x", "en", "web", 6)]
         ),
+        # r11: non-ASCII sweep — combining marks, C0/DEL controls,
+        # Hangul jamo, an astral-plane emoji (surrogate-pair handling
+        # in every tokenizer/regex/hash path). Escapes only: literal
+        # unicode in source can be re-normalized by tooling.
+        "unicode": mk(
+            [
+                (0, "caf\u00e9 na\u0308ive mix", "fr", "web", 15),
+                (1, "ctl\x01text\x7f end", "en", "web", 14),
+                (2, "\uac00 \u1100\u1161 jamo", "zh", "b", 9),
+                (3, "emoji \U0001f600 astral", "en", "web", 15),
+            ]
+        ),
     }
 
 
