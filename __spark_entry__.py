@@ -1987,34 +1987,94 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-11 window (CLAUDE.md r11 pre-plan + opening digest,
-    executed): (a) the 5 keys whose oracle strings changed this round —
-    4 from the cosine zero-norm guard (the emitted/ranked-surface
-    consumers; the threshold-filtered pair miners agree WITHOUT oracle
-    changes because DuckDB clamps zero-norm cosines to -1.0, below any
-    positive threshold, see the q_embedding_near_dup oracle note) and
-    q_weighted_sample's WHERE weight > 0 (changed oracles re-earn rows,
-    the r5 rule, manifest-enforced); (b) all 22 r7-stale must-rotates
-    (they hit the 4-round staleness edge); (c) 23 of the 36 r8-stale
-    keys. 5 + 22 + 23 = exactly 50 (q_weighted_sample counts in (a) but
-    was itself r8-stale, so (c) draws 23 of the remaining 35). The 12
-    deferred r8 keys (static-SQL, lowest churn: pivot/unpivot, token
-    counts, fingerprints, BPE token surfaces, tfidf top-terms,
-    pii_scrub, hash_split, apply_bpe, curriculum_bins, cap_per_source,
-    unigram_logprob) all hold green r8 rows and are first in line for
-    r12 alongside the 46 remaining r9-stale keys. Every key below the
-    boundary carries a green r8/r9/r10 row under its CURRENT oracle
-    string (tests/test_query_window.py + tests/test_oracle_manifest.py
-    audit both halves of that claim)."""
+    keys. Round-12 window (the r11 verdict's task #1, executed exactly as
+    the CLAUDE.md r11 arithmetic pre-planned): (a) all 12 deferred-r8
+    static-SQL keys (pivot/unpivot, token counts, fingerprints, BPE token
+    surfaces, tfidf top-terms, pii_scrub, hash_split, apply_bpe,
+    curriculum_bins, cap_per_source, unigram_logprob — green r8 rows,
+    oldest in the ledger); (b) 38 of the 46 r9-stale keys. 12 + 38 =
+    exactly 50. The 8 deferred r9 keys are the static relational-SQL
+    shapes (the 5 TPC-H q_sql_* queries + q_cube + q_grouping_sets +
+    q_star_join — verbatim-SQL oracles, multi-round green, lowest churn)
+    and are first in line for r13 alongside the 49 r10-stale keys. No
+    changed-oracle re-pins or promotions this round (the first clean
+    budget since r8). Every key below the boundary carries a green
+    r9/r10/r11 row under its CURRENT oracle string
+    (tests/test_query_window.py + tests/test_oracle_manifest.py audit
+    both halves of that claim)."""
     return {
-        # (a) 5 r11 changed-oracle re-pins: zero-norm cosine guard on
-        # the emitted/ranked surfaces + weighted_sample weight>0
+        # (a) all 12 deferred-r8 static-SQL keys (the ledger's oldest)
+        "q_apply_bpe": q_apply_bpe,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_cap_per_source": q_cap_per_source,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_hash_split": q_hash_split,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_token_count": q_token_count,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unpivot": q_unpivot,
+        # (b) 38 r9-stale rotations (8 static relational-SQL r9 keys
+        # deferred to r13 with green r9 rows)
+        "q_anomaly_events": q_anomaly_events,
+        "q_approx_distinct": q_approx_distinct,
+        "q_asof_join": q_asof_join,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_bpe_learn": q_bpe_learn,
+        "q_conversion_latency": q_conversion_latency,
+        "q_evolving_read": q_evolving_read,
+        "q_exact_dedup": q_exact_dedup,
+        "q_group_quantiles": q_group_quantiles,
+        "q_hash_agg": q_hash_agg,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_histogram": q_histogram,
+        "q_hybrid_search": q_hybrid_search,
+        "q_lang_id": q_lang_id,
+        "q_lsh_topk": q_lsh_topk,
+        "q_merge_latest": q_merge_latest,
+        "q_nb_apply": q_nb_apply,
+        "q_near_dup": q_near_dup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ppjoin_jaccard": q_ppjoin_jaccard,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_range_join": q_range_join,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
+        "q_semi_anti": q_semi_anti,
+        "q_session_window": q_session_window,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_sliding_window": q_sliding_window,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_join": q_stream_join,
+        "q_stream_session": q_stream_session,
+        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_zorder_layout": q_zorder_layout,
+        # ---- driver window boundary (position 50 = q_zorder_layout)
+        # every key below carries a green r9-r11 row under its
+        # current oracle string
+        # deferred r9-stale (8, static relational-SQL — r13 first)
+        "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_star_join": q_star_join,
+        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
+        "q_sql_correlated_exists": q_sql_correlated_exists,
+        "q_sql_cust_order_dist": q_sql_cust_order_dist,
+        "q_sql_promo_revenue": q_sql_promo_revenue,
+        "q_sql_shipping_priority": q_sql_shipping_priority,
+        # r11-green (50: the 5 r11 changed-oracle re-pins + 22 r7
+        # must-rotates + 23 r8 rotations, all green r11)
         "q_topk_similarity": q_topk_similarity,
         "q_ivf_topk": q_ivf_topk,
         "q_kmeans": q_kmeans,
         "q_centroid_outliers": q_centroid_outliers,
         "q_weighted_sample": q_weighted_sample,
-        # (b) all 22 r7-stale must-rotates (the 4-round staleness edge)
         "q_catalog_scan": q_catalog_scan,
         "q_categorical_profile": q_categorical_profile,
         "q_cohort_retention": q_cohort_retention,
@@ -2037,8 +2097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_window": q_tumbling_window,
         "q_window_rank": q_window_rank,
         "q_window_running": q_window_running,
-        # (c) 23 r8-stale rotations (the higher-churn families first;
-        # 12 static-SQL r8 keys deferred to r12 with green r8 rows)
         "q_audio_features": q_audio_features,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_centroid_by_label": q_centroid_by_label,
@@ -2062,70 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_funnel": q_stream_funnel,
         "q_temperature_mix": q_temperature_mix,
         "q_winnowing": q_winnowing,
-        # ---- driver window boundary (position 50 = q_winnowing)
-        # every key below carries a green r8-r10 row under its
-        # current oracle string
-        # deferred r8-stale (12, static-SQL lowest churn — r12 first)
-        "q_apply_bpe": q_apply_bpe,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_cap_per_source": q_cap_per_source,
-        "q_curriculum_bins": q_curriculum_bins,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_hash_split": q_hash_split,
-        "q_pii_scrub": q_pii_scrub,
-        "q_pivot": q_pivot,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_token_count": q_token_count,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unpivot": q_unpivot,
-        # r9-stale (46 after the 3 re-pins moved up)
-        "q_anomaly_events": q_anomaly_events,
-        "q_approx_distinct": q_approx_distinct,
-        "q_asof_join": q_asof_join,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_bpe_learn": q_bpe_learn,
-        "q_conversion_latency": q_conversion_latency,
-        "q_cube": q_cube,
-        "q_evolving_read": q_evolving_read,
-        "q_exact_dedup": q_exact_dedup,
-        "q_group_quantiles": q_group_quantiles,
-        "q_grouping_sets": q_grouping_sets,
-        "q_hash_agg": q_hash_agg,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_histogram": q_histogram,
-        "q_hybrid_search": q_hybrid_search,
-        "q_lang_id": q_lang_id,
-        "q_lsh_topk": q_lsh_topk,
-        "q_merge_latest": q_merge_latest,
-        "q_nb_apply": q_nb_apply,
-        "q_near_dup": q_near_dup,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_ppjoin_jaccard": q_ppjoin_jaccard,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_range_join": q_range_join,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_semantic_dedup_ivf": q_semantic_dedup_ivf,
-        "q_semi_anti": q_semi_anti,
-        "q_session_window": q_session_window,
-        "q_simhash_near_dup": q_simhash_near_dup,
-        "q_sliding_window": q_sliding_window,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
-        "q_sql_correlated_exists": q_sql_correlated_exists,
-        "q_sql_cust_order_dist": q_sql_cust_order_dist,
-        "q_sql_promo_revenue": q_sql_promo_revenue,
-        "q_sql_shipping_priority": q_sql_shipping_priority,
-        "q_star_join": q_star_join,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_join": q_stream_join,
-        "q_stream_session": q_stream_session,
-        "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "q_tokenizer_fertility": q_tokenizer_fertility,
-        "q_zorder_layout": q_zorder_layout,
-        # r10-green (49 after q_ivf_topk moved up)
+        # r10-green (49)
         "q_source_overlap": q_source_overlap,
         "q_quality_score": q_quality_score,
         "q_text_stats": q_text_stats,
