@@ -273,6 +273,29 @@ def _k_anonymize(spark, sf_dir):
     )
 
 
+def _dedup_lines(spark, sf_dir):
+    """r12 tests-only: within-doc repeated-line removal — map-only,
+    zero data-dependent shuffle."""
+    from dbt_schema_builder_spark.operators import text
+    from dbt_schema_builder_spark.session import read_table
+
+    return text.dedup_lines(read_table(spark, f"{sf_dir}/documents.parquet"))
+
+
+def _l_diversity(spark, sf_dir):
+    """r12 tests-only: distinct l-diversity risk report over
+    (lang, source) with text as the sensitive column."""
+    from dbt_schema_builder_spark.operators import privacy
+    from dbt_schema_builder_spark.session import read_table
+
+    return privacy.l_diversity_report(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        ["lang", "source"],
+        "text",
+        l=2,
+    )
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
@@ -280,6 +303,8 @@ EXTRA = {
     "x_semantic_dedup_ivf_bounded": _semantic_dedup_ivf_bounded,
     "x_nfc_normalize": _nfc_normalize,
     "x_k_anonymize": _k_anonymize,
+    "x_dedup_lines": _dedup_lines,
+    "x_l_diversity": _l_diversity,
 }
 
 

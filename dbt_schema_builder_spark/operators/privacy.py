@@ -1,6 +1,6 @@
-"""Privacy gates for training-data release: k-anonymity over
-quasi-identifier columns (r11, tests-only — the 50-slot driver window
-is structurally full, CLAUDE.md r11 lesson).
+"""Privacy gates for training-data release: k-anonymity and distinct
+l-diversity over quasi-identifier columns (r11/r12, tests-only — the
+50-slot driver window is structurally full, CLAUDE.md r11 lesson).
 
 The reference's policy surface redacts DIRECT identifiers
 (templates/model_sql_safe.tpl — name/balance literals); this module
@@ -68,6 +68,47 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame, quasi: list[str], sensitive: str, l: int = 2
+) -> DataFrame:
+    """Distinct l-diversity risk report (Machanavajjhala et al. 2007),
+    the companion gate k-anonymity alone cannot provide: a QI group can
+    have >= k rows yet leak the sensitive attribute outright when every
+    row in it shares one value. Emits (quasi..., n_rows, n_sensitive,
+    at_risk) where n_sensitive = COUNT(DISTINCT sensitive) within the
+    group and at_risk = 1 iff n_sensitive < ``l``.
+
+    NULL sensitive values are IGNORED by the distinct count (SQL
+    COUNT(DISTINCT) semantics, identical in Spark and DuckDB), so an
+    all-NULL group reports n_sensitive = 0 and is at risk — the
+    conservative reading: a NULL carries no diversity.
+
+    Scale: one groupBy on the QI columns; distinct-count expands to the
+    standard two-phase partial aggregate, output bounded by QI
+    cardinality — the same shape as ``k_anonymity_report``.
+    """
+    _validated_quasi(df, quasi, 1, "l_diversity_report")
+    if sensitive not in df.columns:
+        raise ValueError(
+            f"l_diversity_report: sensitive column {sensitive!r} not in "
+            f"frame (has {df.columns})"
+        )
+    if sensitive in quasi:
+        raise ValueError(
+            "l_diversity_report: sensitive column cannot be a quasi "
+            f"identifier ({sensitive!r} is in quasi — every group would "
+            "trivially report n_sensitive <= 1)"
+        )
+    if l < 1:
+        raise ValueError(f"l_diversity_report: l must be >= 1, got {l}")
+    n_distinct = F.countDistinct(F.col(sensitive))
+    return df.groupBy(*quasi).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n_distinct.alias("n_sensitive"),
+        (n_distinct < F.lit(l)).cast("int").alias("at_risk"),
+    )
+
+
 def k_anonymize(df: DataFrame, quasi: list[str], k: int = 5) -> DataFrame:
     """Suppression-mode k-anonymity: drop every row whose QI group has
     fewer than ``k`` members. Window count over the QI partition — one
@@ -75,9 +116,16 @@ def k_anonymize(df: DataFrame, quasi: list[str], k: int = 5) -> DataFrame:
     (the r4c "derive from the finer rollup" rule applied to a filter).
     Returns the input columns unchanged, rows filtered."""
     _validated_quasi(df, quasi, k, "k_anonymize")
+    # Helper column name must not collide with a user column, or the
+    # user's column would be silently overwritten and dropped (breaking
+    # the "input columns unchanged" contract) — uniquify against the
+    # actual frame schema (r11 advice).
+    helper = "_qi_n"
+    while helper in df.columns:
+        helper += "_"
     w = Window.partitionBy(*[F.col(c) for c in quasi])
     return (
-        df.withColumn("_qi_n", F.count(F.lit(1)).over(w))
-        .where(F.col("_qi_n") >= F.lit(k))
-        .drop("_qi_n")
+        df.withColumn(helper, F.count(F.lit(1)).over(w))
+        .where(F.col(helper) >= F.lit(k))
+        .drop(helper)
     )

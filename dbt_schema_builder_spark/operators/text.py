@@ -399,6 +399,54 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_lines(documents: DataFrame) -> DataFrame:
+    """Within-document repeated-line removal — the RefinedWeb /
+    MassiveText hygiene step that collapses boilerplate (nav menus,
+    cookie banners, repeated headers) to a single copy: keep the FIRST
+    occurrence of each distinct '\\n'-separated line, preserving line
+    order. Complements corpus-level dedup (dedup.py operates ACROSS
+    documents; this operates WITHIN one) and ``repetition_stats``
+    (which measures token repetition but removes nothing).
+
+    All-Catalyst and MAP-ONLY: an explode-let barrier pins split() to
+    one evaluation per row (the r3 lesson — Generate blocks
+    CollapseProject), then one indexed ``filter()`` keeps a line iff
+    its ``array_position`` (first occurrence, 1-based) equals its own
+    index. Zero shuffle — what a 100 TB hygiene pass must be. Per-doc
+    cost is O(L^2) JVM line comparisons (L = line count), the honest
+    trade against the explode-to-rows alternative's two full-corpus
+    exchanges; L is small in practice (a 10k-line doc is ~5e7 equality
+    checks of mostly-short strings inside whole-stage codegen).
+
+    NULL text propagates (NULL clean_text / NULL counts, computed
+    explicitly so the surface is session-independent — ANSI size(NULL)
+    is NULL but legacy is -1). Empty text is one empty line, kept.
+    Returns (doc_id, clean_text, n_lines, n_dupe_lines).
+    """
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    staged = documents.repartition(parallelism).select(
+        "doc_id",
+        # explode-let: array(split(..)) is non-null even when text is
+        # NULL, so NULL-text rows survive the Generate with _lines NULL
+        F.explode(F.array(F.split(F.col("text"), "\n"))).alias("_lines"),
+    )
+    kept = F.filter(
+        "_lines",
+        lambda x, i: F.array_position(F.col("_lines"), x) == i + F.lit(1),
+    )
+    staged = staged.select("doc_id", "_lines", kept.alias("_kept"))
+    n_lines = F.size("_lines").cast("bigint")
+    return staged.select(
+        "doc_id",
+        F.array_join("_kept", "\n").alias("clean_text"),
+        F.when(F.col("_lines").isNotNull(), n_lines).alias("n_lines"),
+        F.when(
+            F.col("_lines").isNotNull(),
+            (F.size("_lines") - F.size("_kept")).cast("bigint"),
+        ).alias("n_dupe_lines"),
+    )
+
+
 def pack_sequences(
     documents: DataFrame, budget: int = 2048, by: str = "lang"
 ) -> DataFrame:

@@ -116,7 +116,7 @@ def normalize_text(
     documents: DataFrame, form: str = "NFC", strip_control: bool = True
 ) -> DataFrame:
     """Unicode-normalize the text column; emit
-    (doc_id, norm_text, changed, n_chars_norm).
+    (doc_id, norm_text, changed, n_chars_norm, n_stripped).
 
     - ``form="NFC"`` is the release default and the only form with a
       cross-engine oracle (DuckDB ``nfc_normalize`` — differential in
@@ -124,7 +124,13 @@ def normalize_text(
       NFD/NFKC/NFKD are API-side.
     - ``strip_control`` removes C0 controls (except tab/newline/CR) and
       DEL AFTER normalization, JVM-side (``CONTROL_CLASS``).
-    - NULL text propagates (NULL norm_text / NULL length), and
+    - ``changed`` means "output text differs from input text" for ANY
+      reason — renormalization OR control stripping: a doc already in
+      the target form whose only difference is a stripped control still
+      flags ``changed=1`` with identical visible text. ``n_stripped``
+      (codepoints removed by the control strip) distinguishes the two:
+      ``changed=1 AND n_stripped=0`` is a genuine renormalization.
+    - NULL text propagates (NULL norm_text / NULL lengths), and
       ``changed`` uses null-safe equality so an unchanged NULL row is 0.
 
     Scale: one ArrowEvalPython node over the scan — map-only, no
@@ -134,13 +140,18 @@ def normalize_text(
         raise ValueError(
             f"normalize_text: form must be one of {_NF_FORMS}, got {form!r}"
         )
-    normed = _normalize_udf(form)(F.col("text"))
-    if strip_control:
-        normed = F.regexp_replace(normed, CONTROL_CLASS, "")
-    staged = documents.select("doc_id", "text", normed.alias("_norm"))
+    nf = _normalize_udf(form)(F.col("text"))
+    staged = documents.select("doc_id", "text", nf.alias("_nf"))
+    stripped = (
+        F.regexp_replace(F.col("_nf"), CONTROL_CLASS, "")
+        if strip_control
+        else F.col("_nf")
+    )
+    staged = staged.select("doc_id", "text", "_nf", stripped.alias("_norm"))
     return staged.select(
         "doc_id",
         F.col("_norm").alias("norm_text"),
         (~F.col("_norm").eqNullSafe(F.col("text"))).cast("int").alias("changed"),
         F.length("_norm").cast("bigint").alias("n_chars_norm"),
+        (F.length("_nf") - F.length("_norm")).cast("bigint").alias("n_stripped"),
     )

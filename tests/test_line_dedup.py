@@ -1,0 +1,113 @@
+"""r12 tests-only operator: within-document repeated-line removal
+(text.dedup_lines). No driver key — the 50-slot window is structurally
+full (CLAUDE.md r11 lesson: new functionality defaults to tests-only
+rows) — so the operator carries its value oracle HERE: fixed-shape pins
+plus a hypothesis random-corpus differential against DuckDB's
+list_filter/list_position replay, the same machinery the driver keys
+use, plus the map-only plan pin.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from dbt_schema_builder_spark.operators import text
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+# The oracle replays keep-first-occurrence with DuckDB list lambdas:
+# list_position is the 1-based FIRST index, so an element survives iff
+# its own (1-based) position equals it — identical to the Spark
+# array_position filter.
+ORACLE = (
+    "WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS l "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), "
+    "chr(10)) AS clean_text, "
+    "CAST(len(l) AS BIGINT) AS n_lines, "
+    "CAST(len(l) - len(list_filter(l, (x, i) -> list_position(l, x) = i)) "
+    "AS BIGINT) AS n_dupe_lines FROM s"
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [
+            (i, t, "en", "web", len(t) if t is not None else 0)
+            for i, t in enumerate(texts)
+        ],
+        DOC_SCHEMA,
+    )
+
+
+def test_dedup_lines_fixed_shapes(spark):
+    texts = [
+        "nav\nbody one\nnav\nbody two\nnav",  # boilerplate collapses
+        "a\nb\nc",                              # all unique: unchanged
+        "same\nsame\nsame",                     # collapses to one line
+        "x",                                    # single line
+        "",                                     # empty text = one empty line
+        "a\n\nb\n\na",                          # empty INTERIOR lines dedup too
+        None,                                   # NULL propagates
+    ]
+    got = {
+        r.doc_id: r
+        for r in text.dedup_lines(_docs(spark, texts)).collect()
+    }
+    assert got[0].clean_text == "nav\nbody one\nbody two"
+    assert got[0].n_lines == 5 and got[0].n_dupe_lines == 2
+    assert got[1].clean_text == "a\nb\nc" and got[1].n_dupe_lines == 0
+    assert got[2].clean_text == "same"
+    assert got[2].n_lines == 3 and got[2].n_dupe_lines == 2
+    assert got[3].clean_text == "x" and got[3].n_lines == 1
+    assert got[4].clean_text == "" and got[4].n_lines == 1
+    assert got[4].n_dupe_lines == 0
+    assert got[5].clean_text == "a\n\nb"  # first empty line kept in place
+    assert got[5].n_dupe_lines == 2
+    assert got[6].clean_text is None
+    assert got[6].n_lines is None and got[6].n_dupe_lines is None
+
+
+def test_dedup_lines_plan_is_map_only(spark):
+    """Plan pin: zero data-dependent shuffle — exactly the one
+    round-robin repartition for parallelism (the single-file-scan rule),
+    one Generate (the explode-let barrier pinning split() to a single
+    evaluation), no Join, no Sort."""
+    plan = (
+        text.dedup_lines(_docs(spark, ["a\nb"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+
+
+# Line atoms chosen to force collisions (few distinct values), include
+# the empty line, and exercise multi-char lines; docs join 0-8 of them
+# with '\n' (0 atoms -> empty text).
+_LINES = st.sampled_from(["alpha", "beta x", "", "a", "alpha", "  "])
+line_texts = st.lists(_LINES, min_size=0, max_size=8).map("\n".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(st.one_of(line_texts, st.none()), min_size=1, max_size=8))
+def test_dedup_lines_matches_duckdb_on_random_corpora(spark, texts):
+    """Random-corpus differential: repeated/empty/whitespace lines in
+    arbitrary positions, single-line docs, empty docs, NULLs."""
+    got = {
+        tuple(r) for r in text.dedup_lines(_docs(spark, texts)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": pd.array(texts, dtype=object)}
+        ),
+    )
+    want = {tuple(r) for r in con.execute(ORACLE).fetchall()}
+    assert got == want, got ^ want

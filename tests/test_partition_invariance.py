@@ -460,6 +460,14 @@ DOC_OPS = {
     "nfc_normalize": lambda d: __import__(
         "dbt_schema_builder_spark.operators.udf", fromlist=["x"]
     ).normalize_text(d),
+    # r12 tests-only additions: line dedup is map-only deterministic;
+    # the l-diversity report is one full-group aggregate
+    "dedup_lines": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).dedup_lines(d),
+    "l_diversity": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.privacy", fromlist=["x"]
+    ).l_diversity_report(d, ["lang", "source"], "text", l=2),
 }
 
 

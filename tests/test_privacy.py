@@ -88,6 +88,25 @@ def test_k_anonymize_fixed_shape(spark):
     assert (None, "web", 2, 0) in rep
 
 
+def test_k_anonymize_preserves_user_qi_n_column(spark):
+    """A user frame already carrying a `_qi_n` column must pass through
+    unclobbered (r11 advice): the helper count uniquifies its name
+    against the frame schema instead of overwriting-then-dropping the
+    user's column."""
+    rows = [
+        (0, "en", "web", 111),
+        (1, "en", "web", 222),
+        (2, "fr", "web", 333),  # singleton: suppressed at k=2
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, _qi_n bigint"
+    )
+    kept = privacy.k_anonymize(docs, ["lang", "source"], k=2)
+    assert kept.columns == docs.columns
+    got = {(r.doc_id, r._qi_n) for r in kept.collect()}
+    assert got == {(0, 111), (1, 222)}
+
+
 def test_k_anonymity_validates_config(spark):
     docs = _docs(spark, [("en", "web", "x")])
     with pytest.raises(ValueError, match="at least one column"):
@@ -96,6 +115,76 @@ def test_k_anonymity_validates_config(spark):
         privacy.k_anonymity_report(docs, ["nope"], k=2)
     with pytest.raises(ValueError, match="k must be >= 1"):
         privacy.k_anonymize(docs, ["lang"], k=0)
+
+
+def test_l_diversity_fixed_shape(spark):
+    rows = (
+        # (en, web): 3 rows, 3 distinct texts -> diverse at l=2
+        [("en", "web", "one"), ("en", "web", "two"), ("en", "web", "three")]
+        # (fr, web): 3 rows but ONE value -> k-anonymous yet NOT diverse
+        + [("fr", "web", "same")] * 3
+        # (de, b): all-NULL sensitive -> n_sensitive 0, at risk
+        + [("de", "b", None), ("de", "b", None)]
+    )
+    rep = {
+        (r.lang, r.source): r
+        for r in privacy.l_diversity_report(
+            _docs(spark, rows), ["lang", "source"], "text", l=2
+        ).collect()
+    }
+    assert rep[("en", "web")].n_sensitive == 3
+    assert rep[("en", "web")].at_risk == 0
+    assert rep[("fr", "web")].n_rows == 3
+    assert rep[("fr", "web")].n_sensitive == 1
+    assert rep[("fr", "web")].at_risk == 1
+    assert rep[("de", "b")].n_sensitive == 0
+    assert rep[("de", "b")].at_risk == 1
+
+
+def test_l_diversity_validates_config(spark):
+    docs = _docs(spark, [("en", "web", "x")])
+    with pytest.raises(ValueError, match="sensitive column 'nope' not in"):
+        privacy.l_diversity_report(docs, ["lang"], "nope", l=2)
+    with pytest.raises(ValueError, match="cannot be a quasi"):
+        privacy.l_diversity_report(docs, ["lang", "text"], "text", l=2)
+    with pytest.raises(ValueError, match="l must be >= 1"):
+        privacy.l_diversity_report(docs, ["lang"], "text", l=0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", None]),
+            st.sampled_from(["s0", "s1"]),
+            st.sampled_from(["alpha", "beta", "gamma", None]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    l=st.integers(min_value=1, max_value=4),
+)
+def test_l_diversity_matches_duckdb_on_random_frames(spark, rows, l):
+    """Random-frame differential: NULL QI groups, NULL sensitive values
+    (ignored by the distinct count on both engines), all-NULL groups,
+    l above every group's diversity."""
+    got = {
+        tuple(r)
+        for r in privacy.l_diversity_report(
+            _docs(spark, rows), ["lang", "source"], "text", l=l
+        ).collect()
+    }
+    con = _duck(rows)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT lang, source, COUNT(*) AS n_rows, "
+            "COUNT(DISTINCT text) AS n_sensitive, "
+            f"CAST(COUNT(DISTINCT text) < {l} AS INT) AS at_risk "
+            "FROM documents GROUP BY lang, source"
+        ).fetchall()
+    }
+    assert got == want
 
 
 kanon_rows = st.lists(
@@ -186,13 +275,15 @@ def test_normalize_text_fixed_shapes(spark):
     assert got[1].norm_text == CAFE_NFC and got[1].changed == 0
     assert got[2].norm_text == CAFE_NFC and got[2].changed == 1
     assert got[2].n_chars_norm == 4
+    assert got[2].n_stripped == 0  # renormalized, nothing stripped
     assert got[3].norm_text == ENYE_NFC + " and more" and got[3].changed == 1
     assert got[4].norm_text == HANGUL_NFC and got[4].changed == 1
     assert got[5].norm_text == FI_LIGATURE and got[5].changed == 0
     assert got[6].norm_text == "ctlchars" and got[6].changed == 1
-    assert got[7].changed == 0
+    assert got[6].n_stripped == 3  # strip-only change, 3 controls removed
+    assert got[7].changed == 0 and got[7].n_stripped == 0
     assert got[8].norm_text is None and got[8].changed == 0
-    assert got[8].n_chars_norm is None
+    assert got[8].n_chars_norm is None and got[8].n_stripped is None
 
 
 def test_normalize_text_validates_form(spark):
@@ -250,13 +341,15 @@ def test_normalize_text_matches_duckdb_on_random_strings(spark, texts):
     want = {
         tuple(r)
         for r in con.execute(
-            "WITH n AS (SELECT doc_id, text, "
+            "WITH n AS (SELECT doc_id, text, nfc_normalize(text) AS nf, "
             "regexp_replace(nfc_normalize(text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') "
             "AS norm_text FROM documents) "
             "SELECT doc_id, norm_text, "
             "CAST(norm_text IS DISTINCT FROM text AS INT) AS changed, "
-            "CAST(length(norm_text) AS BIGINT) AS n_chars_norm FROM n"
+            "CAST(length(norm_text) AS BIGINT) AS n_chars_norm, "
+            "CAST(length(nf) - length(norm_text) AS BIGINT) AS n_stripped "
+            "FROM n"
         ).fetchall()
     }
     assert got == want, got ^ want

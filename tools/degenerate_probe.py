@@ -68,12 +68,19 @@ def doc_frames(spark):
         # Hangul jamo, an astral-plane emoji (surrogate-pair handling
         # in every tokenizer/regex/hash path). Escapes only: literal
         # unicode in source can be re-normalized by tooling.
+        # n_chars computed, never hand-counted (r11 ADVICE: two of the
+        # original literals were off by one vs the codepoint count)
         "unicode": mk(
             [
-                (0, "caf\u00e9 na\u0308ive mix", "fr", "web", 15),
-                (1, "ctl\x01text\x7f end", "en", "web", 14),
-                (2, "\uac00 \u1100\u1161 jamo", "zh", "b", 9),
-                (3, "emoji \U0001f600 astral", "en", "web", 15),
+                (i, t, lang, src, len(t))
+                for i, (t, lang, src) in enumerate(
+                    [
+                        ("caf\u00e9 na\u0308ive mix", "fr", "web"),
+                        ("ctl\x01text\x7f end", "en", "web"),
+                        ("\uac00 \u1100\u1161 jamo", "zh", "b"),
+                        ("emoji \U0001f600 astral", "en", "web"),
+                    ]
+                )
             ]
         ),
     }
@@ -141,23 +148,29 @@ def probe(kind, frames, ops):
             except Exception as e:  # noqa: BLE001
                 # executor-side guard ValueErrors arrive wrapped in
                 # PythonException; classify as deliberate ONLY when the
-                # wrapped traceback's TERMINAL exception line is a
-                # ValueError (r11 ADVICE fix: substring-matching the
-                # whole message also swallowed engine crashes that
-                # merely QUOTE a ValueError in a chained traceback)
+                # wrapped Python traceback's TERMINAL exception line is
+                # a ValueError. The terminal line is the LAST non-blank,
+                # non-indented 'Xxx: msg' line — traceback frames are
+                # indented, JVM stack lines are tab-indented ('\tat ...'),
+                # and 'Driver stacktrace:' has no message after the
+                # colon, so none of those can win the scan. (r12 ADVICE
+                # fix: the previous any-of-last-3-lines window both
+                # swallowed crashes whose tail QUOTED a ValueError and
+                # misclassified genuine guards followed by >3 trailing
+                # wrapper lines.)
                 import re as _re
 
-                tb_lines = [
-                    ln
-                    for ln in str(e).splitlines()
-                    if _re.match(r"\s*\S*ValueError: ", ln)
-                ]
-                terminal_valueerror = bool(tb_lines) and any(
-                    _re.match(r"\s*\S*ValueError: ", ln)
-                    for ln in str(e).splitlines()[-3:]
-                )
-                if terminal_valueerror:
-                    msg = tb_lines[-1].split("ValueError:", 1)[1]
+                terminal = None
+                for ln in reversed(str(e).splitlines()):
+                    if ln.strip() and not ln[0].isspace() and _re.match(
+                        r"[A-Za-z_][\w.]*: \S", ln
+                    ):
+                        terminal = ln
+                        break
+                if terminal is not None and _re.match(
+                    r"(?:[\w.]*\.)?ValueError: ", terminal
+                ):
+                    msg = terminal.split("ValueError:", 1)[1]
                     status = f"VALUERROR(executor-side): {msg[:110]}"
                 else:
                     tb = traceback.format_exc()
@@ -300,6 +313,11 @@ def main():
             d, ["lang", "source"], k=2
         ),
         "nfc_normalize": udf.normalize_text,
+        # r12 tests-only additions
+        "dedup_lines": text.dedup_lines,
+        "l_diversity": lambda d: privacy.l_diversity_report(
+            d, ["lang", "source"], "text", l=2
+        ),
     }
 
     emb_ops = {
