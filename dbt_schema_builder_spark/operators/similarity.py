@@ -505,13 +505,22 @@ def embedding_near_dup_blocked(
 
     # zero-norm vectors normalize to the zero vector (guard, r11): all
     # their GEMM dots are 0.0 == cosine()'s zero-norm score, so they
-    # pair with nothing at any positive threshold instead of crashing
+    # pair with nothing at any positive threshold instead of crashing.
+    # The guarded inverse MUST be materialized behind an explode-let
+    # before the transform consumes it (r12 A/B find): a when() branch
+    # is excluded from codegen subexpression elimination, so the inline
+    # form re-evaluated the O(dim) norm aggregate once per ELEMENT —
+    # O(dim^2)/row, measured 1.38x on q_embedding_near_dup at sf0.1.
     nrm = _norm(F.col("embedding"))
     inv_norm = F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(F.lit(1.0) / nrm)
     normed = embeddings.select(
         "vec_id",
+        "embedding",
+        F.explode(F.array(inv_norm)).alias("_inv"),
+    ).select(
+        "vec_id",
         F.transform(
-            "embedding", lambda x: x.cast("double") * inv_norm
+            "embedding", lambda x: x.cast("double") * F.col("_inv")
         ).alias("nvec"),
         F.pmod(F.xxhash64("vec_id"), F.lit(blocks)).cast("int").alias("blk"),
     )
@@ -612,12 +621,21 @@ def embedding_near_dup_ivf_sharded(
     # normalize once; GEMM then needs only dot products. Zero-norm
     # vectors map to the zero vector (guard, r11) — dots of 0.0 match
     # cosine()'s zero-norm score and clear no positive threshold.
+    # Explode-let materializes the guarded inverse BEFORE the transform
+    # (r12 A/B find, same as embedding_near_dup_blocked: a when()
+    # branch is excluded from codegen subexpression elimination, so the
+    # inline form re-ran the norm aggregate per element — measured
+    # 1.31x on x_embedding_near_dup_ivf05 at sf0.1).
     nrm = _norm(F.col("embedding"))
     inv_norm = F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(F.lit(1.0) / nrm)
     normed = embeddings.select(
         "vec_id",
+        "embedding",
+        F.explode(F.array(inv_norm)).alias("_inv"),
+    ).select(
+        "vec_id",
         F.transform(
-            "embedding", lambda x: x.cast("double") * inv_norm
+            "embedding", lambda x: x.cast("double") * F.col("_inv")
         ).alias("nvec"),
     )
     cent_n = centroids.select(
