@@ -201,6 +201,52 @@ def test_quantize_is_shuffle_free_with_explode_let(tables):
     assert plan.count("array_max") <= 2, plan
 
 
+def test_gemm_prep_normalizations_materialize_guarded_inverse(tables):
+    """r12 A/B find: a when()-guarded expression consumed inside a
+    per-element transform lambda is excluded from codegen subexpression
+    elimination, so the O(dim) norm aggregate re-ran per ELEMENT
+    (measured 1.38x/1.31x at sf0.1). Pin the fix: both GEMM-prep
+    normalizations materialize the guarded inverse behind an
+    explode-let Generate and the transform lambda multiplies by the
+    materialized _inv attribute — no conditional, no aggregate inside
+    any lambda body."""
+    import re
+
+    from dbt_schema_builder_spark.operators import similarity
+
+    for name, df, min_gen in [
+        (
+            "blocked",
+            similarity.embedding_near_dup_blocked(
+                tables["embeddings"], threshold=0.5, blocks=2
+            ),
+            2,  # the _inv explode-let + the _n explode-let downstream
+        ),
+        (
+            "ivf_sharded",
+            similarity.embedding_near_dup_ivf_sharded(
+                tables["embeddings"], threshold=0.5, k_cells=2, nprobe=2
+            ),
+            1,
+        ),
+    ]:
+        plan = _plan(df)
+        assert "_inv" in plan, (name, plan)
+        assert plan.count("Generate") >= min_gen, (name, plan)
+        # every normalization transform over the embedding must multiply
+        # by a materialized attribute: no conditional and no norm
+        # aggregate inside ITS lambda body (the Generate's own explode
+        # arguments legitimately contain the guarded norm — once)
+        tx = [
+            plan[m.end():m.end() + 150]
+            for m in re.finditer(r"transform\(embedding#\d+, ", plan)
+        ]
+        assert tx, (name, plan)
+        for body in tx:
+            assert "CASE WHEN" not in body, (name, body)
+            assert "aggregate(" not in body, (name, body)
+
+
 def test_lsh_quantized_topk_broadcasts_queries_only(tables):
     """The corpus flows through one scan into a broadcast bucket join;
     Python appears only as the Arrow-batched signature GEMM."""
