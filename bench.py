@@ -296,6 +296,30 @@ def _l_diversity(spark, sf_dir):
     )
 
 
+def _url_host_report(spark, sf_dir):
+    """r12 tests-only: full URL canonicalization chain + the host
+    report, over a synthetic URL column derived from the documents
+    table (deterministic: exercises case folding, default-port strip,
+    tracking-param removal, fragment strip, and the distinct count)."""
+    from pyspark.sql import functions as F
+
+    from dbt_schema_builder_spark.operators import urls
+    from dbt_schema_builder_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"),
+            F.col("source"),
+            F.lit(".Example.com:80/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&q=1#f"),
+        ).alias("url"),
+    )
+    return urls.host_report(framed)
+
+
 EXTRA = {
     "x_embedding_near_dup_lsh08": _near_dup_lsh08,
     "x_embedding_near_dup_ivf05": _near_dup_ivf_sharded05,
@@ -305,6 +329,7 @@ EXTRA = {
     "x_k_anonymize": _k_anonymize,
     "x_dedup_lines": _dedup_lines,
     "x_l_diversity": _l_diversity,
+    "x_url_host_report": _url_host_report,
 }
 
 

@@ -468,6 +468,13 @@ DOC_OPS = {
     "l_diversity": lambda d: __import__(
         "dbt_schema_builder_spark.operators.privacy", fromlist=["x"]
     ).l_diversity_report(d, ["lang", "source"], "text", l=2),
+    # urls over arbitrary text: the chain is total + map-only
+    "url_canon": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
+    ).canonicalize_urls(d, url_col="text"),
+    "host_report": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
+    ).host_report(d, url_col="text"),
 }
 
 

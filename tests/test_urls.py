@@ -1,0 +1,178 @@
+"""r12 tests-only operator family: URL canonicalization
+(operators/urls.py). No driver keys — the 50-slot window is
+structurally full — so the operators carry their value oracles HERE:
+fixed-shape pins for every documented canonicalization step plus a
+hypothesis random-URL differential against a DuckDB CTE chain replaying
+the same ordered regex transforms, plus the map-only plan pin.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dbt_schema_builder_spark.operators import urls
+
+# The oracle replays the operator's ordered step chain as CTEs. '||'
+# (not concat) preserves NULL propagation — DuckDB concat SKIPS NULLs
+# while Spark's returns NULL. Every regexp_replace carries 'g' (the r2
+# events lesson: DuckDB is first-match by default, Spark is replace-all).
+ORACLE = (
+    "WITH s0 AS (SELECT doc_id, url, trim(url) AS u FROM urls), "
+    "s1 AS (SELECT doc_id, url, "
+    "regexp_replace(u, '(?s)#.*', '', 'g') AS u FROM s0), "
+    "s2 AS (SELECT doc_id, url, u, "
+    "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS h "
+    "FROM s1), "
+    "s3 AS (SELECT doc_id, url, "
+    "lower(h) || substr(u, length(h) + 1) AS u FROM s2), "
+    "s4 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u, "
+    "'^(http://[^/?#:]*):80([/?#]|$)', '\\1\\2', 'g'), "
+    "'^(https://[^/?#:]*):443([/?#]|$)', '\\1\\2', 'g') AS u FROM s3), "
+    "s5 AS (SELECT doc_id, url, regexp_replace(regexp_replace("
+    "regexp_replace(u, "
+    "'&(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '', 'g'), "
+    "'\\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '?', 'g'), "
+    "'\\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*$', '', 'g') AS u FROM s4), "
+    "s6 AS (SELECT doc_id, url, regexp_replace(u, "
+    "'^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\\1', 'g') AS canon_url "
+    "FROM s5) "
+    "SELECT doc_id, url, canon_url, "
+    "regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) "
+    "AS host FROM s6"
+)
+
+
+def _frame(spark, url_list):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(url_list)],
+        "doc_id bigint, url string",
+    )
+
+
+def test_canonicalize_fixed_shapes(spark):
+    cases = {
+        # scheme+host lowercase, path case preserved
+        "HTTP://Example.COM/A/b": ("http://example.com/A/b", "example.com"),
+        # default port stripped, explicit port kept
+        "http://a.com:80/x": ("http://a.com/x", "a.com"),
+        "https://a.com:443": ("https://a.com", "a.com"),
+        "http://a.com:8080/x": ("http://a.com:8080/x", "a.com"),
+        # https keeps :80 (not its default)
+        "https://a.com:80/x": ("https://a.com:80/x", "a.com"),
+        # fragment stripped
+        "http://a.com/p#frag#more": ("http://a.com/p", "a.com"),
+        # tracking params with separator repair
+        "http://a.com/p?utm_source=f&q=1": ("http://a.com/p?q=1", "a.com"),
+        "http://a.com/p?q=1&utm_a=2": ("http://a.com/p?q=1", "a.com"),
+        "http://a.com/p?utm_a=1&fbclid=2": ("http://a.com/p", "a.com"),
+        # root slash stripped, deep trailing slash preserved
+        "http://a.com/": ("http://a.com", "a.com"),
+        "http://a.com/a/": ("http://a.com/a/", "a.com"),
+        # whitespace trimmed; schemeless passes through (host '')
+        "  http://a.com  ": ("http://a.com", "a.com"),
+        "Example.com/x?utm_a=1": ("Example.com/x", ""),
+        # everything at once
+        " HTTPS://B.io:443/P?utm_b=x&k=v#f ": ("https://b.io/P?k=v", "b.io"),
+    }
+    got = {
+        r.url: (r.canon_url, r.host)
+        for r in urls.canonicalize_urls(_frame(spark, list(cases))).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_canonicalize_null_and_config(spark):
+    out = urls.canonicalize_urls(_frame(spark, [None, "http://a.com"])).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].canon_url is None and by_id[0].host is None
+    with pytest.raises(ValueError, match="column 'nope' not in frame"):
+        urls.canonicalize_urls(_frame(spark, ["x"]), url_col="nope")
+    clash = _frame(spark, ["x"]).withColumnRenamed("url", "host")
+    with pytest.raises(ValueError, match="already has a 'host' column"):
+        urls.canonicalize_urls(clash, url_col="doc_id")
+
+
+def test_host_report_fixed_shape(spark):
+    rows = [
+        "HTTP://A.com/x?utm_a=1",
+        "http://a.com/x",          # same canonical page
+        "http://a.com/y",
+        "https://b.io/",
+    ]
+    rep = {
+        r.host: (r.n_urls, r.n_canon)
+        for r in urls.host_report(_frame(spark, rows)).collect()
+    }
+    assert rep["a.com"] == (3, 2)
+    assert rep["b.io"] == (1, 1)
+
+
+def test_canonicalize_plan_is_map_only(spark):
+    plan = (
+        urls.canonicalize_urls(_frame(spark, ["http://a.com"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+_SCHEMES = st.sampled_from(["http://", "HTTP://", "https://", "Https://", ""])
+_HOSTS = st.sampled_from(["Example.com", "a.B.co", "x.io"])
+_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_PATHS = st.sampled_from(["", "/", "/a/B", "/a/", "/A%20b"])
+_PARAMS = st.lists(
+    st.sampled_from(
+        ["utm_source=x", "utm_a=", "fbclid=9", "gclid=z", "a=1", "B=2", "q=h"]
+    ),
+    min_size=0,
+    max_size=4,
+)
+_FRAGS = st.sampled_from(["", "#f", "#a#b", "#"])
+_WS = st.sampled_from(["", " ", "  "])
+
+
+@st.composite
+def _url(draw):
+    query = "&".join(draw(_PARAMS))
+    return (
+        draw(_WS)
+        + draw(_SCHEMES)
+        + draw(_HOSTS)
+        + draw(_PORTS)
+        + draw(_PATHS)
+        + ("?" + query if query else "")
+        + draw(_FRAGS)
+        + draw(_WS)
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(url_list=st.lists(st.one_of(_url(), st.none()), min_size=1, max_size=10))
+def test_canonicalize_matches_duckdb_on_random_urls(spark, url_list):
+    """Random-URL differential: every combination of case, default and
+    explicit ports, tracking-only / tracking-first / tracking-last query
+    strings, bare and stacked fragments, schemeless strings, whitespace,
+    NULLs — the operator chain and the CTE replay must agree exactly."""
+    got = {
+        tuple(r)
+        for r in urls.canonicalize_urls(_frame(spark, url_list)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "urls",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(url_list)),
+                "url": pd.array(url_list, dtype=object),
+            }
+        ),
+    )
+    want = {tuple(r) for r in con.execute(ORACLE).fetchall()}
+    assert got == want, got ^ want

@@ -201,6 +201,7 @@ def main():
         text,
         timeseries,
         udf,
+        urls,
     )
 
     doc_ops = {
@@ -313,11 +314,14 @@ def main():
             d, ["lang", "source"], k=2
         ),
         "nfc_normalize": udf.normalize_text,
-        # r12 tests-only additions
+        # r12 tests-only additions (urls probed over arbitrary TEXT —
+        # the regex chain is total, it must never crash on non-URLs)
         "dedup_lines": text.dedup_lines,
         "l_diversity": lambda d: privacy.l_diversity_report(
             d, ["lang", "source"], "text", l=2
         ),
+        "url_canon": lambda d: urls.canonicalize_urls(d, url_col="text"),
+        "host_report": lambda d: urls.host_report(d, url_col="text"),
     }
 
     emb_ops = {
