@@ -98,6 +98,63 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows whose canonical host — or ANY parent domain of it —
+    appears in ``blocked_domains`` (one column: ``domain``), the
+    UT1-blocklist step web pipelines run right after URL
+    canonicalization: blocking ``example.com`` must also block
+    ``a.b.example.com``, so each host expands to its dot-suffix chain
+    ({a.b.example.com, b.example.com, example.com, com}) and a row is
+    dropped when any suffix matches.
+
+    ``key_col`` must uniquely identify rows (the hit set is keyed on it
+    — duplicate keys would drop all rows sharing a hit key). Returns
+    the canonicalized frame (input columns + canon_url + host) with
+    blocked rows removed; NULL urls have no host and are always kept.
+
+    Scale: suffix expansion is a map-side Generate bounded by label
+    depth (~5 suffixes/host); the blocklist joins BROADCAST (semi) so
+    the corpus never shuffles; the final anti-join is key-vs-key. The
+    host's split() is materialized behind an explode-let before the
+    per-suffix lambda consumes it (the r12 CSE rule)."""
+    if "domain" not in blocked_domains.columns:
+        raise ValueError(
+            "blocklist_filter: blocked_domains must have a 'domain' "
+            f"column (has {blocked_domains.columns})"
+        )
+    if key_col not in df.columns:
+        raise ValueError(
+            f"blocklist_filter: key column {key_col!r} not in frame "
+            f"(has {df.columns})"
+        )
+    canon = canonicalize_urls(df, url_col=url_col)
+    parts_frame = canon.select(
+        key_col,
+        F.explode(F.array(F.split(F.col("host"), "\\."))).alias("_parts"),
+    )
+    n = F.size("_parts")
+    suffixes = parts_frame.select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice("_parts", i, n), "."),
+            )
+        ).alias("domain"),
+    )
+    hits = (
+        suffixes.join(F.broadcast(blocked_domains), "domain", "left_semi")
+        .select(key_col)
+        .distinct()
+    )
+    return canon.join(hits, key_col, "left_anti")
+
+
 def host_report(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host curation report over canonicalized URLs:
     (host, n_urls, n_canon) — total rows and DISTINCT canonical pages

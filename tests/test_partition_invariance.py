@@ -475,6 +475,13 @@ DOC_OPS = {
     "host_report": lambda d: __import__(
         "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
     ).host_report(d, url_col="text"),
+    "blocklist_filter": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
+    ).blocklist_filter(
+        d,
+        d.sparkSession.createDataFrame([("example.com",)], "domain string"),
+        url_col="text",
+    ),
 }
 
 

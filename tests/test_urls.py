@@ -153,6 +153,86 @@ def _url(draw):
     )
 
 
+def test_blocklist_filter_fixed_shapes(spark):
+    df = _frame(
+        spark,
+        [
+            "http://a.b.Example.com/x",  # parent-domain hit -> dropped
+            "http://example.com.evil.org/y",  # example.com is NOT a suffix
+            "http://ok.org/z",
+            None,                         # no host -> kept
+            "schemeless",                 # host '' -> kept
+            "https://BAD.io:443/q",       # exact host hit -> dropped
+        ],
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("bad.io",)], "domain string"
+    )
+    kept = {r.doc_id for r in urls.blocklist_filter(df, bl).collect()}
+    assert kept == {1, 2, 3, 4}
+
+
+def test_blocklist_filter_validates_config(spark):
+    df = _frame(spark, ["http://a.com"])
+    with pytest.raises(ValueError, match="must have a 'domain' column"):
+        urls.blocklist_filter(
+            df, spark.createDataFrame([("x",)], "d string")
+        )
+    bl = spark.createDataFrame([("a.com",)], "domain string")
+    with pytest.raises(ValueError, match="key column 'nope' not in"):
+        urls.blocklist_filter(df, bl, key_col="nope")
+
+
+_BLOCK = ["example.com", "bad.io", "b.co"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    url_list=st.lists(st.one_of(_url(), st.none()), min_size=1, max_size=8),
+    block=st.lists(st.sampled_from(_BLOCK), min_size=0, max_size=3, unique=True),
+)
+def test_blocklist_filter_matches_duckdb(spark, url_list, block):
+    """Random differential: the suffix-expansion semi join vs DuckDB's
+    lateral list-slice replay — parent-domain hits, exact hits, empty
+    blocklists, hosts whose every suffix misses, NULL/schemeless rows."""
+    df = _frame(spark, url_list)
+    bl = spark.createDataFrame(
+        [(d,) for d in block] or [("never-matches.invalid",)],
+        "domain string",
+    )
+    got = {
+        tuple(r) for r in urls.blocklist_filter(df, bl).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "urls",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(url_list)),
+                "url": pd.array(url_list, dtype=object),
+            }
+        ),
+    )
+    con.register(
+        "blocked",
+        pd.DataFrame({"domain": block or ["never-matches.invalid"]}),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"WITH c AS ({ORACLE}), sfx AS ("
+            "SELECT c.doc_id, array_to_string("
+            "string_split(c.host, '.')[s.i:], '.') AS domain "
+            "FROM c, unnest(generate_series(1, "
+            "len(string_split(c.host, '.')))) AS s(i)) "
+            "SELECT * FROM c WHERE doc_id NOT IN ("
+            "SELECT DISTINCT sfx.doc_id FROM sfx "
+            "JOIN blocked USING (domain))"
+        ).fetchall()
+    }
+    assert got == want, got ^ want
+
+
 @settings(max_examples=20, deadline=None)
 @given(url_list=st.lists(st.one_of(_url(), st.none()), min_size=1, max_size=10))
 def test_canonicalize_matches_duckdb_on_random_urls(spark, url_list):

@@ -322,6 +322,13 @@ def main():
         ),
         "url_canon": lambda d: urls.canonicalize_urls(d, url_col="text"),
         "host_report": lambda d: urls.host_report(d, url_col="text"),
+        "blocklist_filter": lambda d: urls.blocklist_filter(
+            d,
+            d.sparkSession.createDataFrame(
+                [("example.com",)], "domain string"
+            ),
+            url_col="text",
+        ),
     }
 
     emb_ops = {
