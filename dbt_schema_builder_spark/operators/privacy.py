@@ -119,9 +119,12 @@ def k_anonymize(df: DataFrame, quasi: list[str], k: int = 5) -> DataFrame:
     # Helper column name must not collide with a user column, or the
     # user's column would be silently overwritten and dropped (breaking
     # the "input columns unchanged" contract) — uniquify against the
-    # actual frame schema (r11 advice).
+    # actual frame schema (r11 advice). Casefolded: Spark resolves
+    # withColumn/drop case-insensitively by default, so a '_QI_N' user
+    # column would otherwise still be clobbered (r12 review find).
+    taken = {c.lower() for c in df.columns}
     helper = "_qi_n"
-    while helper in df.columns:
+    while helper in taken:
         helper += "_"
     w = Window.partitionBy(*[F.col(c) for c in quasi])
     return (

@@ -408,15 +408,21 @@ def dedup_lines(documents: DataFrame) -> DataFrame:
     documents; this operates WITHIN one) and ``repetition_stats``
     (which measures token repetition but removes nothing).
 
-    All-Catalyst and MAP-ONLY: an explode-let barrier pins split() to
-    one evaluation per row (the r3 lesson — Generate blocks
+    All-Catalyst with NO data-dependent shuffle (the one Exchange is
+    the round-robin repartition for scan parallelism — the repo's
+    single-file-scan rule): an explode-let barrier pins split() to one
+    evaluation per row (the r3 lesson — Generate blocks
     CollapseProject), then one indexed ``filter()`` keeps a line iff
     its ``array_position`` (first occurrence, 1-based) equals its own
-    index. Zero shuffle — what a 100 TB hygiene pass must be. Per-doc
-    cost is O(L^2) JVM line comparisons (L = line count), the honest
-    trade against the explode-to-rows alternative's two full-corpus
-    exchanges; L is small in practice (a 10k-line doc is ~5e7 equality
-    checks of mostly-short strings inside whole-stage codegen).
+    index, and a SECOND explode-let materializes the filtered array
+    before its two consumers (r12 review find: higher-order functions
+    are CodegenFallback, excluded from codegen subexpression
+    elimination — the collapsed form ran the O(L^2) filter twice per
+    row). Per-doc cost is O(L^2) JVM line comparisons (L = line
+    count), the honest trade against the explode-to-rows alternative's
+    two full-corpus exchanges; L is small in practice (a 10k-line doc
+    is ~5e7 equality checks of mostly-short strings inside whole-stage
+    codegen).
 
     NULL text propagates (NULL clean_text / NULL counts, computed
     explicitly so the surface is session-independent — ANSI size(NULL)
@@ -434,7 +440,9 @@ def dedup_lines(documents: DataFrame) -> DataFrame:
         "_lines",
         lambda x, i: F.array_position(F.col("_lines"), x) == i + F.lit(1),
     )
-    staged = staged.select("doc_id", "_lines", kept.alias("_kept"))
+    staged = staged.select(
+        "doc_id", "_lines", F.explode(F.array(kept)).alias("_kept")
+    )
     n_lines = F.size("_lines").cast("bigint")
     return staged.select(
         "doc_id",

@@ -74,8 +74,11 @@ def test_dedup_lines_fixed_shapes(spark):
 def test_dedup_lines_plan_is_map_only(spark):
     """Plan pin: zero data-dependent shuffle — exactly the one
     round-robin repartition for parallelism (the single-file-scan rule),
-    one Generate (the explode-let barrier pinning split() to a single
-    evaluation), no Join, no Sort."""
+    TWO Generates (the explode-let barriers: split() pinned to one
+    evaluation, and the O(L^2) filter output materialized before its
+    two consumers — HOFs are CodegenFallback, excluded from codegen
+    subexpression elimination), no Join, no Sort. The filter HOF must
+    appear exactly once in the plan."""
     plan = (
         text.dedup_lines(_docs(spark, ["a\nb"]))
         ._jdf.queryExecution()
@@ -84,7 +87,8 @@ def test_dedup_lines_plan_is_map_only(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
-    assert plan.count("Generate") == 1, plan
+    assert plan.count("Generate") == 2, plan
+    assert plan.count("array_position") == 1, plan
 
 
 # Line atoms chosen to force collisions (few distinct values), include

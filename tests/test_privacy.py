@@ -105,6 +105,15 @@ def test_k_anonymize_preserves_user_qi_n_column(spark):
     assert kept.columns == docs.columns
     got = {(r.doc_id, r._qi_n) for r in kept.collect()}
     assert got == {(0, 111), (1, 222)}
+    # case-variant collision: Spark resolves withColumn/drop
+    # case-insensitively by default, so '_QI_N' must also be protected
+    cased = spark.createDataFrame(
+        [(0, "en", "web", 7), (1, "en", "web", 8)],
+        "doc_id bigint, lang string, source string, _QI_N bigint",
+    )
+    kept2 = privacy.k_anonymize(cased, ["lang", "source"], k=2)
+    assert kept2.columns == cased.columns
+    assert {(r.doc_id, r._QI_N) for r in kept2.collect()} == {(0, 7), (1, 8)}
 
 
 def test_k_anonymity_validates_config(spark):

@@ -19,6 +19,8 @@ from dbt_schema_builder_spark.operators import urls
 # (not concat) preserves NULL propagation — DuckDB concat SKIPS NULLs
 # while Spark's returns NULL. Every regexp_replace carries 'g' (the r2
 # events lesson: DuckDB is first-match by default, Spark is replace-all).
+# Tracking-param removal is scoped to the substring from the first '?'
+# (strpos split), mirroring the operator — '&' is a legal PATH char.
 ORACLE = (
     "WITH s0 AS (SELECT doc_id, url, trim(url) AS u FROM urls), "
     "s1 AS (SELECT doc_id, url, "
@@ -28,14 +30,24 @@ ORACLE = (
     "FROM s1), "
     "s3 AS (SELECT doc_id, url, "
     "lower(h) || substr(u, length(h) + 1) AS u FROM s2), "
+    "s3b AS (SELECT doc_id, url, regexp_replace(u, "
+    "'^([a-z][a-z0-9+.-]*://)[^/?#@]*@', '\\1', 'g') AS u FROM s3), "
+    "s3c AS (SELECT doc_id, url, regexp_replace(u, "
+    "'^([a-z][a-z0-9+.-]*://[^/?#]*?)\\.+([:/?#]|$)', '\\1\\2', 'g') "
+    "AS u FROM s3b), "
     "s4 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u, "
     "'^(http://[^/?#:]*):80([/?#]|$)', '\\1\\2', 'g'), "
-    "'^(https://[^/?#:]*):443([/?#]|$)', '\\1\\2', 'g') AS u FROM s3), "
-    "s5 AS (SELECT doc_id, url, regexp_replace(regexp_replace("
-    "regexp_replace(u, "
+    "'^(https://[^/?#:]*):443([/?#]|$)', '\\1\\2', 'g') AS u FROM s3c), "
+    "s5p AS (SELECT doc_id, url, "
+    "CASE WHEN strpos(u, '?') = 0 THEN u "
+    "ELSE substr(u, 1, strpos(u, '?') - 1) END AS base, "
+    "CASE WHEN strpos(u, '?') = 0 THEN '' "
+    "ELSE substr(u, strpos(u, '?')) END AS q FROM s4), "
+    "s5 AS (SELECT doc_id, url, base || regexp_replace(regexp_replace("
+    "regexp_replace(q, "
     "'&(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '', 'g'), "
-    "'\\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '?', 'g'), "
-    "'\\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*$', '', 'g') AS u FROM s4), "
+    "'^\\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '?', 'g'), "
+    "'^\\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*$', '', 'g') AS u FROM s5p), "
     "s6 AS (SELECT doc_id, url, regexp_replace(u, "
     "'^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\\1', 'g') AS canon_url "
     "FROM s5) "
@@ -74,8 +86,20 @@ def test_canonicalize_fixed_shapes(spark):
         # whitespace trimmed; schemeless passes through (host '')
         "  http://a.com  ": ("http://a.com", "a.com"),
         "Example.com/x?utm_a=1": ("Example.com/x", ""),
+        # userinfo stripped (the blocklist-evasion prefix), and the
+        # port behind it still strips
+        "http://u:p@A.com/x": ("http://a.com/x", "a.com"),
+        "http://u@a.com:80/x": ("http://a.com/x", "a.com"),
+        # trailing host dots stripped, incl. before a port
+        "http://Bad.io./x": ("http://bad.io/x", "bad.io"),
+        "http://a.com.:80/x": ("http://a.com/x", "a.com"),
+        # '&utm_' in the PATH is data, not tracking (no '?' present)
+        "http://a.com/x&utm_a=1": ("http://a.com/x&utm_a=1", "a.com"),
         # everything at once
-        " HTTPS://B.io:443/P?utm_b=x&k=v#f ": ("https://b.io/P?k=v", "b.io"),
+        " HTTPS://U@B.io.:443/P?utm_b=x&k=v#f ": (
+            "https://b.io/P?k=v",
+            "b.io",
+        ),
     }
     got = {
         r.url: (r.canon_url, r.host)
@@ -124,9 +148,10 @@ def test_canonicalize_plan_is_map_only(spark):
 
 
 _SCHEMES = st.sampled_from(["http://", "HTTP://", "https://", "Https://", ""])
-_HOSTS = st.sampled_from(["Example.com", "a.B.co", "x.io"])
+_USERINFO = st.sampled_from(["", "u@", "U:p@"])
+_HOSTS = st.sampled_from(["Example.com", "a.B.co", "x.io", "Bad.io."])
 _PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
-_PATHS = st.sampled_from(["", "/", "/a/B", "/a/", "/A%20b"])
+_PATHS = st.sampled_from(["", "/", "/a/B", "/a/", "/A%20b", "/x&utm_a=1"])
 _PARAMS = st.lists(
     st.sampled_from(
         ["utm_source=x", "utm_a=", "fbclid=9", "gclid=z", "a=1", "B=2", "q=h"]
@@ -144,6 +169,7 @@ def _url(draw):
     return (
         draw(_WS)
         + draw(_SCHEMES)
+        + draw(_USERINFO)
         + draw(_HOSTS)
         + draw(_PORTS)
         + draw(_PATHS)
@@ -163,6 +189,8 @@ def test_blocklist_filter_fixed_shapes(spark):
             None,                         # no host -> kept
             "schemeless",                 # host '' -> kept
             "https://BAD.io:443/q",       # exact host hit -> dropped
+            "http://u:p@bad.io/e1",       # userinfo evasion -> dropped
+            "http://Bad.io./e2",          # trailing-dot evasion -> dropped
         ],
     )
     bl = spark.createDataFrame(
@@ -181,6 +209,24 @@ def test_blocklist_filter_validates_config(spark):
     bl = spark.createDataFrame([("a.com",)], "domain string")
     with pytest.raises(ValueError, match="key column 'nope' not in"):
         urls.blocklist_filter(df, bl, key_col="nope")
+    # NULL keys are rejected loudly: a NULL key can never match the
+    # anti-join, so a blocked row would silently pass a compliance gate
+    null_key = spark.createDataFrame(
+        [(None, "http://a.com/x")], "doc_id bigint, url string"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        urls.blocklist_filter(null_key, bl)
+
+
+def test_canonicalize_rejects_case_variant_collisions(spark):
+    """Spark resolves identifiers case-insensitively by default: a
+    'Host' column would be silently clobbered by the lowercase guard,
+    then die downstream in an ambiguity error (r12 review find)."""
+    clash = spark.createDataFrame(
+        [(0, "http://a.com", "x")], "doc_id bigint, url string, Host string"
+    )
+    with pytest.raises(ValueError, match="already has a 'host' column"):
+        urls.canonicalize_urls(clash)
 
 
 _BLOCK = ["example.com", "bad.io", "b.co"]
