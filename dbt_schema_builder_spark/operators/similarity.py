@@ -83,11 +83,38 @@ def brute_force_topk(
     ``queries`` needs columns (query_id, query_vec). The corpus is scanned
     once; no corpus shuffle — only the per-query top-k window, whose input
     is already reduced to scored rows.
+
+    Norms are materialized PER SIDE behind explode-let Generates before
+    the join (r12): inlining cosine() into the joined projection
+    re-evaluated each norm per join PARTNER (the ivf_assign trap), and
+    the r11 zero-norm when() additionally excluded them from codegen CSE
+    — up to 4 norm aggregates per pair instead of 0. The float sequence
+    is unchanged (dot, then qn*en, then divide — the same order
+    cosine() uses), so every emitted sim is bit-identical and the green
+    oracles replay untouched.
     """
-    scored = embeddings.join(F.broadcast(queries)).select(
+    emb_n = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(_norm(F.col("embedding")))).alias("_en"),
+    )
+    q_n = queries.select(
+        "query_id",
+        "query_vec",
+        F.explode(F.array(_norm(F.col("query_vec")))).alias("_qn"),
+    )
+    scored = emb_n.join(F.broadcast(q_n)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("query_vec"), F.col("embedding")).alias("sim"),
+        F.when(
+            (F.col("_qn") == F.lit(0.0)) | (F.col("_en") == F.lit(0.0)),
+            F.lit(0.0),
+        )
+        .otherwise(
+            _dot(F.col("query_vec"), F.col("embedding"))
+            / (F.col("_qn") * F.col("_en"))
+        )
+        .alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id")

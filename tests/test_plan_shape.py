@@ -247,6 +247,25 @@ def test_gemm_prep_normalizations_materialize_guarded_inverse(tables):
             assert "aggregate(" not in body, (name, body)
 
 
+def test_brute_force_topk_precomputes_norms_per_side(tables):
+    """r12: cosine() inlined into the joined projection re-evaluated
+    each norm per join PARTNER (the ivf_assign trap), and the zero-norm
+    when() excluded them from codegen CSE — 4 norm aggregates per pair.
+    Pin the per-side explode-let precompute: exactly the two Generate
+    norms' SQRTs in the whole plan (an inline-cosine revert prints 4,
+    inside the join projection)."""
+    from dbt_schema_builder_spark.operators import similarity
+
+    df = similarity.brute_force_topk(
+        tables["embeddings"],
+        similarity.queries_from_corpus(tables["embeddings"], 3),
+        k=2,
+    )
+    plan = _plan(df)
+    assert plan.count("SQRT") == 2, plan
+    assert plan.count("Generate") >= 2, plan
+
+
 def test_lsh_quantized_topk_broadcasts_queries_only(tables):
     """The corpus flows through one scan into a broadcast bucket join;
     Python appears only as the Arrow-batched signature GEMM."""
