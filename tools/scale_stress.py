@@ -301,7 +301,46 @@ OPS = {
         ),
         m=2,
     ),
+    # round-12: the new tests-only families join the default gate (the
+    # r10 rule — magnitude bugs live only in the 10x run). dedup_lines
+    # is map-only O(L^2)-per-doc; l_diversity is one QI groupBy with a
+    # distinct expansion; the urls pair runs the full regex chain + the
+    # suffix-expansion blocklist over synthetic per-doc URLs whose host
+    # cardinality grows with the replica's source_rep suffix.
+    "dedup_lines": lambda d, e: _text_mod.dedup_lines(d),
+    "l_diversity(lang,source)": lambda d, e: _privacy_mod.l_diversity_report(
+        d, ["lang", "source"], "text", l=2
+    ),
+    "url_host_report": lambda d, e: _urls_mod.host_report(_synth_urls(d)),
+    "url_blocklist": lambda d, e: _urls_mod.blocklist_filter(
+        _synth_urls(d),
+        d.sparkSession.createDataFrame(
+            [("src1.example.com",), ("src3_0.example.com",)],
+            "domain string",
+        ),
+    ),
 }
+
+from dbt_schema_builder_spark.operators import privacy as _privacy_mod  # noqa: E402
+from dbt_schema_builder_spark.operators import text as _text_mod  # noqa: E402
+from dbt_schema_builder_spark.operators import urls as _urls_mod  # noqa: E402
+
+
+def _synth_urls(d):
+    """Deterministic per-doc URL frame: host derives from source (so
+    the 10x replica's source_rep suffix grows host cardinality), with
+    case/port/tracking/fragment noise exercising the whole chain."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"),
+            F.col("source"),
+            F.lit(".Example.com:80/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&q=1#f"),
+        ).alias("url"),
+    )
+
 
 _only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
 
