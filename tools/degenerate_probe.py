@@ -68,6 +68,28 @@ def doc_frames(spark):
         # Hangul jamo, an astral-plane emoji (surrogate-pair handling
         # in every tokenizer/regex/hash path). Escapes only: literal
         # unicode in source can be re-normalized by tooling.
+        # r12: line-heavy docs — one doc of 400 identical lines (the
+        # dedup_lines O(L^2) worst case: every line scans to position
+        # 1), one of 400 distinct lines (every line scans its full
+        # prefix), one all-newlines (401 empty lines). Also the regime
+        # where per-line kernels (split/array HOFs) see arrays far
+        # wider than the fixture corpus ever produces.
+        "line_heavy": mk(
+            [
+                (i, t, lang, src, len(t))
+                for i, (t, lang, src) in enumerate(
+                    [
+                        ("\n".join(["same line"] * 400), "en", "web"),
+                        (
+                            "\n".join(f"line {i}" for i in range(400)),
+                            "en",
+                            "b",
+                        ),
+                        ("\n" * 400, "en", "web"),
+                    ]
+                )
+            ]
+        ),
         # n_chars computed, never hand-counted (r11 ADVICE: two of the
         # original literals were off by one vs the codepoint count)
         "unicode": mk(
