@@ -20,7 +20,10 @@ def test_degenerate_probe_has_no_engine_crash_findings():
         [sys.executable, os.path.join(REPO, "tools", "degenerate_probe.py")],
         capture_output=True,
         text=True,
-        timeout=1800,  # the r11 widened sweep (~37 ops x ~28 frames)
+        # r12: ~60 doc ops x 10 frames (incl. the line-heavy frame) +
+        # emb/event sweeps ran ~15 min on a calm host — headroom for
+        # the drift-1.3 band so the gate never flakes on a slow host
+        timeout=2700,
         cwd=REPO,
     )
     tail = "\n".join(proc.stdout.splitlines()[-40:])
