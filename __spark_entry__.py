@@ -1987,47 +1987,153 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver verifies the first 50
-    keys. Round-12 window (the r11 verdict's task #1, executed exactly as
-    the CLAUDE.md r11 arithmetic pre-planned): (a) all 12 deferred-r8
-    static-SQL keys (pivot/unpivot, token counts, fingerprints, BPE token
-    surfaces, tfidf top-terms, pii_scrub, hash_split, apply_bpe,
-    curriculum_bins, cap_per_source, unigram_logprob — green r8 rows,
-    oldest in the ledger); (b) 38 of the 46 r9-stale keys. 12 + 38 =
-    exactly 50. The 8 deferred r9 keys are the static relational-SQL
-    shapes (the 5 TPC-H q_sql_* queries + q_cube + q_grouping_sets +
-    q_star_join — verbatim-SQL oracles, multi-round green, lowest churn)
-    and are first in line for r13 alongside the 49 r10-stale keys. No
-    changed-oracle re-pins or promotions this round (the first clean
-    budget since r8). Every key below the boundary carries a green
-    r9/r10/r11 row under its CURRENT oracle string
-    (tests/test_query_window.py + tests/test_oracle_manifest.py audit
-    both halves of that claim)."""
+    keys. Round-13 window (the r12 verdict's task #1, executed exactly as
+    the CLAUDE.md r12 opening digest pre-planned): (a) the 8 deferred-r9
+    static relational-SQL keys (the 5 TPC-H q_sql_* queries + q_cube +
+    q_grouping_sets + q_star_join — green r9 rows, oldest in the ledger);
+    (b) 42 of the 49 r10-stale keys. 8 + 42 = exactly 50. The 7 deferred
+    r10 keys are the lowest-churn static config/policy shapes
+    (banned-column / include / exclude / soft-delete filters, PII
+    projection, chunked union, prefix rename — pure projection/filter
+    SQL oracles, multi-round green) and are first in line for r14
+    alongside the 50 r11-stale keys. No changed-oracle re-pins or
+    promotions this round (third clean budget in a row). Every key below
+    the boundary carries a green r10/r11/r12 row under its CURRENT
+    oracle string (tests/test_query_window.py +
+    tests/test_oracle_manifest.py audit both halves of that claim)."""
     return {
-        # (a) all 12 deferred-r8 static-SQL keys (the ledger's oldest)
-        "q_apply_bpe": q_apply_bpe,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_cap_per_source": q_cap_per_source,
-        "q_curriculum_bins": q_curriculum_bins,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_hash_split": q_hash_split,
-        "q_pii_scrub": q_pii_scrub,
-        "q_pivot": q_pivot,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_token_count": q_token_count,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unpivot": q_unpivot,
-        # (b) 38 r9-stale rotations (8 static relational-SQL r9 keys
-        # deferred to r13 with green r9 rows)
+        # (a) the 8 deferred-r9 static relational-SQL keys (ledger's oldest)
+        "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_star_join": q_star_join,
+        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
+        "q_sql_correlated_exists": q_sql_correlated_exists,
+        "q_sql_cust_order_dist": q_sql_cust_order_dist,
+        "q_sql_promo_revenue": q_sql_promo_revenue,
+        "q_sql_shipping_priority": q_sql_shipping_priority,
+        # (b) 42 r10-stale rotations (7 lowest-churn static config/policy
+        # keys deferred to r14 with green r10 rows)
+        "q_bm25_search": q_bm25_search,
+        "q_cluster_safe_split": q_cluster_safe_split,
+        "q_containment": q_containment,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_stats": q_dedup_stats,
+        "q_dsir_importance": q_dsir_importance,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_frame_dedup": q_frame_dedup,
+        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_json_extract": q_json_extract,
+        "q_keep_canonical": q_keep_canonical,
+        "q_keyword_quoting": q_keyword_quoting,
+        "q_knn_label_agreement": q_knn_label_agreement,
+        "q_lang_stats_pandas": q_lang_stats_pandas,
+        "q_oov_rate": q_oov_rate,
+        "q_pagerank": q_pagerank,
+        "q_pandas_udf": q_pandas_udf,
+        "q_pmi_pairs": q_pmi_pairs,
+        "q_pq_topk": q_pq_topk,
+        "q_prep_pipeline": q_prep_pipeline,
+        "q_profile": q_profile,
+        "q_quality_score": q_quality_score,
+        "q_regex_anti_filter": q_regex_anti_filter,
+        "q_repetition_stats": q_repetition_stats,
+        "q_safe_view_redaction": q_safe_view_redaction,
+        "q_scalar_kernel": q_scalar_kernel,
+        "q_schema_tests": q_schema_tests,
+        "q_shared_ngram_fraction": q_shared_ngram_fraction,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_sort_group_collect": q_sort_group_collect,
+        "q_source_kl": q_source_kl,
+        "q_source_mix": q_source_mix,
+        "q_source_mix_waterfill": q_source_mix_waterfill,
+        "q_source_overlap": q_source_overlap,
+        "q_stream_dedup_history": q_stream_dedup_history,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_user_state": q_stream_user_state,
+        "q_substring_dedup": q_substring_dedup,
+        "q_text_stats": q_text_stats,
+        "q_trend_slope": q_trend_slope,
+        "q_zipf_stats": q_zipf_stats,
+        # ---- driver window boundary (position 50 = q_zipf_stats)
+        # every key below carries a green r10-r12 row under its
+        # current oracle string
+        # deferred r10-stale (7, static config/policy — r14 first)
+        "q_banned_column_filter": q_banned_column_filter,
+        "q_chunked_union": q_chunked_union,
+        "q_exclude_filter": q_exclude_filter,
+        "q_include_filter": q_include_filter,
+        "q_pii_view_projection": q_pii_view_projection,
+        "q_prefix_rename": q_prefix_rename,
+        "q_soft_delete_filter": q_soft_delete_filter,
+        # r11-green (50)
+        "q_audio_features": q_audio_features,
+        "q_catalog_scan": q_catalog_scan,
+        "q_categorical_profile": q_categorical_profile,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_centroid_by_label": q_centroid_by_label,
+        "q_centroid_outliers": q_centroid_outliers,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_cluster_diversity": q_cluster_diversity,
+        "q_cohort_retention": q_cohort_retention,
+        "q_cumulative_users": q_cumulative_users,
+        "q_cut_duplicate_spans": q_cut_duplicate_spans,
+        "q_decontaminate": q_decontaminate,
+        "q_dupe_detection": q_dupe_detection,
+        "q_frame_sample": q_frame_sample,
+        "q_funnel": q_funnel,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_gapfill_interp": q_gapfill_interp,
+        "q_gapfill_locf": q_gapfill_locf,
+        "q_gopher_rules": q_gopher_rules,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_interval_coverage": q_interval_coverage,
+        "q_ivf_topk": q_ivf_topk,
+        "q_kmeans": q_kmeans,
+        "q_mad_outliers": q_mad_outliers,
+        "q_merge_partial_aggs": q_merge_partial_aggs,
+        "q_metadata_merge_join": q_metadata_merge_join,
+        "q_multimodal_features": q_multimodal_features,
+        "q_nb_classifier": q_nb_classifier,
+        "q_pack_sequences": q_pack_sequences,
+        "q_percentile_filter": q_percentile_filter,
+        "q_quantized_topk": q_quantized_topk,
+        "q_rolling_active": q_rolling_active,
+        "q_rollup": q_rollup,
+        "q_scd2": q_scd2,
+        "q_set_ops": q_set_ops,
+        "q_skew_report": q_skew_report,
+        "q_span_stats": q_span_stats,
+        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
+        "q_stratified_sample": q_stratified_sample,
+        "q_stream_funnel": q_stream_funnel,
+        "q_temperature_mix": q_temperature_mix,
+        "q_topk": q_topk,
+        "q_topk_similarity": q_topk_similarity,
+        "q_transition_matrix": q_transition_matrix,
+        "q_tumbling_window": q_tumbling_window,
+        "q_weighted_sample": q_weighted_sample,
+        "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
+        "q_winnowing": q_winnowing,
+        # r12-green (50)
         "q_anomaly_events": q_anomaly_events,
+        "q_apply_bpe": q_apply_bpe,
         "q_approx_distinct": q_approx_distinct,
         "q_asof_join": q_asof_join,
         "q_bigram_logprob": q_bigram_logprob,
         "q_bpe_learn": q_bpe_learn,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_cap_per_source": q_cap_per_source,
         "q_conversion_latency": q_conversion_latency,
+        "q_curriculum_bins": q_curriculum_bins,
+        "q_doc_fingerprint": q_doc_fingerprint,
         "q_evolving_read": q_evolving_read,
         "q_exact_dedup": q_exact_dedup,
         "q_group_quantiles": q_group_quantiles,
         "q_hash_agg": q_hash_agg,
+        "q_hash_split": q_hash_split,
         "q_heavy_hitters": q_heavy_hitters,
         "q_histogram": q_histogram,
         "q_hybrid_search": q_hybrid_search,
@@ -2037,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_apply": q_nb_apply,
         "q_near_dup": q_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_pii_scrub": q_pii_scrub,
+        "q_pivot": q_pivot,
         "q_ppjoin_jaccard": q_ppjoin_jaccard,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_range_join": q_range_join,
@@ -2054,122 +2162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_join": q_stream_join,
         "q_stream_session": q_stream_session,
         "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_token_count": q_token_count,
         "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unpivot": q_unpivot,
         "q_zorder_layout": q_zorder_layout,
-        # ---- driver window boundary (position 50 = q_zorder_layout)
-        # every key below carries a green r9-r11 row under its
-        # current oracle string
-        # deferred r9-stale (8, static relational-SQL — r13 first)
-        "q_cube": q_cube,
-        "q_grouping_sets": q_grouping_sets,
-        "q_star_join": q_star_join,
-        "q_sql_brand_qty_revenue": q_sql_brand_qty_revenue,
-        "q_sql_correlated_exists": q_sql_correlated_exists,
-        "q_sql_cust_order_dist": q_sql_cust_order_dist,
-        "q_sql_promo_revenue": q_sql_promo_revenue,
-        "q_sql_shipping_priority": q_sql_shipping_priority,
-        # r11-green (50: the 5 r11 changed-oracle re-pins + 22 r7
-        # must-rotates + 23 r8 rotations, all green r11)
-        "q_topk_similarity": q_topk_similarity,
-        "q_ivf_topk": q_ivf_topk,
-        "q_kmeans": q_kmeans,
-        "q_centroid_outliers": q_centroid_outliers,
-        "q_weighted_sample": q_weighted_sample,
-        "q_catalog_scan": q_catalog_scan,
-        "q_categorical_profile": q_categorical_profile,
-        "q_cohort_retention": q_cohort_retention,
-        "q_cumulative_users": q_cumulative_users,
-        "q_funnel": q_funnel,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_gapfill_interp": q_gapfill_interp,
-        "q_gapfill_locf": q_gapfill_locf,
-        "q_interval_coverage": q_interval_coverage,
-        "q_mad_outliers": q_mad_outliers,
-        "q_metadata_merge_join": q_metadata_merge_join,
-        "q_rolling_active": q_rolling_active,
-        "q_rollup": q_rollup,
-        "q_scd2": q_scd2,
-        "q_set_ops": q_set_ops,
-        "q_sql_local_supplier_volume": q_sql_local_supplier_volume,
-        "q_sql_scalar_subquery": q_sql_scalar_subquery,
-        "q_topk": q_topk,
-        "q_transition_matrix": q_transition_matrix,
-        "q_tumbling_window": q_tumbling_window,
-        "q_window_rank": q_window_rank,
-        "q_window_running": q_window_running,
-        "q_audio_features": q_audio_features,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_centroid_by_label": q_centroid_by_label,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_cluster_diversity": q_cluster_diversity,
-        "q_cut_duplicate_spans": q_cut_duplicate_spans,
-        "q_decontaminate": q_decontaminate,
-        "q_dupe_detection": q_dupe_detection,
-        "q_frame_sample": q_frame_sample,
-        "q_gopher_rules": q_gopher_rules,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_merge_partial_aggs": q_merge_partial_aggs,
-        "q_multimodal_features": q_multimodal_features,
-        "q_nb_classifier": q_nb_classifier,
-        "q_pack_sequences": q_pack_sequences,
-        "q_percentile_filter": q_percentile_filter,
-        "q_quantized_topk": q_quantized_topk,
-        "q_skew_report": q_skew_report,
-        "q_span_stats": q_span_stats,
-        "q_stratified_sample": q_stratified_sample,
-        "q_stream_funnel": q_stream_funnel,
-        "q_temperature_mix": q_temperature_mix,
-        "q_winnowing": q_winnowing,
-        # r10-green (49)
-        "q_source_overlap": q_source_overlap,
-        "q_quality_score": q_quality_score,
-        "q_text_stats": q_text_stats,
-        "q_repetition_stats": q_repetition_stats,
-        "q_oov_rate": q_oov_rate,
-        "q_zipf_stats": q_zipf_stats,
-        "q_json_extract": q_json_extract,
-        "q_profile": q_profile,
-        "q_trend_slope": q_trend_slope,
-        "q_source_mix": q_source_mix,
-        "q_dedup_stats": q_dedup_stats,
-        "q_pandas_udf": q_pandas_udf,
-        "q_lang_stats_pandas": q_lang_stats_pandas,
-        "q_prep_pipeline": q_prep_pipeline,
-        "q_safe_view_redaction": q_safe_view_redaction,
-        "q_schema_tests": q_schema_tests,
-        "q_pii_view_projection": q_pii_view_projection,
-        "q_soft_delete_filter": q_soft_delete_filter,
-        "q_banned_column_filter": q_banned_column_filter,
-        "q_include_filter": q_include_filter,
-        "q_exclude_filter": q_exclude_filter,
-        "q_chunked_union": q_chunked_union,
-        "q_sort_group_collect": q_sort_group_collect,
-        "q_prefix_rename": q_prefix_rename,
-        "q_keyword_quoting": q_keyword_quoting,
-        "q_regex_anti_filter": q_regex_anti_filter,
-        "q_scalar_kernel": q_scalar_kernel,
-        "q_bm25_search": q_bm25_search,
-        "q_cluster_safe_split": q_cluster_safe_split,
-        "q_containment": q_containment,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_dsir_importance": q_dsir_importance,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_frame_dedup": q_frame_dedup,
-        "q_incremental_dedup_bloom": q_incremental_dedup_bloom,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_keep_canonical": q_keep_canonical,
-        "q_knn_label_agreement": q_knn_label_agreement,
-        "q_pagerank": q_pagerank,
-        "q_pmi_pairs": q_pmi_pairs,
-        "q_pq_topk": q_pq_topk,
-        "q_shared_ngram_fraction": q_shared_ngram_fraction,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_source_kl": q_source_kl,
-        "q_source_mix_waterfill": q_source_mix_waterfill,
-        "q_stream_dedup_history": q_stream_dedup_history,
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_user_state": q_stream_user_state,
-        "q_substring_dedup": q_substring_dedup,
     }
 
 
