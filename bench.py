@@ -296,6 +296,20 @@ def _l_diversity(spark, sf_dir):
     )
 
 
+def _entropy_l(spark, sf_dir):
+    """r13 tests-only: entropy l-diversity (integer micro-nat sums)
+    over the same QI/sensitive shape as x_l_diversity."""
+    from dbt_schema_builder_spark.operators import privacy
+    from dbt_schema_builder_spark.session import read_table
+
+    return privacy.entropy_l_diversity_report(
+        read_table(spark, f"{sf_dir}/documents.parquet"),
+        ["lang", "source"],
+        "text",
+        l=2,
+    )
+
+
 def _url_host_report(spark, sf_dir):
     """r12 tests-only: full URL canonicalization chain + the host
     report, over a synthetic URL column derived from the documents
@@ -329,6 +343,7 @@ EXTRA = {
     "x_k_anonymize": _k_anonymize,
     "x_dedup_lines": _dedup_lines,
     "x_l_diversity": _l_diversity,
+    "x_entropy_l": _entropy_l,
     "x_url_host_report": _url_host_report,
 }
 

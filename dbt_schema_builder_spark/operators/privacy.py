@@ -1,6 +1,7 @@
-"""Privacy gates for training-data release: k-anonymity and distinct
-l-diversity over quasi-identifier columns (r11/r12, tests-only — the
-50-slot driver window is structurally full, CLAUDE.md r11 lesson).
+"""Privacy gates for training-data release: k-anonymity, distinct
+l-diversity, and entropy l-diversity over quasi-identifier columns
+(r11/r12/r13, tests-only — the 50-slot driver window is structurally
+full, CLAUDE.md r11 lesson).
 
 The reference's policy surface redacts DIRECT identifiers
 (templates/model_sql_safe.tpl — name/balance literals); this module
@@ -88,17 +89,7 @@ def l_diversity_report(
     cardinality — the same shape as ``k_anonymity_report``.
     """
     _validated_quasi(df, quasi, 1, "l_diversity_report")
-    if sensitive not in df.columns:
-        raise ValueError(
-            f"l_diversity_report: sensitive column {sensitive!r} not in "
-            f"frame (has {df.columns})"
-        )
-    if sensitive in quasi:
-        raise ValueError(
-            "l_diversity_report: sensitive column cannot be a quasi "
-            f"identifier ({sensitive!r} is in quasi — every group would "
-            "trivially report n_sensitive <= 1)"
-        )
+    _validated_sensitive(df, quasi, sensitive, "l_diversity_report")
     if l < 1:
         raise ValueError(f"l_diversity_report: l must be >= 1, got {l}")
     n_distinct = F.countDistinct(F.col(sensitive))
@@ -106,6 +97,103 @@ def l_diversity_report(
         F.count(F.lit(1)).alias("n_rows"),
         n_distinct.alias("n_sensitive"),
         (n_distinct < F.lit(l)).cast("int").alias("at_risk"),
+    )
+
+
+def _validated_sensitive(df: DataFrame, quasi: list[str], sensitive: str, op: str):
+    if sensitive not in df.columns:
+        raise ValueError(
+            f"{op}: sensitive column {sensitive!r} not in "
+            f"frame (has {df.columns})"
+        )
+    if sensitive in quasi:
+        raise ValueError(
+            f"{op}: sensitive column cannot be a quasi "
+            f"identifier ({sensitive!r} is in quasi — every group would "
+            "trivially report n_sensitive <= 1)"
+        )
+
+
+def entropy_l_diversity_report(
+    df: DataFrame, quasi: list[str], sensitive: str, l: int = 2
+) -> DataFrame:
+    """Entropy l-diversity risk report (Machanavajjhala et al. 2007
+    §3), the stronger form distinct-l cannot provide: a group where one
+    value holds 99% of rows passes distinct-l at l=2 yet leaks the
+    sensitive attribute with near-certainty. The entropy gate requires
+    -sum(p_i ln p_i) >= ln(l) over the group's sensitive-value
+    distribution. Emits (quasi..., n_rows, n_sensitive,
+    entropy_micronats, at_risk).
+
+    Determinism (the repo's fixed-point log convention — zipf_stats /
+    dsir milli-nat discipline): per-value ln(n_i) and per-group ln(n)
+    are rounded to integer MICRO-nats (log-derived values never land on
+    a representable rounding tie, the r10 rule; ln(1) = 0 is exact on
+    both engines), and the identity n*H = n*ln(n) - sum(n_i*ln(n_i))
+    then runs entirely in int64 — summation-order independent, replayed
+    verbatim in DuckDB (tests/test_privacy.py differential). The gate
+    compares integers: at_risk iff n*L(n) - S < n*L(l) (with L(x) =
+    round(ln(x)*1e6)); `entropy_micronats` itself is the truncating
+    integral quotient of two non-negative int64s (`div`, identical in
+    Spark and DuckDB for positive operands). Overflow ceiling: n*L(n)
+    needs n * 41e6 < 2^63, i.e. up to ~2e11 rows per QI group.
+
+    NULL sensitive values carry no diversity (the distinct-l
+    convention): they count in n_rows but are excluded from the
+    distribution; a group with zero non-NULL values reports entropy 0
+    and is at risk regardless of ``l``.
+
+    Scale: two map-combined aggregates — (quasi..., sensitive) value
+    counts, then the QI rollup (the r4c "derive the coarser aggregate
+    from the finer one" rule); output bounded by QI cardinality."""
+    _validated_quasi(df, quasi, 1, "entropy_l_diversity_report")
+    _validated_sensitive(df, quasi, sensitive, "entropy_l_diversity_report")
+    if l < 1:
+        raise ValueError(f"entropy_l_diversity_report: l must be >= 1, got {l}")
+    nonnull = F.col(sensitive).isNotNull()
+    per_val = df.groupBy(
+        *quasi, F.col(sensitive).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_ni"))
+    l_ni = F.round(F.log(F.col("_ni").cast("double")) * 1e6).cast("long")
+    nn = F.col("_sv").isNotNull()
+    agg = per_val.groupBy(*quasi).agg(
+        F.sum("_ni").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(nn, F.col("_ni"))), F.lit(0)
+        ).cast("bigint").alias("_ne"),
+        F.count(F.when(nn, F.lit(1))).cast("bigint").alias("n_sensitive"),
+        # coalesce: an all-NULL group sums over nothing -> NULL (the r8
+        # empty-sum lesson)
+        F.coalesce(
+            F.sum(F.when(nn, F.col("_ni") * l_ni)), F.lit(0)
+        ).cast("bigint").alias("_s"),
+    )
+    ne = F.col("_ne")
+    l_ne = F.round(F.log(ne.cast("double")) * 1e6).cast("long")
+    l_l = F.round(F.log(F.lit(float(l))) * F.lit(1e6)).cast("long")
+    staged = agg.select(
+        *quasi,
+        "n_rows",
+        "n_sensitive",
+        "_ne",
+        F.when(ne == 0, F.lit(0).cast("long"))
+        .otherwise(ne * l_ne - F.col("_s"))
+        .alias("_ent_scaled"),
+        (ne * l_l).alias("_thresh"),
+    )
+    return staged.select(
+        *quasi,
+        "n_rows",
+        "n_sensitive",
+        # truncating integral div of non-negative int64s: identical in
+        # Spark and DuckDB (the r9 rule — never double-divide big longs)
+        F.when(F.col("_ne") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("_ent_scaled div _ne"))
+        .alias("entropy_micronats"),
+        (
+            (F.col("n_sensitive") == 0)
+            | (F.col("_ent_scaled") < F.col("_thresh"))
+        ).cast("int").alias("at_risk"),
     )
 
 

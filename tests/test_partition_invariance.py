@@ -465,13 +465,26 @@ DOC_OPS = {
     "dedup_lines": lambda d: __import__(
         "dbt_schema_builder_spark.operators.text", fromlist=["x"]
     ).dedup_lines(d),
+    # r13: the exploded strategy must be bit-identical too (sorted
+    # collect re-assembly — position-keyed, partition-order free)
+    "dedup_lines_exploded": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.text", fromlist=["x"]
+    ).dedup_lines(d, strategy="exploded"),
     "l_diversity": lambda d: __import__(
         "dbt_schema_builder_spark.operators.privacy", fromlist=["x"]
     ).l_diversity_report(d, ["lang", "source"], "text", l=2),
+    # r13: entropy-l runs integer micro-nat sums -> order-independent
+    "entropy_l": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.privacy", fromlist=["x"]
+    ).entropy_l_diversity_report(d, ["lang", "source"], "text", l=2),
     # urls over arbitrary text: the chain is total + map-only
     "url_canon": lambda d: __import__(
         "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
     ).canonicalize_urls(d, url_col="text"),
+    # r13: the idna fold is a pure per-row function of its input
+    "idn_fold": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
+    ).fold_idn_hosts(d, host_col="text", out_col="host_ascii"),
     "host_report": lambda d: __import__(
         "dbt_schema_builder_spark.operators.urls", fromlist=["x"]
     ).host_report(d, url_col="text"),

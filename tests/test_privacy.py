@@ -196,6 +196,129 @@ def test_l_diversity_matches_duckdb_on_random_frames(spark, rows, l):
     assert got == want
 
 
+def _entropy_oracle_sql(l: int) -> str:
+    """DuckDB replay of the micro-nat entropy identity: n*H = n*L(n) -
+    sum(n_i*L(n_i)) with L(x) = round(ln(x)*1e6) as BIGINT — the same
+    fixed-point log convention zipf_stats/dsir use. '//' on BIGINTs
+    truncates like Spark's `div` (non-negative operands here)."""
+    return (
+        "WITH pv AS (SELECT lang, source, text AS sv, COUNT(*) AS ni "
+        "FROM documents GROUP BY lang, source, text), "
+        "agg AS (SELECT lang, source, "
+        "CAST(SUM(ni) AS BIGINT) AS n_rows, "
+        "CAST(COALESCE(SUM(CASE WHEN sv IS NOT NULL THEN ni END), 0) "
+        "AS BIGINT) AS ne, "
+        "CAST(COUNT(CASE WHEN sv IS NOT NULL THEN 1 END) AS BIGINT) "
+        "AS n_sensitive, "
+        "CAST(COALESCE(SUM(CASE WHEN sv IS NOT NULL THEN ni * "
+        "CAST(round(ln(CAST(ni AS DOUBLE)) * 1000000) AS BIGINT) END), 0) "
+        "AS BIGINT) AS s "
+        "FROM pv GROUP BY lang, source), "
+        "e AS (SELECT lang, source, n_rows, n_sensitive, ne, "
+        "CASE WHEN ne = 0 THEN 0 ELSE ne * "
+        "CAST(round(ln(CAST(ne AS DOUBLE)) * 1000000) AS BIGINT) - s END "
+        "AS ent_scaled, "
+        f"ne * CAST(round(ln(CAST({l} AS DOUBLE)) * 1000000) AS BIGINT) "
+        "AS thresh FROM agg) "
+        "SELECT lang, source, n_rows, n_sensitive, "
+        "CAST(CASE WHEN ne = 0 THEN 0 ELSE ent_scaled // ne END AS BIGINT) "
+        "AS entropy_micronats, "
+        "CAST(n_sensitive = 0 OR ent_scaled < thresh AS INT) AS at_risk "
+        "FROM e"
+    )
+
+
+def test_entropy_l_diversity_fixed_shape(spark):
+    import math
+
+    rows = (
+        # (en, web): a,a,b,c -> H = ln4 - (2*ln2)/4... = ~1.0397 nats
+        [("en", "web", "a"), ("en", "web", "a"),
+         ("en", "web", "b"), ("en", "web", "c")]
+        # (fr, web): 9 of one value + 1 other -> passes DISTINCT l=2
+        # but H ~ 0.325 < ln(2): the case entropy-l exists for
+        + [("fr", "web", "same")] * 9 + [("fr", "web", "other")]
+        # (de, b): single value -> entropy exactly 0
+        + [("de", "b", "only")] * 3
+        # (es, b): all-NULL sensitive -> entropy 0, at risk at any l
+        + [("es", "b", None), ("es", "b", None)]
+    )
+    rep = {
+        (r.lang, r.source): r
+        for r in privacy.entropy_l_diversity_report(
+            _docs(spark, rows), ["lang", "source"], "text", l=2
+        ).collect()
+    }
+    en = rep[("en", "web")]
+    # integer replay of the identity by hand
+    L = lambda x: round(math.log(x) * 1e6)  # noqa: E731
+    want_en = (4 * L(4) - 2 * L(2)) // 4
+    assert (en.n_rows, en.n_sensitive, en.entropy_micronats, en.at_risk) == (
+        4, 3, want_en, 0
+    )
+    fr = rep[("fr", "web")]
+    assert fr.n_sensitive == 2  # distinct-l would PASS at l=2...
+    assert fr.at_risk == 1      # ...entropy-l correctly flags it
+    assert fr.entropy_micronats == (10 * L(10) - 9 * L(9)) // 10
+    assert rep[("de", "b")].entropy_micronats == 0
+    assert rep[("de", "b")].at_risk == 1
+    assert rep[("es", "b")].n_sensitive == 0
+    assert rep[("es", "b")].entropy_micronats == 0
+    assert rep[("es", "b")].at_risk == 1
+    # the distinct report disagrees on (fr, web) — the gate gap
+    dist = {
+        (r.lang, r.source): r.at_risk
+        for r in privacy.l_diversity_report(
+            _docs(spark, rows), ["lang", "source"], "text", l=2
+        ).collect()
+    }
+    assert dist[("fr", "web")] == 0
+
+
+def test_entropy_l_diversity_validates_config(spark):
+    docs = _docs(spark, [("en", "web", "x")])
+    with pytest.raises(ValueError, match="sensitive column 'nope' not in"):
+        privacy.entropy_l_diversity_report(docs, ["lang"], "nope", l=2)
+    with pytest.raises(ValueError, match="cannot be a quasi"):
+        privacy.entropy_l_diversity_report(docs, ["lang", "text"], "text", l=2)
+    with pytest.raises(ValueError, match="l must be >= 1"):
+        privacy.entropy_l_diversity_report(docs, ["lang"], "text", l=0)
+    # l=1 is trivially satisfied (H >= 0 = ln(1)) when any value exists
+    one = privacy.entropy_l_diversity_report(
+        _docs(spark, [("en", "web", "x")]), ["lang", "source"], "text", l=1
+    ).collect()
+    assert one[0].at_risk == 0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", None]),
+            st.sampled_from(["s0", "s1"]),
+            st.sampled_from(["alpha", "beta", "gamma", None]),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    l=st.integers(min_value=1, max_value=4),
+)
+def test_entropy_l_diversity_matches_duckdb_on_random_frames(spark, rows, l):
+    """Random-frame differential for the micro-nat entropy replay:
+    NULL QI groups, NULL/mixed sensitive values, all-NULL groups,
+    single-value groups (entropy exactly 0), l above every group's
+    entropy."""
+    got = {
+        tuple(r)
+        for r in privacy.entropy_l_diversity_report(
+            _docs(spark, rows), ["lang", "source"], "text", l=l
+        ).collect()
+    }
+    con = _duck(rows)
+    want = {tuple(r) for r in con.execute(_entropy_oracle_sql(l)).fetchall()}
+    assert got == want, got ^ want
+
+
 kanon_rows = st.lists(
     st.tuples(
         st.sampled_from(["en", "fr", "de", None]),

@@ -339,10 +339,21 @@ def main():
         # r12 tests-only additions (urls probed over arbitrary TEXT —
         # the regex chain is total, it must never crash on non-URLs)
         "dedup_lines": text.dedup_lines,
+        "dedup_lines_exploded": lambda d: text.dedup_lines(
+            d, strategy="exploded"
+        ),
         "l_diversity": lambda d: privacy.l_diversity_report(
             d, ["lang", "source"], "text", l=2
         ),
+        "entropy_l": lambda d: privacy.entropy_l_diversity_report(
+            d, ["lang", "source"], "text", l=2
+        ),
         "url_canon": lambda d: urls.canonicalize_urls(d, url_col="text"),
+        # r13: the idna kernel over arbitrary text — codec rejections
+        # must pass through, never crash the executor
+        "idn_fold": lambda d: urls.fold_idn_hosts(
+            d, host_col="text", out_col="host_ascii"
+        ),
         "host_report": lambda d: urls.host_report(d, url_col="text"),
         "blocklist_filter": lambda d: urls.blocklist_filter(
             d,

@@ -308,7 +308,13 @@ OPS = {
     # suffix-expansion blocklist over synthetic per-doc URLs whose host
     # cardinality grows with the replica's source_rep suffix.
     "dedup_lines": lambda d, e: _text_mod.dedup_lines(d),
+    "dedup_lines_exploded": lambda d, e: _text_mod.dedup_lines(
+        d, strategy="exploded"
+    ),
     "l_diversity(lang,source)": lambda d, e: _privacy_mod.l_diversity_report(
+        d, ["lang", "source"], "text", l=2
+    ),
+    "entropy_l(lang,source)": lambda d, e: _privacy_mod.entropy_l_diversity_report(
         d, ["lang", "source"], "text", l=2
     ),
     "url_host_report": lambda d, e: _urls_mod.host_report(_synth_urls(d)),
