@@ -399,7 +399,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def dedup_lines(documents: DataFrame) -> DataFrame:
+def dedup_lines(documents: DataFrame, strategy: str = "inline") -> DataFrame:
     """Within-document repeated-line removal — the RefinedWeb /
     MassiveText hygiene step that collapses boilerplate (nav menus,
     cookie banners, repeated headers) to a single copy: keep the FIRST
@@ -408,27 +408,51 @@ def dedup_lines(documents: DataFrame) -> DataFrame:
     documents; this operates WITHIN one) and ``repetition_stats``
     (which measures token repetition but removes nothing).
 
-    All-Catalyst with NO data-dependent shuffle (the one Exchange is
-    the round-robin repartition for scan parallelism — the repo's
-    single-file-scan rule): an explode-let barrier pins split() to one
-    evaluation per row (the r3 lesson — Generate blocks
-    CollapseProject), then one indexed ``filter()`` keeps a line iff
-    its ``array_position`` (first occurrence, 1-based) equals its own
-    index, and a SECOND explode-let materializes the filtered array
-    before its two consumers (r12 review find: higher-order functions
-    are CodegenFallback, excluded from codegen subexpression
-    elimination — the collapsed form ran the O(L^2) filter twice per
-    row). Per-doc cost is O(L^2) JVM line comparisons (L = line
-    count), the honest trade against the explode-to-rows alternative's
-    two full-corpus exchanges; L is small in practice (a 10k-line doc
-    is ~5e7 equality checks of mostly-short strings inside whole-stage
-    codegen).
+    Two EXACT strategies with identical output (the r4 rule: the
+    regime choice belongs to the caller; both replay against the same
+    DuckDB oracle in tests/test_line_dedup.py):
+
+    - ``strategy="inline"`` (default): all-Catalyst with NO
+      data-dependent shuffle (the one Exchange is the round-robin
+      repartition for scan parallelism — the repo's single-file-scan
+      rule): an explode-let barrier pins split() to one evaluation per
+      row (the r3 lesson — Generate blocks CollapseProject), then one
+      indexed ``filter()`` keeps a line iff its ``array_position``
+      (first occurrence, 1-based) equals its own index, and a SECOND
+      explode-let materializes the filtered array before its two
+      consumers (r12 review find: higher-order functions are
+      CodegenFallback, excluded from codegen subexpression
+      elimination — the collapsed form ran the O(L^2) filter twice per
+      row). Per-doc cost is O(L^2) JVM line comparisons (L = line
+      count).
+    - ``strategy="exploded"``: posexplode to one row per line, keep
+      rows whose position equals the window MIN position of their
+      (doc, line) group, re-assemble with a sorted collect — O(L log L)
+      per doc at the price of two data-dependent exchanges (the window
+      on (doc_id, line) and the groupBy re-assembly). Per-doc scalars
+      (n_lines) ride the explode instead of a join-back (the r2 rule).
+
+    Measured crossover (SCALE.md r13, 64 docs/size, local[32],
+    dup-heavy 50%-distinct lines, min-of-2 interleaved): inline wins
+    below ~2-3k lines/doc (L=1k: 0.43 s vs 0.76 s; L=2k: 0.80 vs
+    0.92) and degrades quadratically past it (L=8k: 5.7 s vs 1.0 s;
+    L=32k: 89.6 s vs 1.45 s — 62x); exploded is FLAT in L (~1 s for
+    every size measured, shuffle-floor dominated). Web corpora sit
+    far below the crossover (RefinedWeb median is tens of lines), so
+    inline is the right default; switch to "exploded" when a corpus
+    can carry pathological multi-k-line documents (crawler dumps,
+    logs, minified HTML).
 
     NULL text propagates (NULL clean_text / NULL counts, computed
     explicitly so the surface is session-independent — ANSI size(NULL)
     is NULL but legacy is -1). Empty text is one empty line, kept.
     Returns (doc_id, clean_text, n_lines, n_dupe_lines).
     """
+    if strategy not in ("inline", "exploded"):
+        raise ValueError(
+            f"dedup_lines: unknown strategy {strategy!r} "
+            "(expected 'inline' or 'exploded')"
+        )
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     staged = documents.repartition(parallelism).select(
         "doc_id",
@@ -436,6 +460,8 @@ def dedup_lines(documents: DataFrame) -> DataFrame:
         # NULL, so NULL-text rows survive the Generate with _lines NULL
         F.explode(F.array(F.split(F.col("text"), "\n"))).alias("_lines"),
     )
+    if strategy == "exploded":
+        return _dedup_lines_exploded(staged)
     kept = F.filter(
         "_lines",
         lambda x, i: F.array_position(F.col("_lines"), x) == i + F.lit(1),
@@ -451,6 +477,53 @@ def dedup_lines(documents: DataFrame) -> DataFrame:
         F.when(
             F.col("_lines").isNotNull(),
             (F.size("_lines") - F.size("_kept")).cast("bigint"),
+        ).alias("n_dupe_lines"),
+    )
+
+
+def _dedup_lines_exploded(staged: DataFrame) -> DataFrame:
+    """The O(L log L) strategy over the materialized `_lines` array:
+    posexplode_outer (NULL-text rows survive as a NULL pos/line row),
+    window-MIN first-occurrence filter, sorted-collect re-assembly.
+    n_lines rides the explode as a per-doc scalar; positions are
+    unique per doc, so the struct sort is deterministic."""
+    from pyspark.sql.window import Window
+
+    ex = staged.select(
+        "doc_id",
+        F.when(
+            F.col("_lines").isNotNull(), F.size("_lines").cast("bigint")
+        ).alias("n_lines"),
+        F.posexplode_outer("_lines").alias("_pos", "_line"),
+    )
+    w = Window.partitionBy("doc_id", "_line")
+    firsts = ex.withColumn("_minpos", F.min("_pos").over(w)).where(
+        F.col("_pos").isNull() | (F.col("_pos") == F.col("_minpos"))
+    )
+    agg = firsts.groupBy("doc_id").agg(
+        F.max("n_lines").alias("n_lines"),
+        F.count("_pos").cast("bigint").alias("_n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_pos").isNotNull(),
+                    F.struct(F.col("_pos"), F.col("_line")),
+                )
+            )
+        ).alias("_sorted"),
+    )
+    return agg.select(
+        "doc_id",
+        F.when(
+            F.col("n_lines").isNotNull(),
+            F.array_join(
+                F.transform(F.col("_sorted"), lambda s: s["_line"]), "\n"
+            ),
+        ).alias("clean_text"),
+        "n_lines",
+        F.when(
+            F.col("n_lines").isNotNull(),
+            F.col("n_lines") - F.col("_n_kept"),
         ).alias("n_dupe_lines"),
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from dbt_schema_builder_spark.operators import text
@@ -43,7 +44,8 @@ def _docs(spark, texts):
     )
 
 
-def test_dedup_lines_fixed_shapes(spark):
+@pytest.mark.parametrize("strategy", ["inline", "exploded"])
+def test_dedup_lines_fixed_shapes(spark, strategy):
     texts = [
         "nav\nbody one\nnav\nbody two\nnav",  # boilerplate collapses
         "a\nb\nc",                              # all unique: unchanged
@@ -55,7 +57,7 @@ def test_dedup_lines_fixed_shapes(spark):
     ]
     got = {
         r.doc_id: r
-        for r in text.dedup_lines(_docs(spark, texts)).collect()
+        for r in text.dedup_lines(_docs(spark, texts), strategy=strategy).collect()
     }
     assert got[0].clean_text == "nav\nbody one\nbody two"
     assert got[0].n_lines == 5 and got[0].n_dupe_lines == 2
@@ -91,6 +93,28 @@ def test_dedup_lines_plan_is_map_only(spark):
     assert plan.count("array_position") == 1, plan
 
 
+def test_dedup_lines_validates_strategy(spark):
+    with pytest.raises(ValueError, match="unknown strategy"):
+        text.dedup_lines(_docs(spark, ["a"]), strategy="nope")
+
+
+def test_dedup_lines_exploded_plan_shape(spark):
+    """Plan pin for the O(L log L) strategy: the round-robin
+    repartition plus exactly TWO data-dependent exchanges (the
+    (doc_id, line) window and the groupBy re-assembly — AQE may elide
+    one by reusing the partitioning, so pin a 2..3 band), no Join, and
+    NO quadratic array_position kernel anywhere."""
+    plan = (
+        text.dedup_lines(_docs(spark, ["a\nb"]), strategy="exploded")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert 2 <= plan.count("Exchange") <= 3, plan
+    assert "Join" not in plan, plan
+    assert "array_position" not in plan, plan
+
+
 # Line atoms chosen to force collisions (few distinct values), include
 # the empty line, and exercise multi-char lines; docs join 0-8 of them
 # with '\n' (0 atoms -> empty text).
@@ -101,11 +125,10 @@ line_texts = st.lists(_LINES, min_size=0, max_size=8).map("\n".join)
 @settings(max_examples=15, deadline=None)
 @given(texts=st.lists(st.one_of(line_texts, st.none()), min_size=1, max_size=8))
 def test_dedup_lines_matches_duckdb_on_random_corpora(spark, texts):
-    """Random-corpus differential: repeated/empty/whitespace lines in
-    arbitrary positions, single-line docs, empty docs, NULLs."""
-    got = {
-        tuple(r) for r in text.dedup_lines(_docs(spark, texts)).collect()
-    }
+    """Random-corpus differential, BOTH strategies against the same
+    replay (the exactness contract: strategy is a regime choice, never
+    a semantics choice): repeated/empty/whitespace lines in arbitrary
+    positions, single-line docs, empty docs, NULLs."""
     con = duckdb.connect()
     con.register(
         "documents",
@@ -114,4 +137,11 @@ def test_dedup_lines_matches_duckdb_on_random_corpora(spark, texts):
         ),
     )
     want = {tuple(r) for r in con.execute(ORACLE).fetchall()}
-    assert got == want, got ^ want
+    for strategy in ("inline", "exploded"):
+        got = {
+            tuple(r)
+            for r in text.dedup_lines(
+                _docs(spark, texts), strategy=strategy
+            ).collect()
+        }
+        assert got == want, (strategy, got ^ want)
