@@ -260,6 +260,17 @@ def _nfc_normalize(spark, sf_dir):
     )
 
 
+def _fix_mojibake(spark, sf_dir):
+    """r13 tests-only: Arrow-batched cp1252-mojibake repair over the
+    corpus — the companion encoding-hygiene pass to x_nfc_normalize."""
+    from dbt_schema_builder_spark.operators import udf
+    from dbt_schema_builder_spark.session import read_table
+
+    return udf.fix_mojibake(
+        read_table(spark, f"{sf_dir}/documents.parquet")
+    )
+
+
 def _k_anonymize(spark, sf_dir):
     """r11 tests-only: window-count QI suppression gate at k=100 over
     (lang, source) — one exchange, no join-back."""
@@ -340,6 +351,7 @@ EXTRA = {
     "x_image_decode": _image_decode,
     "x_semantic_dedup_ivf_bounded": _semantic_dedup_ivf_bounded,
     "x_nfc_normalize": _nfc_normalize,
+    "x_fix_mojibake": _fix_mojibake,
     "x_k_anonymize": _k_anonymize,
     "x_dedup_lines": _dedup_lines,
     "x_l_diversity": _l_diversity,

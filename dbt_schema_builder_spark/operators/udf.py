@@ -112,6 +112,128 @@ def _normalize_udf(form: str):
     return norm
 
 
+# ---------------------------------------------------------------------------
+# Mojibake repair (r13, tests-only — the window is full). The other
+# standard encoding-hygiene pass (ftfy's core fix): UTF-8 bytes misread
+# as cp1252/latin-1 produce 'Ã©' for 'é', and web corpora carry this
+# class at measurable rates — fingerprints, shingles, and vocab entries
+# fork on it exactly like un-normalized Unicode. Spark has no
+# byte-level re-decode built-in (encode('cp1252') is lossy '?'
+# substitution for unmappable chars), so this is a genuine UDF-surface
+# member: one Arrow-batched struct-returning kernel, derived columns
+# read the MATERIALIZED struct (plan-pinned single ArrowEvalPython).
+
+# cp1252 leaves five bytes unmapped (0x81 0x8D 0x8F 0x90 0x9D); real
+# mojibake renders them as the raw C1 codepoint (the browser/latin-1
+# fallback), so the re-encode maps those codepoints back byte-for-byte
+# — the "sloppy cp1252" convention ftfy standardized.
+
+
+def _mojibake_encode(s: str) -> bytes | None:
+    """Re-encode a suspected-mojibake string to the bytes a cp1252
+    misread would have come from; None when any char is outside
+    cp1252 + latin-1 (genuine Unicode — not mojibake of anything)."""
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in s:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o < 0x100:
+                    out.append(o)
+                else:
+                    return None
+        return bytes(out)
+
+
+def _repair_mojibake(s: str | None, max_passes: int = 3):
+    """Fixpoint repair: re-encode and UTF-8-decode until the text stops
+    changing (double-mojibake needs two passes; the bound prevents a
+    pathological cycle). Pure-ASCII round-trips identically (0 passes);
+    genuine latin text ('déjà') fails the UTF-8 decode and is left
+    alone. The repair is the mechanical ftfy core WITHOUT the badness
+    heuristics: a text that literally means 'Ã©' is repaired anyway —
+    callers who must preserve such text gate on the emitted
+    ``repair_passes`` surface."""
+    if s is None:
+        return None, None
+    cur = s
+    passes = 0
+    for _ in range(max_passes):
+        b = _mojibake_encode(cur)
+        if b is None:
+            break
+        try:
+            dec = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if dec == cur:
+            break
+        cur = dec
+        passes += 1
+    return cur, passes
+
+
+_MOJIBAKE_SCHEMA = StructType(
+    [
+        StructField("fixed", StringType(), True),
+        StructField("passes", LongType(), True),
+    ]
+)
+
+
+@F.pandas_udf(_MOJIBAKE_SCHEMA)
+def _mojibake_udf(text: pd.Series) -> pd.DataFrame:
+    fixed, passes = zip(*(_repair_mojibake(t) for t in text)) if len(text) else ((), ())
+    return pd.DataFrame({"fixed": list(fixed), "passes": list(passes)})
+
+
+def fix_mojibake(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repair cp1252/latin-1-misread UTF-8 ('Ã©' -> 'é'); emit
+    (doc_id, fixed_text, changed, repair_passes).
+
+    - ``repair_passes`` counts fixpoint iterations (2 = the text was
+      double-mojibake'd); 0 = untouched, NULL for NULL text.
+    - ``changed`` = 1 iff any repair applied (passes > 0).
+    - No DuckDB replay exists for byte-level re-decoding (the same
+      categorized-exemption class as the IDN fold): the hypothesis
+      differential in tests/test_privacy.py instead compares the Arrow
+      kernel against the direct Python reference over generated
+      mojibake of known depth — the generator is the ground truth, so
+      a wrong repair cannot hide.
+
+    Scale: one ArrowEvalPython over the scan, map-only, no shuffle —
+    at 100 TB this is the same scan-bandwidth-bound shape as
+    ``normalize_text``, and the two compose (repair BEFORE NFC: the
+    repaired text may be denormalized)."""
+    if text_col not in documents.columns:
+        raise ValueError(
+            f"fix_mojibake: column {text_col!r} not in frame "
+            f"(has {documents.columns})"
+        )
+    taken = {c.lower() for c in documents.columns if c != text_col}
+    for out in ("fixed_text", "changed", "repair_passes"):
+        if out in taken:
+            raise ValueError(
+                f"fix_mojibake: frame already has a {out!r} column "
+                "(case-insensitive) — rename it or drop it first"
+            )
+    staged = documents.select(
+        "doc_id", _mojibake_udf(F.col(text_col)).alias("_mj")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_mj.fixed").alias("fixed_text"),
+        F.when(F.col("_mj.passes").isNull(), F.lit(None).cast("int"))
+        .otherwise((F.col("_mj.passes") > 0).cast("int"))
+        .alias("changed"),
+        F.col("_mj.passes").alias("repair_passes"),
+    )
+
+
 def normalize_text(
     documents: DataFrame, form: str = "NFC", strip_control: bool = True
 ) -> DataFrame:

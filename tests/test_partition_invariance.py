@@ -460,6 +460,10 @@ DOC_OPS = {
     "nfc_normalize": lambda d: __import__(
         "dbt_schema_builder_spark.operators.udf", fromlist=["x"]
     ).normalize_text(d),
+    # r13: mojibake repair is a pure per-row function of its input
+    "fix_mojibake": lambda d: __import__(
+        "dbt_schema_builder_spark.operators.udf", fromlist=["x"]
+    ).fix_mojibake(d),
     # r12 tests-only additions: line dedup is map-only deterministic;
     # the l-diversity report is one full-group aggregate
     "dedup_lines": lambda d: __import__(

@@ -437,6 +437,122 @@ def test_normalize_text_udf_evaluated_once(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
 
 
+# ---------------------------------------------------------------------------
+# Mojibake repair (r13). No DuckDB replay exists for byte-level
+# re-decode (categorized exemption, the IDN-fold class): the
+# differential generates mojibake of KNOWN depth (the generator is the
+# ground truth) and compares the Arrow kernel against the direct
+# Python reference — a wrong repair cannot hide.
+
+
+def _moji(s: str) -> str:
+    """One level of cp1252 misreading: UTF-8 bytes decoded as sloppy
+    cp1252 (the five unmapped bytes fall back to their raw C1
+    codepoint, matching browsers and the kernel's re-encode)."""
+    out = []
+    for byte in s.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_fix_mojibake_fixed_shapes(spark):
+    deja = "d\u00e9j\u00e0 vu"
+    amac = "\u0101"  # 'a' with macron: UTF-8 C4 81 — 0x81 is a cp1252 hole
+    texts = [
+        _moji(deja),          # classic single mojibake
+        _moji(_moji("\u00e9")),  # double mojibake -> 2 passes
+        "plain ascii",        # untouched
+        "caf\u00e9",     # GENUINE latin text: utf-8 decode fails, kept
+        _moji(amac),          # exercises the latin-1 hole fallback
+        "\u65e5\u672c",  # genuine CJK: outside cp1252, kept
+        "\U0001f600",         # astral emoji: kept
+        None,                 # NULL propagates
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in udf.fix_mojibake(df).collect()}
+    assert (got[0].fixed_text, got[0].repair_passes) == (deja, 1)
+    assert (got[1].fixed_text, got[1].repair_passes) == ("\u00e9", 2)
+    assert got[1].changed == 1
+    assert (got[2].fixed_text, got[2].repair_passes) == ("plain ascii", 0)
+    assert got[2].changed == 0
+    assert (got[3].fixed_text, got[3].repair_passes) == ("caf\u00e9", 0)
+    assert (got[4].fixed_text, got[4].repair_passes) == (amac, 1)
+    assert (got[5].fixed_text, got[5].repair_passes) == ("\u65e5\u672c", 0)
+    assert got[6].repair_passes == 0
+    assert got[7].fixed_text is None
+    assert got[7].changed is None and got[7].repair_passes is None
+
+
+def test_fix_mojibake_validates_config(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="column 'nope' not in frame"):
+        udf.fix_mojibake(df, text_col="nope")
+    clash = spark.createDataFrame(
+        [(0, "x", 1)], "doc_id bigint, text string, Repair_Passes int"
+    )
+    with pytest.raises(ValueError, match="already has a 'repair_passes'"):
+        udf.fix_mojibake(clash)
+
+
+def test_fix_mojibake_udf_evaluated_once(spark):
+    """The three output columns read the MATERIALIZED struct: exactly
+    one ArrowEvalPython node."""
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    plan = (
+        udf.fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+_MOJI_BASE = st.sampled_from(
+    ["d\u00e9j\u00e0", "\u0101", "\u00e9", "ascii only", "",
+     "\u0153uvre", "\u65e5\u672c", "mixed \u00fc end"]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pairs=st.lists(
+        st.one_of(
+            st.none(),
+            st.tuples(_MOJI_BASE, st.integers(min_value=0, max_value=2)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fix_mojibake_matches_python_reference(spark, pairs):
+    """Known-depth differential: text mojibake'd 0-2 times must repair
+    through the Arrow kernel exactly as through the direct Python
+    reference (and, for encodable bases, back to the base itself)."""
+    texts = []
+    for p in pairs:
+        if p is None:
+            texts.append(None)
+            continue
+        base, depth = p
+        t = base
+        for _ in range(depth):
+            t = _moji(t)
+        texts.append(t)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.fixed_text, r.repair_passes)
+        for r in udf.fix_mojibake(df).collect()
+    }
+    from dbt_schema_builder_spark.operators.udf import _repair_mojibake
+
+    want = {i: _repair_mojibake(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
 # Codepoint pool where Python's unicodedata and DuckDB's utf8proc are
 # long-stable-identical under NFC: ASCII, Latin-1 precomposed, their
 # decomposed twins, a ligature NFC keeps, Hangul jamo that compose, and

@@ -336,6 +336,7 @@ def main():
             d, ["lang", "source"], k=2
         ),
         "nfc_normalize": udf.normalize_text,
+        "fix_mojibake": udf.fix_mojibake,
         # r12 tests-only additions (urls probed over arbitrary TEXT —
         # the regex chain is total, it must never crash on non-URLs)
         "dedup_lines": text.dedup_lines,
