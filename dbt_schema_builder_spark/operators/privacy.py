@@ -63,6 +63,7 @@ def k_anonymity_report(
     sort). One map-combined groupBy; output bounded by QI cardinality.
     """
     _validated_quasi(df, quasi, k, "k_anonymity_report")
+    _validated_no_collision(quasi, {"n_rows", "at_risk"}, "k_anonymity_report")
     return df.groupBy(*quasi).agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) < F.lit(k)).cast("int").alias("at_risk"),
@@ -90,6 +91,11 @@ def l_diversity_report(
     """
     _validated_quasi(df, quasi, 1, "l_diversity_report")
     _validated_sensitive(df, quasi, sensitive, "l_diversity_report")
+    _validated_no_collision(
+        quasi + [sensitive],
+        {"n_rows", "n_sensitive", "at_risk"},
+        "l_diversity_report",
+    )
     if l < 1:
         raise ValueError(f"l_diversity_report: l must be >= 1, got {l}")
     n_distinct = F.countDistinct(F.col(sensitive))
@@ -98,6 +104,21 @@ def l_diversity_report(
         n_distinct.alias("n_sensitive"),
         (n_distinct < F.lit(l)).cast("int").alias("at_risk"),
     )
+
+
+def _validated_no_collision(cols: list[str], reserved: set[str], op: str):
+    """A quasi/sensitive column named like an emitted (or internal)
+    column would survive into the groupBy output next to the aggregate
+    alias and die downstream in AMBIGUOUS_REFERENCE far from the cause
+    — reject loudly at plan construction instead. Casefolded (the r12
+    rule: Spark resolves identifiers case-insensitively by default)."""
+    clash = sorted({c for c in cols if c.lower() in reserved})
+    if clash:
+        raise ValueError(
+            f"{op}: column(s) {clash} collide (case-insensitively) with "
+            f"this report's emitted or internal column names — rename "
+            "them first"
+        )
 
 
 def _validated_sensitive(df: DataFrame, quasi: list[str], sensitive: str, op: str):
@@ -150,7 +171,12 @@ def entropy_l_diversity_report(
     _validated_sensitive(df, quasi, sensitive, "entropy_l_diversity_report")
     if l < 1:
         raise ValueError(f"entropy_l_diversity_report: l must be >= 1, got {l}")
-    nonnull = F.col(sensitive).isNotNull()
+    _validated_no_collision(
+        quasi + [sensitive],
+        {"n_rows", "n_sensitive", "entropy_micronats", "at_risk",
+         "_sv", "_ni", "_ne", "_s", "_ent_scaled", "_thresh"},
+        "entropy_l_diversity_report",
+    )
     per_val = df.groupBy(
         *quasi, F.col(sensitive).alias("_sv")
     ).agg(F.count(F.lit(1)).alias("_ni"))

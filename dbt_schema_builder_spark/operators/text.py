@@ -486,21 +486,37 @@ def _dedup_lines_exploded(staged: DataFrame) -> DataFrame:
     posexplode_outer (NULL-text rows survive as a NULL pos/line row),
     window-MIN first-occurrence filter, sorted-collect re-assembly.
     n_lines rides the explode as a per-doc scalar; positions are
-    unique per doc, so the struct sort is deterministic."""
+    unique per row, so the struct sort is deterministic.
+
+    The explode is keyed by an INTERNAL unique row id, not doc_id:
+    the operator is per-ROW like the inline strategy, and duplicate
+    doc_ids are legal input (wet_text_corpus emits content-addressed
+    ids — identical extractions share one) — grouping by doc_id would
+    merge such rows into one garbage row (r13 review find: duplicated
+    clean_text, negative n_dupe_lines). monotonically_increasing_id's
+    partition-dependence is harmless here: the id is consumed only as
+    a grouping key inside this one plan and never emitted, so the
+    OUTPUT is partition-invariant (pinned in
+    tests/test_partition_invariance.py)."""
     from pyspark.sql.window import Window
 
-    ex = staged.select(
+    keyed = staged.select(
+        F.monotonically_increasing_id().alias("_rid"), "doc_id", "_lines"
+    )
+    ex = keyed.select(
+        "_rid",
         "doc_id",
         F.when(
             F.col("_lines").isNotNull(), F.size("_lines").cast("bigint")
         ).alias("n_lines"),
         F.posexplode_outer("_lines").alias("_pos", "_line"),
     )
-    w = Window.partitionBy("doc_id", "_line")
+    w = Window.partitionBy("_rid", "_line")
     firsts = ex.withColumn("_minpos", F.min("_pos").over(w)).where(
         F.col("_pos").isNull() | (F.col("_pos") == F.col("_minpos"))
     )
-    agg = firsts.groupBy("doc_id").agg(
+    agg = firsts.groupBy("_rid").agg(
+        F.max("doc_id").alias("doc_id"),
         F.max("n_lines").alias("n_lines"),
         F.count("_pos").cast("bigint").alias("_n_kept"),
         F.array_sort(

@@ -192,8 +192,10 @@ def _mojibake_udf(text: pd.Series) -> pd.DataFrame:
 
 
 def fix_mojibake(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Repair cp1252/latin-1-misread UTF-8 ('Ã©' -> 'é'); emit
-    (doc_id, fixed_text, changed, repair_passes).
+    """Repair cp1252/latin-1-misread UTF-8 ('Ã©' -> 'é'); emit the
+    input columns unchanged plus (fixed_text, changed, repair_passes)
+    — passthrough like ``canonicalize_urls``, so metadata (lang,
+    source, url) rides along.
 
     - ``repair_passes`` counts fixpoint iterations (2 = the text was
       double-mojibake'd); 0 = untouched, NULL for NULL text.
@@ -207,25 +209,28 @@ def fix_mojibake(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale: one ArrowEvalPython over the scan, map-only, no shuffle —
     at 100 TB this is the same scan-bandwidth-bound shape as
-    ``normalize_text``, and the two compose (repair BEFORE NFC: the
-    repaired text may be denormalized)."""
+    ``normalize_text``. The two compose with an explicit rename
+    (normalize_text reads the ``text`` column):
+    ``normalize_text(fix_mojibake(docs).drop("text")
+    .withColumnRenamed("fixed_text", "text"))`` — repair BEFORE NFC,
+    the repaired text may be denormalized."""
     if text_col not in documents.columns:
         raise ValueError(
             f"fix_mojibake: column {text_col!r} not in frame "
             f"(has {documents.columns})"
         )
-    taken = {c.lower() for c in documents.columns if c != text_col}
-    for out in ("fixed_text", "changed", "repair_passes"):
+    taken = {c.lower() for c in documents.columns}
+    for out in ("fixed_text", "changed", "repair_passes", "_mj"):
         if out in taken:
             raise ValueError(
                 f"fix_mojibake: frame already has a {out!r} column "
                 "(case-insensitive) — rename it or drop it first"
             )
     staged = documents.select(
-        "doc_id", _mojibake_udf(F.col(text_col)).alias("_mj")
+        "*", _mojibake_udf(F.col(text_col)).alias("_mj")
     )
     return staged.select(
-        "doc_id",
+        *documents.columns,
         F.col("_mj.fixed").alias("fixed_text"),
         F.when(F.col("_mj.passes").isNull(), F.lit(None).cast("int"))
         .otherwise((F.col("_mj.passes") > 0).cast("int"))

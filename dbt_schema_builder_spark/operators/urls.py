@@ -124,7 +124,15 @@ def _pct_decode_unreserved(u: Column) -> Column:
             )
         )
 
-    return F.array_join(F.transform(parts, fix), "")
+    # %-free fast path: the split+transform HOFs are CodegenFallback
+    # (r13 A/B: the two percent passes cost ~1.2x on an all-'%' frame),
+    # and most URLs carry no escape at all — CASE WHEN branches
+    # evaluate lazily per row, so they skip the HOF entirely. This is a
+    # row-level conditional AROUND a HOF, not a conditional consumed
+    # INSIDE a lambda (the r12 CSE trap does not apply).
+    return F.when(F.instr(u, "%") == F.lit(0), u).otherwise(
+        F.array_join(F.transform(parts, fix), "")
+    )
 
 
 def _pct_upper(u: Column) -> Column:
@@ -144,7 +152,10 @@ def _pct_upper(u: Column) -> Column:
             ).otherwise(F.concat(F.lit("%"), x))
         )
 
-    return F.array_join(F.transform(parts, fix), "")
+    # %-free fast path (see _pct_decode_unreserved)
+    return F.when(F.instr(u, "%") == F.lit(0), u).otherwise(
+        F.array_join(F.transform(parts, fix), "")
+    )
 
 
 def _decoded(u: Column) -> Column:

@@ -36,7 +36,7 @@ composes directly on crawl input.
 
 from __future__ import annotations
 
-import gzip
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -68,6 +68,34 @@ WARC_SCHEMA = StructType(
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
+def _gunzip_members(data: bytes, strict: bool) -> bytes:
+    """Member-wise gzip decompression: a truncated or corrupt member
+    keeps every byte decompressed BEFORE it (r13 review find: the
+    whole-stream gzip.decompress turned one partial trailing member —
+    an interrupted segment download — into ZERO records, violating the
+    tolerant contract; member-per-record is exactly the CommonCrawl
+    layout, so earlier members are independently recoverable). A
+    truncated final member's partial bytes are kept too — the record
+    parser stops at the truncated record they become."""
+    out = bytearray()
+    view = data
+    while view:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        try:
+            out += d.decompress(view)
+            out += d.flush()
+        except zlib.error:
+            if strict:
+                raise ValueError("warc: corrupt gzip member")
+            break
+        if not d.eof:
+            if strict:
+                raise ValueError("warc: truncated gzip member")
+            break
+        view = d.unused_data
+    return bytes(out)
+
+
 def parse_warc_records(data: bytes, strict: bool = False):
     """Pure-Python WARC parser: yield
     (record_idx, headers_dict, block_bytes) per record.
@@ -79,15 +107,11 @@ def parse_warc_records(data: bytes, strict: bool = False):
     already parsed are kept. ``strict=True`` raises instead (the
     ingest-audit mode). Gzip input (single- or multi-member, the
     CommonCrawl member-per-record layout) is detected by magic and
-    decompressed first; gzip truncation follows the same
-    tolerant/strict contract."""
+    decompressed MEMBER-WISE first: a truncated or corrupt member
+    keeps every intact earlier member's records under the same
+    tolerant/strict contract (see ``_gunzip_members``)."""
     if data[:2] == _GZIP_MAGIC:
-        try:
-            data = gzip.decompress(data)
-        except (OSError, EOFError):
-            if strict:
-                raise ValueError("warc: truncated or corrupt gzip stream")
-            return
+        data = _gunzip_members(data, strict)
     pos = 0
     idx = 0
     n = len(data)
@@ -178,10 +202,15 @@ def read_warc(
     if glob:
         raw = raw.option("pathGlobFilter", glob)
     files = raw.load(path).select("path", "content")
-    # per-FILE parallelism: binaryFile packs small files into few
-    # partitions; spread them so each parse task owns ~one file (r4)
+    # per-FILE parallelism: binaryFile PACKS small files into few
+    # partitions, so a directory of tiny test segments would parse on
+    # one core (r4 rule) — but real ~1 GB segments already own a
+    # partition each, and an unconditional repartition would shuffle
+    # the entire raw corpus for zero gain (r13 review find). Only
+    # spread when the listing is under-parallel.
     parallelism = spark.sparkContext.defaultParallelism
-    files = files.repartition(parallelism)
+    if files.rdd.getNumPartitions() < parallelism:
+        files = files.repartition(parallelism)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

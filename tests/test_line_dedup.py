@@ -98,6 +98,28 @@ def test_dedup_lines_validates_strategy(spark):
         text.dedup_lines(_docs(spark, ["a"]), strategy="nope")
 
 
+def test_dedup_lines_duplicate_doc_ids_stay_per_row(spark):
+    """Duplicate doc_ids are LEGAL input (wet_text_corpus emits
+    content-addressed ids, so identical extractions share one) and the
+    operator is per-ROW: both strategies must emit one output row per
+    input row, never merge duplicate-key rows (r13 review find: the
+    exploded strategy's doc_id groupBy produced one garbage row with
+    duplicated lines and NEGATIVE n_dupe_lines)."""
+    df = spark.createDataFrame(
+        [(7, "a\nb\na"), (7, "a\nb\na"), (7, "x")],
+        "doc_id bigint, text string",
+    )
+    for strategy in ("inline", "exploded"):
+        rows = sorted(
+            (r.clean_text, r.n_lines, r.n_dupe_lines)
+            for r in text.dedup_lines(df, strategy=strategy).collect()
+        )
+        assert rows == [("a\nb", 3, 1), ("a\nb", 3, 1), ("x", 1, 0)], (
+            strategy,
+            rows,
+        )
+
+
 def test_dedup_lines_exploded_plan_shape(spark):
     """Plan pin for the O(L log L) strategy: the round-robin
     repartition plus exactly TWO data-dependent exchanges (the

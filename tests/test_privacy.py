@@ -290,6 +290,23 @@ def test_entropy_l_diversity_validates_config(spark):
     assert one[0].at_risk == 0
 
 
+def test_reports_reject_emitted_name_collisions(spark):
+    """A quasi/sensitive column named like an emitted (or internal)
+    report column would survive the groupBy next to the aggregate alias
+    and die in AMBIGUOUS_REFERENCE downstream — rejected loudly at plan
+    construction, casefolded (r13 review fix)."""
+    df = spark.createDataFrame(
+        [(1, "en", "x", "s")],
+        "N_ROWS bigint, lang string, text string, _sv string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        privacy.k_anonymity_report(df, ["N_ROWS", "lang"], k=2)
+    with pytest.raises(ValueError, match="collide"):
+        privacy.l_diversity_report(df, ["N_ROWS"], "text", l=2)
+    with pytest.raises(ValueError, match="collide"):
+        privacy.entropy_l_diversity_report(df, ["lang"], "_sv", l=2)
+
+
 @settings(max_examples=12, deadline=None)
 @given(
     rows=st.lists(
@@ -497,6 +514,29 @@ def test_fix_mojibake_validates_config(spark):
     )
     with pytest.raises(ValueError, match="already has a 'repair_passes'"):
         udf.fix_mojibake(clash)
+
+
+def test_fix_mojibake_passes_input_columns_through(spark):
+    """Passthrough contract (r13 review fix): metadata columns ride
+    along unchanged, so the repair composes with the rest of the
+    pipeline without a join-back."""
+    df = spark.createDataFrame(
+        [(0, _moji("d\u00e9j\u00e0"), "en", "web")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = udf.fix_mojibake(df)
+    assert out.columns == [
+        "doc_id", "text", "lang", "source",
+        "fixed_text", "changed", "repair_passes",
+    ]
+    (r,) = out.collect()
+    assert (r.lang, r.source, r.fixed_text, r.changed) == (
+        "en", "web", "d\u00e9j\u00e0", 1
+    )
+    # the documented normalize_text composition actually runs
+    renamed = out.drop("text").withColumnRenamed("fixed_text", "text")
+    normed = udf.normalize_text(renamed).collect()
+    assert normed[0].norm_text == "d\u00e9j\u00e0"
 
 
 def test_fix_mojibake_udf_evaluated_once(spark):

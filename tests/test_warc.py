@@ -94,11 +94,39 @@ def test_parse_warc_tolerant_vs_strict():
     assert list(warc.parse_warc_records(noversion)) == []
     with pytest.raises(ValueError, match="bad version line"):
         list(warc.parse_warc_records(noversion, strict=True))
-    # corrupt gzip
-    corrupt = gzip.compress(good)[:-5]
-    assert list(warc.parse_warc_records(corrupt)) == []
+    # trailer-only truncation: the deflate stream is intact, so
+    # member-wise tolerant decompression RECOVERS the record (the
+    # whole-stream gzip.decompress used to lose it); strict still
+    # treats the unterminated member as an error
+    trailer_cut = gzip.compress(good)[:-5]
+    assert [g[0] for g in warc.parse_warc_records(trailer_cut)] == [0]
     with pytest.raises(ValueError, match="gzip"):
-        list(warc.parse_warc_records(corrupt, strict=True))
+        list(warc.parse_warc_records(trailer_cut, strict=True))
+    # mid-deflate truncation: nothing recoverable
+    deep_cut = gzip.compress(good)[:25]
+    assert list(warc.parse_warc_records(deep_cut)) == []
+    with pytest.raises(ValueError, match="gzip"):
+        list(warc.parse_warc_records(deep_cut, strict=True))
+    # truncated MULTI-member gzip (an interrupted segment download):
+    # the intact earlier members' records survive in tolerant mode
+    # (r13 review find: whole-stream decompress lost all of them)
+    members = (
+        gzip.compress(_serialize([_R1]))
+        + gzip.compress(_serialize([_R2]))
+        # cut mid-deflate (not just the trailer — the full plaintext
+        # could still inflate): 25 bytes = 10-byte gzip header + a
+        # partial deflate block
+        + gzip.compress(_serialize([_R3]))[:25]
+    )
+    got = list(warc.parse_warc_records(members))
+    assert [(g[0], g[2]) for g in got] == [(0, _R1[1]), (1, _R2[1])]
+    with pytest.raises(ValueError, match="gzip member"):
+        list(warc.parse_warc_records(members, strict=True))
+    # garbage BETWEEN members: tolerant keeps the prefix, strict raises
+    garbage = gzip.compress(_serialize([_R1])) + b"not gzip at all"
+    assert len(list(warc.parse_warc_records(garbage))) == 1
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        list(warc.parse_warc_records(garbage, strict=True))
     # duplicate header: first occurrence wins, deterministically
     dup = (
         b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Type: conversion\r\n"
