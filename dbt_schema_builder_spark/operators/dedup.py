@@ -1111,92 +1111,181 @@ def minhash_lsh_candidates(
     )
 
 
+def _closure_uf(batches):
+    """Partition-local union-find over an edge batch iterator: emits one
+    (node, root) row per node the partition saw, root = minimum node id
+    of its partition-local connected component. Union keeps the smaller
+    root as the class representative, so roots are always reachable
+    node ids and never invent values. Module-level so reused Python
+    workers keep the code object across tasks (guide §4.5 shape)."""
+    import pandas as pd
+
+    srcs, dsts = [], []
+    for b in batches:
+        srcs.append(b["src"])
+        dsts.append(b["dst"])
+    if not srcs:
+        return
+    src = pd.concat(srcs).to_numpy()
+    dst = pd.concat(dsts).to_numpy()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    nodes = set(src.tolist()) | set(dst.tolist())
+    out_n = list(nodes)
+    out_r = [find(v) for v in out_n]
+    yield pd.DataFrame({"node": out_n, "root": out_r})
+
+
 def dedup_clusters(
     pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """Transitive closure of near-dup pairs into clusters: each doc gets
     the minimum doc_id reachable through the pair graph (the canonical
-    representative to keep). Iterative label propagation — per round,
-    every node adopts the smallest label in its neighborhood; converges
-    in O(diameter) rounds, checked via a driver-side count. Dedup-graph
-    components are tiny in practice (dup groups), so few rounds suffice.
+    representative to keep). Returns (doc_id, cluster_id); ``pairs``
+    needs (doc_a, doc_b). The output is the exact closure (identical to
+    the recursive-CTE oracle) and partition-invariant — intermediates
+    depend on partitioning, the fixed point does not.
 
-    ``pairs`` needs (doc_a, doc_b). Returns (doc_id, cluster_id).
+    Algorithm (r13 optimization): iterated star contraction with a
+    partition-local union-find, replacing one-hop min-label
+    propagation. The r13 profile measured the semantic pair graph at
+    DIAMETER 17, so the old loop paid 17 rounds x ~0.33 s of fixed
+    per-round job overhead (~5.6 s of pure scheduling on a 1,840-edge
+    graph) in every consuming query. Per round here:
+
+    - both edge orientations are hash-repartitioned by ``src`` with the
+      partition count derived from the measured edge count (never a
+      constant: small graphs get 1 partition so one union-find pass
+      closes them outright; huge graphs get enough partitions to bound
+      the per-task dict at ~1M edges);
+    - an Arrow-batched union-find per partition (``_closure_uf``) emits
+      node -> partition-local component min — every node merges with at
+      least its full neighborhood, so progress per round is >= the old
+      one-hop propagation and typically the whole component;
+    - the mapping is made FUNCTIONAL (min root per node); links between
+      a node's several partition-local roots are re-emitted as residual
+      edges so no connectivity is ever lost;
+    - edges are remapped through the mapping, self-loops dropped,
+      canonicalized (least, greatest) and deduped; the loop ends when no
+      edges remain — for real dup graphs that is ONE round (~4 Spark
+      jobs total vs 2 jobs x diameter before; measured 6.4 s -> 3.6 s
+      for the sf0.1 semantic closure incl. the miner).
+
+    Correctness invariants: roots are always reachable node ids <= the
+    node, the remapped graph is the quotient of the previous one (so
+    component structure is preserved, residuals included), and an empty
+    remainder means every component was fully collapsed to its min.
     """
-    # both edge orientations from ONE evaluation of `pairs`: the union
-    # form evaluates the caller's pair pipeline (often a full shingle
-    # self-join) once per branch — measured 2x the whole query cost
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-        .transform(track_persist)
-    )
+    # one evaluation of `pairs`: the persisted canonical edge list is the
+    # only time the caller's pair pipeline (often a full shingle
+    # self-join) runs; the count below both materializes it and sizes
+    # the first round's partitioning
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).transform(track_persist)
+    n = edges.count()
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     labels = (
         edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
-    converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("cluster_id").alias("n_label"),
-                ),
-                "dst",
+    E = edges
+    mappings = []
+    rounds = 0
+    while n > 0:
+        if rounds >= max_iterations:
+            # the q_dedup_clusters oracle is the FULL transitive closure
+            # (recursive CTE); silently returning unconverged labels
+            # would be a wrong answer, not a slow one. Contraction
+            # merges every node with at least its neighborhood per
+            # round (>= the old one-hop propagation), so 50 rounds
+            # cover anything the old loop covered.
+            raise RuntimeError(
+                "dedup_clusters did not converge within "
+                f"{max_iterations} contraction rounds; raise "
+                "max_iterations (components this deep suggest the pair "
+                "threshold is admitting non-duplicates)"
             )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("n_label").alias("neighbor_label"))
+        rounds += 1
+        # scale-adaptive partitioning: ~4k edges/partition lower bound
+        # (tiny graphs -> 1 partition -> one-pass closure), ~1M
+        # edges/partition upper bound (union-find dict memory), local
+        # parallelism in between
+        p = max(
+            1,
+            min(
+                max(parallelism, n // 1_000_000 + 1),
+                n // 4096 + 1,
+            ),
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
+        both = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition(p, "src")
+        M = both.mapInPandas(_closure_uf, "node long, root long")
+        Mf = (
+            M.groupBy("node")
+            .agg(F.min("root").alias("root"))
+            .transform(track_persist)
+        )
+        # a node seen by several partitions has several local roots; the
+        # links between them carry cross-partition connectivity forward
+        residual = (
+            M.join(Mf.select("node", F.col("root").alias("_mr")), "node")
+            .where(F.col("root") != F.col("_mr"))
+            .select(F.col("_mr").alias("src"), F.col("root").alias("dst"))
+        )
+        ms = Mf.select(F.col("node").alias("src"), F.col("root").alias("_rs"))
+        md = Mf.select(F.col("node").alias("dst"), F.col("root").alias("_rd"))
+        remapped = (
+            E.join(ms, "src")
+            .join(md, "dst")
+            .where(F.col("_rs") != F.col("_rd"))
+            .select(F.col("_rs").alias("src"), F.col("_rd").alias("dst"))
+        )
+        E2 = (
+            remapped.unionByName(residual)
             .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
             )
-            # truncate lineage every round: without this the plan nests
-            # one level per iteration and analysis goes exponential
-            .localCheckpoint(eager=True)
+            .distinct()
+            # lazy: the count below materializes it in the same job
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
+        n = E2.count()
+        mappings.append(Mf)
+        E = E2
+    # resolve every doc through the (few) round mappings in one plan;
+    # the eager checkpoint materializes the final tiny label table so
+    # consumers (and the mappings' unpersist below) never re-derive it
+    for Mf in mappings:
+        mk = Mf.select(F.col("node").alias("cluster_id"), "root")
+        labels = labels.join(mk, "cluster_id", "left").select(
+            "doc_id",
+            F.coalesce("root", "cluster_id").alias("cluster_id"),
         )
-        labels = updated
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # the q_dedup_clusters oracle is the FULL transitive closure
-        # (recursive CTE); silently returning unconverged labels would be
-        # a wrong answer, not a slow one. Min-label propagation advances
-        # one hop per round, so 50 rounds cover components of diameter 50
-        # — far past any dup group; hitting this means the pair threshold
-        # is chaining non-duplicates and the caller must decide.
-        raise RuntimeError(
-            "dedup_clusters did not converge within "
-            f"{max_iterations} label-propagation rounds; raise "
-            "max_iterations (components this deep suggest the pair "
-            "threshold is admitting non-duplicates)"
-        )
+    labels = labels.localCheckpoint(eager=True)
+    for Mf in mappings:
+        Mf.unpersist()
+    edges.unpersist()
     return labels
 
 

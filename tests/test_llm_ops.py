@@ -81,6 +81,34 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_dedup_clusters_scattered_deep_chain_multi_partition(spark):
+    """r13 contraction internals: a long path whose edges are scattered
+    round-robin across many partitions forces the cross-partition merge
+    machinery (functional mapping + residual edges). The prototype bug
+    this pins against: a node seen by several partitions emitted several
+    (node, root) rows, and the remap join fanned out combinatorially
+    (measured 4,999 edges -> 60M 'remaining' edges before the fix)."""
+    n = 500
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
+    ).repartition(16)
+    out = dedup.dedup_clusters(pairs, max_iterations=30).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_dedup_clusters_duplicate_and_reversed_pairs(spark):
+    """The contraction loop no longer runs an upfront distinct over the
+    oriented edge list, so duplicate and reversed pair rows must not
+    change the closure (or crash the union-find kernel)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (2, 3), (10, 11), (11, 10)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_embedding_near_dup_lsh_matches_exact(spark, tables):
     """The shipped LSH-candidate + exact-verify path must reproduce the
     quadratic all-pairs oracle exactly at the shipped threshold (recall
