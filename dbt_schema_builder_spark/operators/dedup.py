@@ -1192,12 +1192,25 @@ def dedup_clusters(
     component structure is preserved, residuals included), and an empty
     remainder means every component was fully collapsed to its min.
     """
+    # the union-find kernel's output schema is pinned to long (every
+    # miner in this engine emits bigint ids — the repo convention is
+    # "join on xxhash64 longs, not strings"); fail loudly at plan
+    # construction instead of deep inside an Arrow cast
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dt = dict(pairs.dtypes)
+    bad = {c: dt[c] for c in ("doc_a", "doc_b") if dt.get(c) not in integral}
+    if bad:
+        raise ValueError(
+            f"dedup_clusters: pair id columns must be integral, got {bad} "
+            "— hash string ids to longs (xxhash64) before clustering"
+        )
     # one evaluation of `pairs`: the persisted canonical edge list is the
     # only time the caller's pair pipeline (often a full shingle
     # self-join) runs; the count below both materializes it and sizes
     # the first round's partitioning
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
     ).transform(track_persist)
     n = edges.count()
     parallelism = pairs.sparkSession.sparkContext.defaultParallelism
@@ -1239,7 +1252,11 @@ def dedup_clusters(
         both = E.unionByName(
             E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).repartition(p, "src")
-        M = both.mapInPandas(_closure_uf, "node long, root long")
+        # M has two consumers in this round (the functional rollup and
+        # the residual join): persist it or the union-find pass runs
+        # twice (the r4c multi-consumer re-evaluation class); scoped —
+        # unpersisted right after the count materializes the round
+        M = both.mapInPandas(_closure_uf, "node long, root long").persist()
         Mf = (
             M.groupBy("node")
             .agg(F.min("root").alias("root"))
@@ -1271,6 +1288,7 @@ def dedup_clusters(
             .localCheckpoint(eager=False)
         )
         n = E2.count()
+        M.unpersist()
         mappings.append(Mf)
         E = E2
     # resolve every doc through the (few) round mappings in one plan;
