@@ -92,9 +92,40 @@ def test_dedup_clusters_scattered_deep_chain_multi_partition(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
     ).repartition(16)
-    out = dedup.dedup_clusters(pairs, max_iterations=30).collect()
+    # driver_closure_max_edges=0 forces the DISTRIBUTED contraction:
+    # since r14 a 500-edge graph would otherwise take the driver-side
+    # union-find fast path and never touch the residual machinery
+    out = dedup.dedup_clusters(
+        pairs, max_iterations=30, driver_closure_max_edges=0
+    ).collect()
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_dedup_clusters_driver_path_matches_distributed(spark):
+    """r14 fast path: the driver-side union-find (small graphs) must be
+    bit-identical to the distributed star contraction on the same graph
+    — chains, a star, duplicate/reversed edges and two components in
+    one input."""
+    raw = (
+        [(i, i + 1) for i in range(40)]          # path 0..40
+        + [(1000, 1000 + i) for i in range(1, 30)]  # star at 1000
+        + [(2, 1), (1, 2), (1, 2)]               # dup/reversed edges
+        + [(5000, 4999)]                          # 2-node component
+    )
+    pairs = spark.createDataFrame(raw, "doc_a bigint, doc_b bigint")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(
+            pairs.repartition(8), driver_closure_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {0, 1000, 4999}
 
 
 def test_dedup_clusters_duplicate_and_reversed_pairs(spark):

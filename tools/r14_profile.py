@@ -36,12 +36,14 @@ def _spark():
 
 
 def timed(spark, label, build, reps=3):
-    """Median-of-reps noop-sink wall for a freshly built plan."""
+    """Median-of-reps noop-sink wall, building the plan INSIDE the
+    timer (the r3 rule: driver-looped operators and eager guards run
+    jobs at plan construction — bench.py times construction too)."""
     vals = []
     for _ in range(reps):
-        df = build()
         spark.sparkContext.setJobDescription(f"r14-profile: {label}")
         t0 = time.perf_counter()
+        df = build()
         df.write.format("noop").mode("overwrite").save()
         vals.append(time.perf_counter() - t0)
         spark.sparkContext.setJobDescription(None)
