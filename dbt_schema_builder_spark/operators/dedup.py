@@ -1333,6 +1333,71 @@ def dedup_clusters(
     return labels
 
 
+def _simhash_vote_kernel(n_bits: int):
+    """Arrow-batched per-partition SimHash vote: consumes (doc_id, h)
+    token rows and emits one (doc_id, simhash) row per doc — the
+    sign-of-vote signature computed vectorized (np.unpackbits bit
+    matrix + pandas groupby sum) instead of 60 Catalyst conditional
+    SUM aggregates (guide §4.2; isolated A/B at sf0.1: 1.74 s -> 0.46 s
+    for the signature stage, bit-identical output).
+
+    CORRECTNESS PRECONDITION (why this may run with NO exchange): every
+    row of one doc must sit in one partition. simhash_near_dup
+    guarantees it structurally — the token rows come from an explode of
+    per-doc arrays after a row-level repartition of ``documents``, and
+    nothing re-shuffles between; a split doc would emit two partial
+    signatures and corrupt the banding. Keep the kernel adjacent to
+    that pipeline, never expose it on arbitrary row sets.
+
+    Per-batch partial counts bound memory at O(batch x 64 bytes +
+    docs-per-partition x 65 ints): the bit matrix is built per Arrow
+    batch (<= maxRecordsPerBatch rows), never for the whole partition.
+    Integer vote counts are associative, so batch partials sum exactly.
+    Module-level so reused Python workers keep the code object (guide
+    §4.5)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        partials = []
+        for b in batches:
+            if not len(b):
+                continue
+            # int64 -> uint64 bit view; little-endian byte expansion +
+            # unpackbits gives the rows x 64 bit matrix in C speed
+            h = b["h"].to_numpy().astype(np.int64).view(np.uint64)
+            bytes_ = h.view(np.uint8).reshape(len(h), 8)
+            bits = np.unpackbits(bytes_, axis=1, bitorder="little")
+            g = pd.DataFrame(bits[:, :n_bits].astype(np.int64))
+            g["n"] = 1
+            g["doc_id"] = b["doc_id"].to_numpy()
+            partials.append(g.groupby("doc_id", sort=False).sum())
+        if not partials:
+            return
+        tot = (
+            pd.concat(partials)
+            .groupby(level=0, sort=False)
+            .sum()
+        )
+        counts = tot.iloc[:, :n_bits].to_numpy()
+        n = tot["n"].to_numpy()
+        # vote_i = sum(+/-1) > 0  <=>  2 * count_of_set_bit > n_tokens
+        vote = (counts * 2) > n[:, None]
+        weights = np.array(
+            [(1 << i) if i < 63 else -(1 << 63) for i in range(n_bits)],
+            dtype=np.int64,
+        ).view(np.uint64)
+        sig = (vote * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        yield pd.DataFrame(
+            {
+                "doc_id": tot.index.to_numpy(),
+                "simhash": sig.view(np.int64),
+            }
+        )
+
+    return kernel
+
+
 def simhash_near_dup(
     documents: DataFrame,
     max_hamming: int = 8,
@@ -1383,11 +1448,6 @@ def simhash_near_dup(
             f"max_dropped_mass={max_dropped_mass!r} or set max_bucket"
         )
     n_bits = 60 if token_hash == "portable" else 64
-
-    def _bit(i: int) -> int:
-        # signed-long literal for bit i (bit 63 is the sign bit)
-        return (1 << i) if i < 63 else -(1 << 63)
-
     if token_hash == "portable":
         h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
             "bigint"
@@ -1401,18 +1461,18 @@ def simhash_near_dup(
         .select("doc_id", F.explode(F.array_distinct(tokens())).alias("tok"))
         .select("doc_id", h.alias("h"))
     )
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(n_bits)
-    ]
-    voted = toks_hashed.groupBy("doc_id").agg(*votes)
-    sim = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    sigs = voted.select("doc_id", sim.alias("simhash"))
+    # r14 (guide §2.4 + §4.2): the exploded token rows of one doc are
+    # partition-local by construction (row-level repartition of docs,
+    # then explode — nothing re-shuffles between), so the signature
+    # needs NO exchange at all: one Arrow pass computes every per-bit
+    # vote vectorized. Replaces groupBy(doc_id).agg(60 conditional
+    # SUMs) — which shuffled partial-agg rows of 61 longs AND paid the
+    # 60-column hash-agg machinery — with a zero-shuffle mapInPandas.
+    # Isolated A/B at sf0.1: signature stage 1.74 s -> 0.46 s,
+    # bit-identical signatures (equivalence pinned in tests).
+    sigs = toks_hashed.mapInPandas(
+        _simhash_vote_kernel(n_bits), "doc_id long, simhash long"
+    )
     run_guard = max_bucket is not None and max_dropped_mass is not None
     if run_guard:
         # one narrow row per doc — cheap to cache, expensive to recompute

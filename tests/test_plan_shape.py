@@ -291,18 +291,29 @@ def test_heavy_hitters_verify_pass_is_candidate_filtered(tables):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
-def test_simhash_stays_jvm_side(tables):
-    """60 bit-vote aggregation + banding: no Python anywhere, and the
-    tokenize pipeline repartitions before the explode so one input file
-    cannot serialize the CPU-heavy stage onto one core."""
+def test_simhash_signature_stage_is_one_zero_shuffle_arrow_pass(tables):
+    """r14 signature stage: ONE MapInPandas vote kernel with NO
+    exchange between the round-robin doc repartition and the kernel
+    (exploded token rows are doc-local by construction — the zero-
+    shuffle claim), no row-at-a-time Python, and the pipeline still
+    repartitions before the explode so one input file cannot serialize
+    the CPU-heavy stage onto one core. The only hashpartitioning
+    exchanges left are the banding repartition and the pair
+    dropDuplicates."""
     from dbt_schema_builder_spark.operators import dedup
 
     df = dedup.simhash_near_dup(
         tables["documents"], max_hamming=16, token_hash="portable"
     )
     plan = _plan(df)
-    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
     assert "RoundRobinPartitioning" in plan, plan
+    # THE zero-shuffle claim: the old groupBy(doc_id).agg(60 sums)
+    # exchange is gone — no hashpartitioning on doc_id anywhere in the
+    # signature pipeline (the remaining hash exchanges are banding on
+    # (band, bucket) and the pair dropDuplicates on (doc_a, doc_b))
+    assert "hashpartitioning(doc_id" not in plan, plan
 
 
 def test_bloom_dedup_probe_is_broadcast_only(tables):
