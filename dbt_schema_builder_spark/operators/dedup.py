@@ -360,14 +360,30 @@ def jaccard_prefix_pairs(
         - F.ceil(F.size("sorted_sh") * F.lit(t)).cast("int")
         + 1
     )
+    # persist: the self-join's two sides cannot share an exchange when
+    # the planner broadcasts one of them (a BroadcastExchange never
+    # reuses a shuffle Exchange), so without the persist the whole
+    # df-rank + sorted-rebuild pipeline ran TWICE (r14 plan audit; the
+    # r2 "persist self-join inputs" lesson applied one operator up)
     index = ordered.select(
         "doc_id",
         F.explode(
             F.slice("sorted_sh", 1, F.greatest(prefix_len, F.lit(0)))
         ).alias("sh"),
-    ).repartition(parallelism, "sh")
+    ).repartition(parallelism, "sh").transform(track_persist)
     a, b = index.alias("a"), index.alias("b")
-    cand = (
+    # broadcast the CANDIDATE side of the verify joins (r14, measured
+    # 3.0 -> 1.8 s at sf0.1 with every A/B pass separated): without the
+    # hint the planner broadcasts the full corpus ARRAY frame into both
+    # verify joins — two driver round-trips shipping every document's
+    # shingle array — while the prefix-pruned candidate list is orders
+    # smaller in this operator's design regime (high thresholds, where
+    # the prefix keeps ~(1-t) of each set). Both choices are broadcast
+    # gambles on a size-unknown frame; this one picks the structurally
+    # smaller side, and a pathological candidate explosion fails LOUD
+    # at the 8 GB broadcast cap instead of silently shuffling the
+    # corpus (the repo's loud-guard convention).
+    cand = F.broadcast(
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))

@@ -1487,8 +1487,11 @@ def test_jaccard_pairs_auto_dispatch(docs_with_dupes):
     lo = dedup.jaccard_pairs(docs_with_dupes, threshold=0.2)
     hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
     lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
-    assert "sort_array" in hi_plan  # prefix branch's rarest-first rebuild
-    assert "sort_array" not in lo_plan
+    # prefix branch marker: the array_intersect verify (r14: the
+    # rarest-first sort_array rebuild is now hidden behind the persisted
+    # prefix index's InMemoryRelation in the optimized-plan string)
+    assert "array_intersect" in hi_plan
+    assert "array_intersect" not in lo_plan
     # dispatch preserves output equality on both sides of the crossover
     assert sorted(map(tuple, hi.collect())) == sorted(
         map(
