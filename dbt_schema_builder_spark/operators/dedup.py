@@ -1127,24 +1127,27 @@ def minhash_lsh_candidates(
     )
 
 
-def _closure_uf(batches):
+def _closure_uf(batches, max_nodes: int | None = None):
     """Partition-local union-find over an edge batch iterator: emits one
     (node, root) row per node the partition saw, root = minimum node id
     of its partition-local connected component. Union keeps the smaller
     root as the class representative, so roots are always reachable
     node ids and never invent values. Module-level so reused Python
-    workers keep the code object across tasks (guide §4.5 shape)."""
+    workers keep the code object across tasks (guide §4.5 shape).
+
+    r14 hardening (the r13 verdict's hub-skew watch item): batches are
+    consumed STREAMING — the edge list is never materialized, so task
+    memory is O(distinct nodes in the partition), not O(edges) — and
+    ``max_nodes`` bounds that irreducible node set. The distributed
+    caller partitions both edge orientations by ``src``, so every edge
+    incident to a mega-hub hashes to one partition and that partition's
+    node set grows with the hub's DEGREE no matter how many partitions
+    the edge-count derivation asked for. Exceeding the bound raises
+    with remediation instead of silently OOM-ing the Python worker."""
     import pandas as pd
 
-    srcs, dsts = [], []
-    for b in batches:
-        srcs.append(b["src"])
-        dsts.append(b["dst"])
-    if not srcs:
-        return
-    src = pd.concat(srcs).to_numpy()
-    dst = pd.concat(dsts).to_numpy()
     parent: dict = {}
+    nodes: set = set()
 
     def find(x):
         r = x
@@ -1154,24 +1157,53 @@ def _closure_uf(batches):
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in zip(src.tolist(), dst.tolist()):
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            continue
-        if ra < rb:
-            parent[rb] = ra
-        else:
-            parent[ra] = rb
-    nodes = set(src.tolist()) | set(dst.tolist())
+    for b in batches:
+        src = b["src"].tolist()
+        dst = b["dst"].tolist()
+        nodes.update(src)
+        nodes.update(dst)
+        if max_nodes is not None and len(nodes) > max_nodes:
+            raise ValueError(
+                "dedup_clusters: a single partition's union-find holds "
+                f"over {max_nodes} distinct nodes — a hub node whose "
+                "degree exceeds the per-task bound (every edge incident "
+                "to one node hashes to that node's partition). Cap hub "
+                "degree upstream (the miners' max_df / max_bucket / "
+                "max_cell population caps exist for exactly this), or "
+                "raise uf_max_partition_nodes if the workers genuinely "
+                "have the memory"
+            )
+        for a, b_ in zip(src, dst):
+            ra, rb = find(a), find(b_)
+            if ra == rb:
+                continue
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    if not nodes:
+        return
     out_n = list(nodes)
     out_r = [find(v) for v in out_n]
     yield pd.DataFrame({"node": out_n, "root": out_r})
+
+
+def _closure_uf_bounded(max_nodes: int):
+    """mapInPandas adapter binding the per-partition node bound — a
+    module-level factory, not a lambda, so reused Python workers keep
+    the code object (guide §4.5)."""
+
+    def kernel(batches):
+        yield from _closure_uf(batches, max_nodes)
+
+    return kernel
 
 
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 50,
     driver_closure_max_edges: int = 100_000,
+    uf_max_partition_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs into clusters: each doc gets
     the minimum doc_id reachable through the pair graph (the canonical
@@ -1297,8 +1329,17 @@ def dedup_clusters(
         # M has two consumers in this round (the functional rollup and
         # the residual join): persist it or the union-find pass runs
         # twice (the r4c multi-consumer re-evaluation class); scoped —
-        # unpersisted right after the count materializes the round
-        M = both.mapInPandas(_closure_uf, "node long, root long").persist()
+        # unpersisted right after the count materializes the round.
+        # The node bound (r14): ~4M-node Python set+dict is a few
+        # hundred MB per task — the memory envelope the ~1M-edges/
+        # partition derivation above already implied; a mega-hub that
+        # concentrates more than that in one partition raises with
+        # remediation instead of OOM-ing the worker (the r13 verdict's
+        # watch item).
+        M = both.mapInPandas(
+            _closure_uf_bounded(uf_max_partition_nodes),
+            "node long, root long",
+        ).persist()
         Mf = (
             M.groupBy("node")
             .agg(F.min("root").alias("root"))
