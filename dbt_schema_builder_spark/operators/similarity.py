@@ -1628,6 +1628,27 @@ def ivfpq_topk(
     return _exact_rerank(embeddings, shortlist, qrows, k)
 
 
+def _knn_d2_kernel(q_mat: list):
+    """Arrow-batched exact integer-L2 scorer for knn_label_agreement:
+    one (batch x dim) @ (dim x n_queries) int64 GEMM per Arrow batch
+    emits every query's squared distance for each corpus row as an
+    array (position = query index). Module-level factory so reused
+    Python workers keep the code object (guide §4.5)."""
+    Q = np.asarray(q_mat, dtype=np.int64)
+    qq = (Q * Q).sum(axis=1)
+
+    @F.pandas_udf("array<bigint>")
+    def d2_all(iv: pd.Series) -> pd.Series:
+        if len(iv) == 0:
+            return pd.Series([], dtype=object)
+        _reject_null_vectors(iv, "knn_label_agreement scorer")
+        v = np.vstack(iv.to_numpy()).astype(np.int64)
+        d2 = (v * v).sum(axis=1, keepdims=True) - 2 * (v @ Q.T) + qq
+        return pd.Series(list(d2))
+
+    return d2_all
+
+
 def knn_label_agreement(
     embeddings: DataFrame, n_queries: int = 32, k: int = 10
 ) -> DataFrame:
@@ -1664,27 +1685,34 @@ def knn_label_agreement(
             [], "query_id bigint, qlabel int, n_neighbors bigint, n_agree bigint"
         )
     _require_non_null(qrows, ["iv", "label"], "knn_label_agreement")
-    qdf = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["iv"]), int(r["label"])) for r in qrows],
-        "query_id bigint, qiv array<bigint>, qlabel int",
+    # r14 (guide §4.2): score every query against a corpus row in ONE
+    # Arrow GEMM instead of a crossJoin + interpreted zip_with/aggregate
+    # fold (the fold re-evaluated 64 element lambdas per (row, query)
+    # pair — measured 1.4 s of the key's 1.66 s at sf0.1). Exact int64
+    # arithmetic end to end, so d2 is bit-identical to the Catalyst
+    # fold (integer adds are order-independent — the float-GEMM
+    # argmax-tie rejection from r13 does not apply). Overflow headroom:
+    # milli-unit coords |x| <= ~2^21 give per-term (a-b)^2 <= 2^44 and
+    # 64-dim sums <= 2^50.
+    qidx = spark.createDataFrame(
+        [
+            (i, int(r["vec_id"]), int(r["label"]))
+            for i, r in enumerate(qrows)
+        ],
+        "qi int, query_id bigint, qlabel int",
     )
+    d2_all = _knn_d2_kernel([list(r["iv"]) for r in qrows])
     scored = (
         embeddings.select(
-            "vec_id", "label", _int_embedding(F.col("embedding")).alias("iv")
-        )
-        .crossJoin(F.broadcast(qdf))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "qlabel",
             "vec_id",
             "label",
-            F.aggregate(
-                F.zip_with("iv", "qiv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
+            F.posexplode(
+                d2_all(_int_embedding(F.col("embedding")))
+            ).alias("qi", "d2"),
         )
+        .join(F.broadcast(qidx), "qi")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qlabel", "vec_id", "label", "d2")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("vec_id").asc()

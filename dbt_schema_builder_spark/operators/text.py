@@ -1633,11 +1633,32 @@ def gopher_quality_rules(
     )
 
 
+def _bpe_fold(syms: list, a: str, b: str) -> list:
+    """Left-to-right non-overlapping merge of the pair (a, b) — the
+    exact pending-symbol fold semantics of the Catalyst aggregate-HOF
+    the distributed path runs (and of string replace over
+    separator-joined symbols, the apply_bpe_merges identity)."""
+    out: list = []
+    pending = None
+    for x in syms:
+        if pending == a and x == b:
+            out.append(a + b)
+            pending = None
+        else:
+            if pending is not None:
+                out.append(pending)
+            pending = x
+    if pending is not None:
+        out.append(pending)
+    return out
+
+
 def learn_bpe_merges(
     documents: DataFrame,
     n_merges: int = 10,
     min_pair_count: int = 2,
     counts_out: list | None = None,
+    driver_vocab_max_words: int = 65_536,
 ) -> tuple[list, DataFrame]:
     """Distributed BPE merge learning (Sennrich et al. 2016) — actually
     TRAIN the subword vocabulary, not just apply one: iteratively merge
@@ -1678,6 +1699,51 @@ def learn_bpe_merges(
         eager=True
     )
     merges: list = []
+    # r14 fast path (guide §1.2 — the union-find precedent): the loop
+    # state is the VOCABULARY table, and the measured per-merge cost at
+    # bench scale is 3 Spark jobs of fixed overhead (argmax collect +
+    # checkpointed re-segment; 27 jobs / 2.5 s for 8 merges over a
+    # 31-token vocab). When the checkpointed vocab fits the driver
+    # bound (65,536 words is a few MB over Arrow — the kmeans/bpe
+    # bounded-collect convention), collect it once and run the SAME
+    # weighted-pair-count / (cnt DESC, a, b)-argmax / pending-symbol
+    # fold loop in Python. Bit-identical: counts are exact integer
+    # sums, Python tuple-of-str comparison equals Spark's string
+    # ordering (UTF-8 byte order preserves code-point order), and
+    # `_bpe_fold` IS the Catalyst fold's semantics (pinned by the
+    # textbook/left-to-right tests and the random-corpus DuckDB
+    # differential, which now exercises this path). Web-scale vocabs
+    # (millions of words) keep the distributed loop below — the choice
+    # derives from the measured vocab count, never a local[32]
+    # constant.
+    if syms.count() <= driver_vocab_max_words:
+        vocab = [
+            (r["w"], int(r["n"]), list(r["syms"]))
+            for r in syms.collect()
+        ]
+        for _ in range(n_merges):
+            cnts: dict = {}
+            for _w, wn, ws in vocab:
+                for i in range(len(ws) - 1):
+                    p = (ws[i], ws[i + 1])
+                    cnts[p] = cnts.get(p, 0) + wn
+            if not cnts:
+                break
+            (a, b), cnt = min(
+                cnts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_pair_count:
+                break
+            merges.append((a, b))
+            if counts_out is not None:
+                counts_out.append(int(cnt))
+            vocab = [
+                (w, wn, _bpe_fold(ws, a, b)) for w, wn, ws in vocab
+            ]
+        seg = documents.sparkSession.createDataFrame(
+            sorted(vocab), "w string, n bigint, syms array<string>"
+        )
+        return merges, seg
     n1 = F.greatest(F.size("syms") - 1, F.lit(0))
     pair_struct = F.zip_with(
         F.slice("syms", 1, n1),

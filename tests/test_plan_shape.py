@@ -413,8 +413,9 @@ def test_fuzzy_match_joins_signatures_not_records(tables):
 
 def test_knn_broadcasts_queries_not_corpus(tables):
     """The sampled query frame broadcasts; the corpus is never on the
-    broadcast side (one corpus scan, BroadcastNestedLoopJoin over the
-    tiny query list)."""
+    broadcast side (one corpus scan). r14: the scorer is ONE Arrow
+    GEMM pass (ArrowEvalPython + posexplode), not a crossJoin over the
+    query list with an interpreted zip_with fold."""
     from dbt_schema_builder_spark.operators.similarity import (
         knn_label_agreement,
     )
@@ -422,6 +423,10 @@ def test_knn_broadcasts_queries_not_corpus(tables):
     plan = _plan(knn_label_agreement(tables["embeddings"], n_queries=4, k=3))
     assert "BroadcastExchange" in plan, plan
     assert plan.count("Scan parquet") <= 2, plan  # corpus read once (+0 for local rel)
+    # formatted plans print each operator in the tree AND the detail
+    # section — one ArrowEvalPython node appears twice
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_transition_matrix_single_user_exchange(tables):
