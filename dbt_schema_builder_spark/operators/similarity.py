@@ -1180,6 +1180,42 @@ def _int_embedding(col: Column, scale: int = 1000) -> Column:
     )
 
 
+def _prefix_int_rows(embeddings: DataFrame, n: int, op: str) -> list:
+    """The deterministic sampling prefix every PQ/IVF operator draws
+    from: the ``n`` smallest-vec_id rows as (vec_id, iv milli-unit
+    ints). r14: pq_topk / ivfpq_topk used to run this TakeOrdered
+    corpus scan once per sample (codebook + cells + queries = up to
+    three jobs); they now share ONE collect and slice it (guide §1.2 —
+    the samples are nested prefixes of the same ordering)."""
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(n)
+        .select("vec_id", _int_embedding(F.col("embedding")).alias("iv"))
+        .collect()
+    )
+    _require_non_null(rows, ["iv"], op)
+    return rows
+
+
+def _codebook_from_rows(rows: list, subspaces: int) -> list:
+    """Build the PQ codebook from already-collected prefix rows —
+    codeword c of subspace s is the s-th subvector of the c-th row
+    (pq_codebook's exact construction, shared so the prefix collect
+    can be reused)."""
+    if not rows:
+        return []
+    dim = len(rows[0]["iv"])
+    if dim % subspaces:
+        raise ValueError(
+            f"embedding dim {dim} not divisible into {subspaces} subspaces"
+        )
+    sd = dim // subspaces
+    return [
+        [list(r["iv"][s * sd : (s + 1) * sd]) for r in rows]
+        for s in range(subspaces)
+    ]
+
+
 def pq_codebook(
     embeddings: DataFrame, subspaces: int = 8, codes: int = 16
 ) -> list:
@@ -1192,25 +1228,9 @@ def pq_codebook(
     replayable by any ANSI engine; pass the result of a per-subspace
     Lloyd refinement instead when recall matters more than oracle
     checkability — ``pq_encode``/``pq_topk`` only see the list."""
-    rows = (
-        embeddings.orderBy("vec_id")
-        .limit(codes)
-        .select(_int_embedding(F.col("embedding")).alias("iv"))
-        .collect()
+    return _codebook_from_rows(
+        _prefix_int_rows(embeddings, codes, "pq_codebook"), subspaces
     )
-    if not rows:
-        return []
-    _require_non_null(rows, ["iv"], "pq_codebook")
-    dim = len(rows[0]["iv"])
-    if dim % subspaces:
-        raise ValueError(
-            f"embedding dim {dim} not divisible into {subspaces} subspaces"
-        )
-    sd = dim // subspaces
-    return [
-        [list(r["iv"][s * sd : (s + 1) * sd]) for r in rows]
-        for s in range(subspaces)
-    ]
 
 
 def pq_encode(
@@ -1332,18 +1352,18 @@ def pq_topk(
     ``brute_force_topk``'s convention so recall is directly measurable.
     """
     spark = embeddings.sparkSession
-    cb = pq_codebook(embeddings, subspaces=subspaces, codes=codes)
+    # one TakeOrdered scan serves BOTH deterministic samples (r14):
+    # the codebook rows and the query rows are nested prefixes of the
+    # same vec_id ordering
+    prefix = _prefix_int_rows(
+        embeddings, max(codes, n_queries), "pq_topk"
+    )
+    cb = _codebook_from_rows(prefix[:codes], subspaces)
     if not cb:  # empty corpus
         return spark.createDataFrame(
             [], "query_id bigint, vec_id bigint, d2 bigint, rank int"
         )
-    qrows = (
-        embeddings.orderBy("vec_id")
-        .limit(n_queries)
-        .select("vec_id", _int_embedding(F.col("embedding")).alias("iv"))
-        .collect()
-    )
-    _require_non_null(qrows, ["iv"], "pq_topk")
+    qrows = prefix[:n_queries]
     sd = len(cb[0][0])
     table_rows = []
     for qr in qrows:
@@ -1528,18 +1548,19 @@ def ivfpq_topk(
     (query_id, vec_id, d2, rank).
     """
     spark = embeddings.sparkSession
-    cb = pq_codebook(embeddings, subspaces=subspaces, codes=codes)
+    # one TakeOrdered scan serves all THREE deterministic samples
+    # (r14): codebook, coarse cells and queries are nested prefixes of
+    # the same vec_id ordering — this was three corpus-scan collect
+    # jobs per invocation
+    prefix = _prefix_int_rows(
+        embeddings, max(codes, cells, n_queries), "ivfpq_topk"
+    )
+    cb = _codebook_from_rows(prefix[:codes], subspaces)
     if not cb:
         return spark.createDataFrame(
             [], "query_id bigint, vec_id bigint, d2 bigint, rank int"
         )
-    crows = (
-        embeddings.orderBy("vec_id")
-        .limit(cells)
-        .select(_int_embedding(F.col("embedding")).alias("iv"))
-        .collect()
-    )
-    _require_non_null(crows, ["iv"], "ivfpq_topk cells")
+    crows = prefix[:cells]
     cents = np.array([list(r["iv"]) for r in crows], dtype=np.int64)
     pq = [np.asarray(c, dtype=np.int64) for c in cb]
     S = len(pq)
@@ -1568,14 +1589,8 @@ def ivfpq_topk(
             out[:, s + 1] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 
-    qrows = (
-        embeddings.orderBy("vec_id")
-        .limit(n_queries)
-        .select("vec_id", _int_embedding(F.col("embedding")).alias("iv"))
-        .collect()
-    )
+    qrows = prefix[:n_queries]
     probe_rows, table_rows = [], []
-    _require_non_null(qrows, ["iv"], "ivfpq_topk queries")
     for qr in qrows:
         qv = np.asarray(qr["iv"], dtype=np.int64)
         dc = ((cents - qv) ** 2).sum(axis=1)
