@@ -2160,13 +2160,22 @@ def cut_duplicate_spans(
         (F.col("pos0") + 1).cast("bigint").alias("pos"),
         "token",
     )
-    flagged = pos_tokens.join(
-        extents,
-        (pos_tokens["doc_id"] == extents["s_doc"])
-        & (F.col("pos") >= F.col("cs"))
-        & (F.col("pos") <= F.col("ce")),
-        "left_semi",
-    )
+    # r14 (guide §2.3 — shuffle/scan fewer bytes): flagged positions
+    # derive from the span extents ALONE. Extents are clamped to valid
+    # token positions by construction (islands are contiguous gram
+    # runs, max gram pos <= n_tokens - k + 1, so ce = start + n_grams
+    # + k - 2 <= n_tokens), so exploding each extent's integer range
+    # yields EXACTLY the positions the previous corpus-wide range
+    # semi-join selected — without shipping every token row (string
+    # included) through that join, and without the second
+    # tokenize+posexplode pass the old flagged branch forced
+    # (pos_tokens now has one consumer: the kept-token rebuild).
+    # Neighboring islands' token extents can overlap (gap <= k-2, the
+    # r7 interval-union lesson) — dedupe positions.
+    flagged = extents.select(
+        F.col("s_doc").alias("doc_id"),
+        F.explode(F.sequence("cs", "ce")).alias("pos"),
+    ).dropDuplicates(["doc_id", "pos"])
     cut_pos = flagged.join(
         protected,
         (flagged["doc_id"] == protected["p_doc"])

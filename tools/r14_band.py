@@ -106,10 +106,30 @@ def lsh08(spark):
         )
 
     timed(spark, "lsh08: signature stage only", sig_only)
+
+    def candidates_only():
+        bucketed = sig_only().withColumnRenamed("b", "bucket").repartition(
+            par, "tbl", "bucket"
+        )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+
+    timed(spark, "lsh08: sig+selfjoin+dedup (candidates)", candidates_only)
     timed(spark, "lsh08: full", lambda: similarity.embedding_near_dup(
         emb, threshold=0.8,
     ))
-    _ = par
 
 
 def cut_spans(spark):
